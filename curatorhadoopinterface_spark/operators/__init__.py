@@ -1,0 +1,65 @@
+"""Declared-query registry (SURVEY.md section 2C inventory).
+
+Every implemented operator registers a named query (Spark builder) and,
+when SQL-expressible, a DuckDB oracle string. ``__spark_entry__.py``
+exposes the merged registry to the driver's correctness harness.
+
+Registration contract (driver compare sorts columns by name and hashes
+values): every computed/aggregate column is aliased identically in the
+Spark builder and the oracle SQL, and double-valued aggregates are
+rounded in BOTH so floating-point summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_MODULES = (
+    "relational",
+    "windows",
+    "scalars",
+    "spans",
+    "dedup",
+    "similarity",
+    "textstats",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as declared query ``name`` with an optional DuckDB
+    oracle. Queries without an oracle get the driver's weaker rows-only
+    check (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    for mod in _MODULES:
+        importlib.import_module(f"curatorhadoopinterface_spark.operators.{mod}")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLE)

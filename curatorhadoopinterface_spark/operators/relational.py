@@ -1,0 +1,603 @@
+"""Relational core (SURVEY.md section 2C: scans, projection, filter,
+joins, aggregates, set ops, sampling, pivot, conditionals).
+
+Design rules for 100 TB (see README "Scale notes"):
+- every query is a single lazy Catalyst plan: filters first (pushdown),
+  projections minimal (pruning), small dims broadcast explicitly;
+- large-large joins are plain equi-joins so AQE can pick SMJ/SHJ and
+  split skewed partitions;
+- the as-of join uses the union+sort trick (one shuffle by key) instead
+  of a non-equi join that would explode at scale;
+- sampling/top-k are expressed with deterministic keys so results are
+  reproducible across engines and cluster sizes.
+
+Reference analogues cited per query (SURVEY.md section 2C table).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# flagship: pricing-summary scan+filter+agg (TPC-H Q1 shape). Exercises
+# parquet scan w/ pushdown, grouped agg w/ partial aggregation (map-side
+# combine is automatic in Catalyst hash agg).
+# --------------------------------------------------------------------------
+@query(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# scans & projection (A1/A2 directory scan; RecordTools.getContents)
+# --------------------------------------------------------------------------
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem WHERE l_linenumber >= 4
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection + predicate reach the parquet reader (PushedFilters /
+    # ReadSchema visible in .explain("formatted")).
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") >= 4)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "project_rename_cast",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           UPPER(c_name) AS cust_name,
+           CAST(TRUNC(c_acctbal) AS BIGINT) AS acctbal_int,
+           CAST(c_nationkey AS VARCHAR) AS nation_str
+    FROM customer
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("cust_name"),
+        F.col("c_acctbal").cast("bigint").alias("acctbal_int"),
+        F.col("c_nationkey").cast("string").alias("nation_str"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P')
+      AND NOT (o_totalprice < 1000.0)
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+      AND o_custkey IS NOT NULL
+      AND o_orderpriority LIKE '%H%'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # empty-text filter analogue: CuratorClient.java:527-536.
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_orderstatus") == "P"))
+        & ~(F.col("o_totalprice") < 1000.0)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1999-12-31").cast("timestamp")
+        )
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderpriority").like("%H%")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # record<->DB match by hash analogue (A18); dims broadcast so the fact
+    # table never shuffles — the 100 TB plan for star joins.
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-large equi join: shuffle on the join key; AQE picks SMJ/SHJ
+    # and splits skewed partitions at scale.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DB-miss => blank record analogue (A21): unmatched left rows survive
+    # with null right side.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 40000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache-hit skip analogue (A21): keep rows with a match, no dup blowup.
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 40000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the incremental layer's cache-miss detection (A21) is exactly this.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_pairs, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # theta predicate on top of the equi key: Catalyst keeps the equi part
+    # as the shuffle key and applies the range residual post-match, so
+    # this stays a hash/SMJ join (never a cartesian) at any scale.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(p, (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_overlaps
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.ts < b.ts + INTERVAL 5 MINUTE AND b.ts < a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-overlap test (IllinoisNERHandler.findSpan:309-329 analogue):
+    # equi key (user) bounds the candidate set; interval predicate is the
+    # residual. Same pattern as token-span x sentence-span joins.
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    five = F.expr("INTERVAL 5 MINUTES")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.ts") < F.col("b.ts") + five)
+            & (F.col("b.ts") < F.col("a.ts") + five),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, MAX(o.o_orderdate) AS last_order_ts
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join via the union+sort trick: tag both sides, union, one
+    # shuffle by key, running last(order_ts) over the merged timeline.
+    # At 100 TB this is ONE shuffle + sort per side (no non-equi blowup:
+    # a naive range join would be |events| x |orders| per key).
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    order_side = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    event_side = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("order_ts"),
+    )
+    merged = order_side.unionByName(event_side)
+    # order rows sort before event rows at equal ts (kind 0 < 1), so an
+    # order exactly at the event time counts (<= semantics, matching the
+    # oracle's o_orderdate <= e.ts).
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "kind", "order_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_order_ts", F.last("order_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "last_order_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregates
+# --------------------------------------------------------------------------
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # view-counting analogue (A17); partial aggregation (map-side combine)
+    # is automatic in Catalyst HashAggregate.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # annotation-set dedup analogue (A12).
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle="SELECT TRUE AS approx_ok",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketches differ across engines, so the oracle contract is a
+    # bounded-error check: the query itself asserts |approx-exact| <= 5%
+    # and returns the boolean — hash-matches iff the sketch is in bounds.
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    return agg.select(
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias("approx_ok")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit / sampling / set ops / dedup / pivot / conditional
+# --------------------------------------------------------------------------
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global top-N: Spark runs per-partition TakeOrdered + driver merge —
+    # no full sort of 100 TB. Unique-key tiebreak keeps it deterministic.
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@query(
+    "sample_n",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+    LIMIT 100
+    """,
+)
+def sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13 random sampling w/o replacement, made engine-reproducible:
+    # order by a keyed hash instead of rand(seed) (seeds don't transfer
+    # across engines). Distributed top-N by hash — no global sort.
+    l = _t(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")))
+    return l.orderBy(h).select("l_orderkey", "l_linenumber").limit(100)
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+    UNION
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000.0
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0).select(F.col("n_nationkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0).select(F.col("c_nationkey").alias("k"))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # common-annotation intersect analogue (A12, JobHandler.java:508-546).
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # verify-diff analogue (A19, CuratorClient.verifyRecords).
+    # subtract == EXCEPT (set semantics); exceptAll is the bag variant.
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # by-hash identity dedup (Identifier.java:67-70: same text => same id).
+    # dropDuplicates over the projected key set == DISTINCT; the content-
+    # hash variant for corpora lives in plans/incremental.py.
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity").dropDuplicates()
+
+
+@query(
+    "pivot_table",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit pivot values avoid the extra distinct-values job at scale.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 30000.0 THEN 'high'
+                WHEN o_totalprice >= 10000.0 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_norm
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blank-record-on-miss analogue (CuratorHandler.java:511-521).
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 30000.0, "high")
+        .when(F.col("o_totalprice") >= 10000.0, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_norm"),
+    )

@@ -1,0 +1,93 @@
+"""SparkSession builder + table loading.
+
+Scale notes (100 TB target): the session defaults below are tuned so the
+same logical plans survive a 1000-executor deployment:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic join-strategy demotion to broadcast when a side turns out small).
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. For a real cluster set it to ~2-3x total cores.
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are deployment-independent.
+- Arrow enabled for every pandas interchange (annotator UDFs are
+  Arrow-vectorized; row-at-a-time Python UDFs are banned in hot paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table (SURVEY.md section 2C row ``scan_parquet``).
+
+    Parquet gives predicate pushdown + column pruning for free; the
+    reference's DirectoryInputFormat (one split per file,
+    DirectoryInputFormat.java:33-65) is replaced by Spark's size-packed
+    file splits.
+
+    TIMESTAMP(NANOS) columns (the ``events.ts`` stream clock) are read as
+    nanos-since-epoch longs and truncated to microsecond timestamps —
+    the same truncation DuckDB applies, so oracles agree.
+    """
+    # set at runtime too so the driver's own (vanilla) session works
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import pyspark.sql.functions as F
+
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query in ``__spark_entry__.py`` on Spark AND its
+DuckDB oracle at a chosen sf dir, then compares:
+  - row count
+  - schema (column names, sorted)
+  - order-insensitive values (columns sorted by name, rows sorted,
+    exact equality after normalization)
+
+Stricter than the driver's value-hash (we diff actual values), so a PASS
+here should imply a PASS there.
+
+Usage:  python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and tiny fp dust left after in-query rounding
+        return round(v, 9) + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, normalize(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from curatorhadoopinterface_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(qs)
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        if name not in qs:
+            print(f"[SKIP] {name}: not declared")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"[FAIL] {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"[weak] {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"[FAIL] {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"row count spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            a, b = canon(srows, scols), canon(drows, dcols)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y]
+                problems.append(f"values differ in {len(diffs)}/{len(a)} rows; first: {diffs[:2]}")
+        if problems:
+            print(f"[FAIL] {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"[PASS] {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
