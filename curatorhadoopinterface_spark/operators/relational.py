@@ -38,9 +38,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -50,15 +50,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # rounding scale == exact decimal resolution of each expression
+    # (2dec inputs: sums 2, products 4, double products 6) so HALF_UP
+    # (Spark) vs HALF_EVEN (DuckDB) can never land on a half boundary.
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -353,7 +356,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2) AS total_qty,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc
+           ROUND(AVG(l_discount), 6) AS avg_disc
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -368,7 +371,7 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         )
     )
 

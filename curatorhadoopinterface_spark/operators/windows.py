@@ -1,1 +1,145 @@
-"""placeholder — filled in subsequent milestones."""
+"""Window functions (SURVEY.md section 2C: win_rank, win_lag_lead,
+win_running_sum, win_range_frame, topk_per_group).
+
+Scale notes: every window here partitions by a real key (nation /
+customer / user), never a global ORDER BY over the whole table — a
+partitionless window would funnel 100 TB through one task. Order keys
+always include a unique tiebreaker so ranks are deterministic across
+engines and partition counts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           NTILE(4)      OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0.0), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "next annotation stage" sequencing analogue (A11, JobHandler job
+    # chaining) — per-key ordered neighbor access.
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS sum_10min
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value-range frame over the event-time axis (10-minute trailing
+    # window) — the batch twin of the streaming sliding window.
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-600, 0)
+    return e.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_10min"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-10-words-preview analogue (RecordTools.java:211-228) — per-key
+    # top-k. row_number + filter lets Spark push a per-partition top-k
+    # (WindowGroupLimit) instead of a full sort.
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
