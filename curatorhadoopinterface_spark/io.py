@@ -59,7 +59,16 @@ def write_corpus(df: DataFrame, path: str, mode: str = "overwrite", partition_by
 
 def roundtrip_check(spark: SparkSession, df: DataFrame, path: str) -> bool:
     """Write-then-read-back equality, the reference's post-write check
-    (HadoopCuratorClient.java:83-104): re-read and diff must be empty."""
+    (HadoopCuratorClient.java:83-104): re-read and diff must be empty.
+
+    Set ops reject MapType columns, so rows are canonicalized to JSON
+    first (parquet stores maps as ordered entry lists, so entry order —
+    and hence the JSON — survives the round-trip)."""
     write_corpus(df, path)
     back = spark.read.parquet(path)
-    return df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()
+
+    def canon(d: DataFrame) -> DataFrame:
+        return d.select(F.to_json(F.struct(*sorted(d.columns))).alias("js"))
+
+    a, b = canon(df), canon(back)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -1,1 +1,261 @@
-"""placeholder — filled in subsequent milestones."""
+"""Span algebra + annotation-pipeline queries (SURVEY.md sections 2A/2B).
+
+The first family is pure Spark SQL (whitespace tokenization with char
+offsets — the reference's wsprovide fast path, CuratorHandler.java:
+1054-1127). The second family drives the REAL pandas-UDF annotator
+pipeline (plans/provide.py) and checks it against a DuckDB oracle that
+re-states the annotator rules in SQL — the engine twin of the
+reference's verifyRecords oracle pattern (CuratorClient.java:660-853).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+# shared oracle CTE: whitespace tokens with half-open char offsets
+_WS_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS token,
+               CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS INTEGER)
+                   AS token_idx
+        FROM documents),
+    offs AS (
+        SELECT doc_id, token_idx, token,
+               CAST(COALESCE(SUM(LENGTH(token) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY token_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+                   AS token_start
+        FROM toks)
+"""
+
+
+def _ws_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization with char offsets, pure Spark SQL (A25):
+    no UDF, whole-stage codegen, one shuffle for the offset window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("token_idx", "token"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("token_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return tok.select(
+        "doc_id",
+        "token_idx",
+        "token",
+        F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0))
+        .cast("int")
+        .alias("token_start"),
+    )
+
+
+@query(
+    "ws_tokenize",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE}
+    SELECT doc_id, token_idx, token, token_start,
+           token_start + LENGTH(token) AS token_end
+    FROM offs
+    """,
+)
+def ws_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ws_tokens(spark, sf_dir)
+    return t.withColumn("token_end", (F.col("token_start") + F.length("token")).cast("int"))
+
+
+@query(
+    "span_substring",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE}
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE SUBSTR(d.text, token_start + 1, LENGTH(token)) = token)
+               AS n_exact
+    FROM offs JOIN documents d USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def span_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span -> substring extraction semantics (CuratorClient.java:1051-1053:
+    # rawText.substring(span.start, span.ending)); n_exact == n_tokens is
+    # the well-formedness invariant.
+    d = load_table(spark, sf_dir, "documents")
+    t = _ws_tokens(spark, sf_dir)
+    joined = t.join(d.select("doc_id", "text"), "doc_id")
+    exact = F.expr("substring(text, token_start + 1, length(token)) = token")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_if(exact).alias("n_exact"),
+    )
+
+
+@query(
+    "span_interval_join",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE},
+    sents AS (
+        SELECT doc_id, CAST(token_idx // 10 AS INTEGER) AS sent_id,
+               MIN(token_start) AS sent_start,
+               MAX(token_start + LENGTH(token)) AS sent_end
+        FROM offs GROUP BY doc_id, CAST(token_idx // 10 AS INTEGER)),
+    tok_spans AS (
+        SELECT doc_id, token_idx, token_start,
+               token_start + LENGTH(token) AS token_end
+        FROM offs)
+    SELECT t.doc_id, s.sent_id, COUNT(*) AS n_tokens_in_sentence
+    FROM tok_spans t JOIN sents s
+      ON t.doc_id = s.doc_id
+     AND t.token_start >= s.sent_start AND t.token_end <= s.sent_end
+    GROUP BY t.doc_id, s.sent_id
+    """,
+)
+def span_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-containment join (token within sentence) — the NER-span-in-
+    # sentence-span pattern (IllinoisNERHandler.findSpan:309-329). Equi
+    # key doc_id bounds candidates; containment is the residual, so this
+    # is a hash join at any scale, not a cartesian.
+    t = _ws_tokens(spark, sf_dir).withColumn(
+        "token_end", F.col("token_start") + F.length("token")
+    )
+    sents = (
+        t.withColumn("sent_id", (F.col("token_idx") / 10).cast("int"))
+        .groupBy("doc_id", "sent_id")
+        .agg(F.min("token_start").alias("sent_start"), F.max("token_end").alias("sent_end"))
+    )
+    tok = t.select("doc_id", "token_idx", "token_start", "token_end")
+    return (
+        tok.alias("t")
+        .join(
+            sents.alias("s"),
+            (F.col("t.doc_id") == F.col("s.doc_id"))
+            & (F.col("t.token_start") >= F.col("s.sent_start"))
+            & (F.col("t.token_end") <= F.col("s.sent_end")),
+        )
+        .groupBy(F.col("t.doc_id").alias("doc_id"), F.col("s.sent_id").alias("sent_id"))
+        .agg(F.count(F.lit(1)).alias("n_tokens_in_sentence"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF-pipeline queries: run plans/provide.py for real, oracle re-states the
+# annotator rules in SQL.
+# ---------------------------------------------------------------------------
+
+# the POS-lite rule chain (annotators/light.pos_tag_word) as SQL
+_POS_CASE = """
+    CASE
+      WHEN NOT REGEXP_MATCHES(token, '^[A-Za-z0-9]') THEN 'PUNCT'
+      WHEN REGEXP_MATCHES(token, '^[0-9]+$') THEN 'CD'
+      WHEN LOWER(token) IN ('the','a','an') THEN 'DT'
+      WHEN LOWER(token) IN ('and','or','but') THEN 'CC'
+      WHEN LOWER(token) IN ('of','in','on','at','by','for','with','from','to') THEN 'IN'
+      WHEN LOWER(token) IN ('is','are','was','were','be','been','am',
+                            'has','have','had','do','does','did') THEN 'VB'
+      WHEN LENGTH(token) > 4 AND LOWER(token) LIKE '%ing' THEN 'VBG'
+      WHEN LENGTH(token) > 3 AND LOWER(token) LIKE '%ed' THEN 'VBD'
+      WHEN LENGTH(token) > 3 AND LOWER(token) LIKE '%ly' THEN 'RB'
+      WHEN REGEXP_MATCHES(SUBSTR(token, 1, 1), '[A-Z]') THEN 'NNP'
+      WHEN LENGTH(token) > 3 AND LOWER(token) LIKE '%s'
+           AND NOT LOWER(token) LIKE '%ss' THEN 'NNS'
+      ELSE 'NN'
+    END
+"""
+
+# regex tokens of the UDF tokenizer, as a DuckDB CTE (RE2-compatible)
+_RE_TOKS_CTE = """
+    retoks AS (
+        SELECT doc_id,
+               UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token
+        FROM documents)
+"""
+
+
+def _annotated_corpus(spark: SparkSession, sf_dir: str, target) -> DataFrame:
+    from curatorhadoopinterface_spark.plans.provide import provide
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("raw_text")
+    )
+    return provide(d, target)
+
+
+@query(
+    "annotate_token_count",
+    oracle=f"""
+    WITH {_RE_TOKS_CTE}
+    SELECT doc_id, COUNT(*) AS n_tokens
+    FROM retoks GROUP BY doc_id
+    """,
+)
+def annotate_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end check of the TOKEN pandas_udf (mapInPandas) against the
+    # same tokenization expressed in SQL.
+    ann = _annotated_corpus(spark, sf_dir, "TOKEN")
+    return ann.select(
+        "doc_id", F.size(F.col("label_views")["tokens"]["labels"]).alias("n_tokens")
+    )
+
+
+@query(
+    "annotate_pos_histogram",
+    oracle=f"""
+    WITH {_RE_TOKS_CTE}
+    SELECT {_POS_CASE} AS pos_tag, COUNT(*) AS n
+    FROM retoks GROUP BY 1
+    """,
+)
+def annotate_pos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the TOKEN->POS UDF chain, checked value-for-value: explode the pos
+    # Labeling the pipeline wrote and histogram the tags.
+    ann = _annotated_corpus(spark, sf_dir, "POS")
+    spans = ann.select(
+        F.explode(F.col("label_views")["pos"]["labels"]).alias("s")
+    )
+    return spans.groupBy(F.col("s.label").alias("pos_tag")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "annotate_ner_spans",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE},
+    matched AS (
+        SELECT doc_id, token_idx, token_start,
+               token_start + LENGTH(token) AS token_end,
+               CASE LOWER(token)
+                 WHEN 'spark' THEN 'TECH' WHEN 'hadoop' THEN 'TECH'
+                 WHEN 'hash' THEN 'TECH' WHEN 'vector' THEN 'TECH'
+                 WHEN 'customer' THEN 'ROLE' WHEN 'supplier' THEN 'ROLE'
+                 WHEN 'lorem' THEN 'MISC' WHEN 'ipsum' THEN 'MISC'
+               END AS label
+        FROM offs),
+    islands AS (
+        SELECT *, token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, label ORDER BY token_idx) AS grp
+        FROM matched WHERE label IS NOT NULL)
+    SELECT doc_id, label,
+           MIN(token_start) AS span_start,
+           MAX(token_end)   AS span_end
+    FROM islands GROUP BY doc_id, label, grp
+    """,
+)
+def annotate_ner_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gazetteer NER via the UDF pipeline, including the BIO->span merge of
+    # adjacent same-type tokens (IllinoisNERHandler.java:150-189); the
+    # oracle reproduces the merge with a gaps-and-islands window. (On the
+    # single-spaced fixture text, regex tokens == whitespace tokens, so
+    # char adjacency == index adjacency.)
+    ann = _annotated_corpus(spark, sf_dir, "NER")
+    spans = ann.select(
+        "doc_id", F.explode(F.col("label_views")["ner"]["labels"]).alias("s")
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s.label").alias("label"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.ending").alias("span_end"),
+    )

@@ -1,0 +1,140 @@
+"""provide(df, mode): the engine's query planner for annotation requests.
+
+Reference lifecycle (SURVEY.md section 3): JobHandler plans a list of
+MapReduce jobs (one per missing dependency), each job shuffling records
+by document hash and RPC-ing every document to a local Curator
+(CuratorReducer.java:74-202, process boundary per view per document).
+
+Spark-first collapse: the dependency closure is computed once
+(plans/registry.dependency_closure), and ALL requested modes run in ONE
+``mapInPandas`` pass — one Arrow batch boundary total, no shuffle at all
+(annotation is embarrassingly per-row). Per-row memoization: views
+already present in a record's maps are reused, not recomputed
+(CuratorHandler.provide, :1029-1052). Stage fusion (A10) is therefore
+universal, not a TOKEN/POS/CHUNK special case.
+
+Scale: per-partition cost is pure Python over Arrow batches; heavy
+models would be loaded as module-level singletons per worker
+(the reference's per-node annotator servers, minus warmup sleeps).
+Partition sizing is by input bytes (Spark file splits), not
+file count — fixing the reference's task-per-document granularity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructField, StructType
+
+from curatorhadoopinterface_spark.plans.registry import (
+    MODES,
+    VIEW_TO_MODE,
+    ViewType,
+    dependency_closure,
+)
+from curatorhadoopinterface_spark.schema import CLUSTERING, FOREST, LABELING
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+from pyspark.sql.types import MapType, StringType
+
+VIEW_COLS: dict[str, MapType] = {
+    "label_views": MapType(StringType(), LABELING),
+    "cluster_views": MapType(StringType(), CLUSTERING),
+    "parse_views": MapType(StringType(), FOREST),
+}
+
+
+def _parse_views_json(raw: str | None, family: str) -> dict:
+    """Decode a to_json()'d view map back to plain dicts.
+
+    Existing view maps enter the UDF as JSON strings rather than Arrow
+    maps: pyarrow's map->pandas conversion segfaults on this depth of
+    nesting (map<string,struct<array<struct<...map<int,string>>>>>), and
+    JSON round-trip is JVM-side + cheap relative to annotation. JSON
+    stringifies the int keys of Node.children, so restore them here.
+    """
+    import json
+
+    if not raw:
+        return {}
+    views = json.loads(raw)
+    if family == "parse_views":
+        for payload in views.values():
+            for tree in payload.get("trees") or []:
+                for node in tree.get("nodes") or []:
+                    if node.get("children"):
+                        node["children"] = {int(k): v for k, v in node["children"].items()}
+    return views
+
+
+def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") -> DataFrame:
+    """Ensure the view(s) for ``target`` mode(s) (and every dependency)
+    exist on each record; compute only what's missing, per row."""
+    import pyspark.sql.functions as F
+
+    targets = [target] if isinstance(target, str) else list(target)
+    modes: list[str] = []
+    for t in targets:
+        for m in dependency_closure(t):
+            if m not in modes:
+                modes.append(m)
+
+    fields = [f for f in df.schema.fields if f.name not in VIEW_COLS]
+    passthrough = [f.name for f in fields]
+    out_schema = StructType(fields + [StructField(c, t, True) for c, t in VIEW_COLS.items()])
+    out_cols = [f.name for f in out_schema.fields]
+
+    # feed existing view maps to the worker as JSON strings (see
+    # _parse_views_json for why), everything else as-is.
+    json_cols = {c: f"__{c}_json" for c in VIEW_COLS if c in df.columns}
+    udf_input = df.select(
+        *passthrough, *[F.to_json(F.col(c)).alias(alias) for c, alias in json_cols.items()]
+    )
+
+    def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # worker-side import: annotator "model load" happens once per
+        # worker process (module import), amortized over all batches.
+        from curatorhadoopinterface_spark.annotators.light import annotate_record
+
+        for pdf in batches:
+            n = len(pdf)
+            texts = pdf[text_col].tolist()
+            families = {
+                col: (pdf[alias].tolist() if alias in pdf.columns else [None] * n)
+                for col, alias in json_cols.items()
+            }
+            out_label, out_cluster, out_parse = [], [], []
+            for i in range(n):
+                views: dict = {}
+                for col in VIEW_COLS:
+                    if col in families:
+                        views.update(_parse_views_json(families[col][i], col))
+                annotate_record(texts[i], views, modes)
+                label, cluster, parse = {}, {}, {}
+                for vname, payload in views.items():
+                    vt = MODES[VIEW_TO_MODE[vname]].view_type
+                    if vt is ViewType.LABEL:
+                        label[vname] = payload
+                    elif vt is ViewType.CLUSTER:
+                        cluster[vname] = payload
+                    else:
+                        parse[vname] = payload
+                out_label.append(label)
+                out_cluster.append(cluster)
+                out_parse.append(parse)
+            res = pdf[passthrough].copy()
+            res["label_views"] = out_label
+            res["cluster_views"] = out_cluster
+            res["parse_views"] = out_parse
+            yield res[out_cols]
+
+    return udf_input.mapInPandas(annotate_batches, out_schema)
+
+
+def annotate(df: DataFrame, mode: str, text_col: str = "raw_text") -> DataFrame:
+    """Single-mode alias of :func:`provide` (A24 annotator dispatch)."""
+    return provide(df, mode, text_col=text_col)
