@@ -1,1 +1,225 @@
-"""placeholder — filled in subsequent milestones."""
+"""Deduplication operators for LLM-scale corpora (SURVEY.md section 2C
+LLM-pipeline rows; exact dedup lives in relational.py).
+
+- dedup_minhash: word-3-shingles -> 12 MinHashes -> 4 LSH bands ->
+  candidate pairs -> exact-Jaccard verify. The 100 TB shape: shingling
+  and signatures are one scan + one groupBy(doc); banding self-join
+  shuffles only (band_id, band_key) — candidates, not the corpus,
+  hit the pair verify.
+- dedup_simhash: 16-bit SimHash signatures from per-word md5 bits;
+  identical signatures = near-dup buckets.
+- dedup_ngram_jaccard: exact n-gram Jaccard on adjacent-id pairs
+  (the verify primitive in isolation).
+
+Determinism contract: every hash is md5 over an explicit string, and
+MinHash takes the lexicographic MIN of hex digests — reproducible in
+any engine, which is what makes these oracle-checkable (SURVEY.md
+hard part #3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+N_HASHES = 12
+BAND_SIZE = 3  # 4 bands of 3 rows; P(candidate) ~= 1-(1-J^3)^4
+VERIFY_J = 0.5
+
+# ---- shared shingle CTEs ---------------------------------------------------
+
+_SHINGLES_ORACLE = """
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    shingles AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingles per doc. Spark arrays are 0-based in
+    SQL-expr indexing; the oracle's DuckDB lists are 1-based — both
+    slide the same window. concat_ws drops out-of-range NULLs the same
+    way in both engines for the <3-word degenerate case."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+                    " i -> concat_ws(' ', split(text, ' ')[i],"
+                    " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+_MINHASH_AGG_ORACLE = ",\n".join(
+    f"               MIN(MD5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+)
+
+_BANDS_ORACLE = ", ".join(
+    "h{a} || h{b} || h{c}".format(a=3 * b, b=3 * b + 1, c=3 * b + 2)
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_ORACLE},
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id)
+    SELECT c.doc_a, c.doc_b,
+           LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+                 LEN(LIST_DISTINCT(sa.s || sb.s)) AS jaccard
+    FROM cands c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+          LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J}
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verify."""
+    sh = _shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_keys = F.array(
+        *[
+            F.concat(*[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    # LSH self-join: shuffle keyed by (band_id, band_key) — collisions
+    # only, never the full cross product.
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
+    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
+        F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    return (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= VERIFY_J)
+        # int/int division of identical ints is bit-identical across
+        # engines — no rounding needed (rounding could HALF_UP/HALF_EVEN
+        # diverge on power-of-two denominators)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_BIT_ORACLE = ",\n".join(
+    f"""           CASE WHEN SUM(CASE WHEN SUBSTR(MD5(word), {i + 1}, 1) >= '8'
+                         THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b{i}"""
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS word
+        FROM documents),
+    bits AS (
+        SELECT doc_id,
+{_SIMHASH_BIT_ORACLE}
+        FROM words GROUP BY doc_id)
+    SELECT doc_id, {' || '.join(f'b{i}' for i in range(_SIMHASH_BITS))} AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit j = sign of the sum over distinct
+    words of +-1 by the j-th hex digit of md5(word). Hex digit >= '8'
+    (lexicographic on the hex alphabet) = bit set; identical signatures
+    bucket near-duplicates at 100 TB without any pair join."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.substring(F.md5("word"), i + 1, 1) >= "8", 1).otherwise(-1)
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bits = words.groupBy("doc_id").agg(*bit_cols)
+    return bits.select(
+        "doc_id", F.concat(*[F.col(f"b{i}") for i in range(_SIMHASH_BITS)]).alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_ORACLE},
+    sets AS (SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+                 LEN(LIST_DISTINCT(a.s || b.s)) AS jaccard
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on adjacent-id pairs — the verify primitive
+    of dedup_minhash in isolation (O(n) pairs, no LSH)."""
+    sets = _shingles(spark, sf_dir).groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
+    a, b = sets.alias("a"), sets.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))) / F.size(
+        F.array_union(F.col("a.s"), F.col("b.s"))
+    )
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    )
