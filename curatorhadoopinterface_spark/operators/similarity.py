@@ -1,1 +1,303 @@
-"""placeholder — filled in subsequent milestones."""
+"""Embedding similarity search (SURVEY.md section 2C `sim_topk` row and the
+LLM-pipeline extension list: ANN over an ``array<float>`` column).
+
+Four query families over the ``embeddings`` table (64-dim float vectors):
+
+- sim_topk:           brute-force cosine top-k — the exactness baseline.
+  Query set is broadcast, so the big side never shuffles: at 100 TB this
+  is one scan with a map-side join, and the per-query top-k is a
+  partial-aggregated window (k rows per query per partition survive).
+- sim_lsh_topk:       sign-bit LSH — bucket = sign pattern of the first
+  8 dimensions (8 axis-aligned hyperplanes). Candidates share the
+  bucket, so the join is equi on bucket key: shuffle moves buckets,
+  not the cross product. The scale path for query sets too large to
+  broadcast.
+- sim_ivf_topk:       IVF with nprobe=1 — coarse centroids are the
+  per-``label`` mean vectors (the table's label column is the cluster
+  assignment); a query searches only its own partition. Centroid table
+  is tiny (one row per label) and broadcast both times it is used.
+- dedup_embed_cosine: near-duplicate pairs (cosine >= threshold) found
+  within LSH buckets — embedding-space analogue of dedup_minhash.
+
+Determinism contract (what makes these oracle-checkable): every dot
+product is a SEQUENTIAL left fold over the array after an exact
+float->double widening, identically ordered in Spark
+(``aggregate(zip_with(...))``) and DuckDB (``list_dot_product`` /
+``list_reduce``, both sequential loops); cosines are rounded to 6
+decimals IN the query before any ranking, and ranking ties break on
+vec_id — so rank order can never depend on sub-1e-6 float dust.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_BITS = 8  # sign of dims 0..7 -> 256 buckets
+NEARDUP_COS = 0.35  # calibrated to the synthetic fixture (real corpora: ~0.95+)
+
+
+def _dot(a: str, b: str):
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot("embedding", "embedding")))
+
+
+def _cosine(pref_a: str, pref_b: str):
+    return F.round(
+        _dot(f"{pref_a}.embedding", f"{pref_b}.embedding")
+        / (F.col(f"{pref_a}.norm") * F.col(f"{pref_b}.norm")),
+        6,
+    )
+
+
+# Oracle-side building blocks. list_dot_product on DOUBLE[] is the same
+# sequential multiply-add loop as the Spark fold (verified equal to the
+# explicit list_reduce fold); the cast FLOAT[] -> DOUBLE[] is exact.
+_O_BASE = """
+    base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings)
+"""
+
+
+def _o_cos(a: str, b: str) -> str:
+    return f"ROUND(list_dot_product({a}.e, {b}.e) / ({a}.norm * {b}.norm), 6)"
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    WITH {_O_BASE},
+    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_o_cos('q', 'c')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_o_cos('q', 'c')} DESC, c.vec_id) AS rk
+        FROM q JOIN base c ON c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set over one corpus
+    scan, window top-k per query. The exact-answer baseline every ANN
+    variant is measured against."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = base.filter(F.col("vec_id") < N_QUERIES)
+    joined = (
+        F.broadcast(q.select(F.col("vec_id").alias("query_id"), "embedding", "norm")).alias("q")
+        .join(base.alias("c"), F.col("c.vec_id") != F.col("q.query_id"))
+    )
+    scored = joined.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine("q", "c").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+# -- LSH: bucket key = sign bits of the first LSH_BITS dimensions ------------
+
+_SPARK_BUCKET = (
+    "concat_ws('', transform(slice(embedding, 1, " + str(LSH_BITS) + "),"
+    " x -> case when x >= cast(0 as float) then '1' else '0' end))"
+)
+_O_BUCKET = (
+    "LIST_AGGREGATE(LIST_TRANSFORM(embedding[1:" + str(LSH_BITS) + "],"
+    " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH {_O_BASE},
+    bucketed AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id)),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_o_cos('q', 'c')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_o_cos('q', 'c')} DESC, c.vec_id) AS rk
+        FROM q JOIN bucketed c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates must share the 8-hyperplane sign
+    bucket, making the join equi on the bucket key — a shuffle keyed by
+    256 buckets instead of a broadcast cross product. The variant that
+    scales when the query side is itself huge."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("embedding"),
+        F.col("norm"),
+    )
+    joined = q.alias("q").join(
+        base.alias("c"),
+        (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.vec_id") != F.col("q.query_id")),
+    )
+    scored = joined.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine("q", "c").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+# -- IVF (nprobe=1): coarse centroids = per-label mean vectors ---------------
+
+# Element-wise mean via index explode keeps summation order defined by
+# GROUP BY — so both engines must round (4 decimals) the centroid
+# coordinates to kill summation-order dust BEFORE the assignment dot
+# products.
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_O_BASE},
+    cent AS (
+        SELECT label,
+               LIST(ROUND(s, 4) ORDER BY i) AS ce
+        FROM (
+            SELECT label, i, SUM(e[i]) / COUNT(*) AS s
+            FROM base, UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+            GROUP BY label, i)
+        GROUP BY label),
+    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
+    assign AS (
+        SELECT q.vec_id, q.e, q.norm, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.e, c.ce), 6) DESC, c.label) AS rk
+        FROM q CROSS JOIN cent c),
+    probed AS (SELECT * FROM assign WHERE rk = 1),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(p.e, c.e) / (p.norm * c.norm), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY ROUND(list_dot_product(p.e, c.e) / (p.norm * c.norm), 6) DESC,
+                            c.vec_id) AS rk
+        FROM probed p JOIN base c
+          ON c.label = p.label AND c.vec_id <> p.vec_id)
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search, nprobe=1: assign each query to its nearest coarse
+    centroid (per-label mean vector), then search only that inverted
+    list. Centroids are one row per label — broadcast for assignment;
+    the list probe is an equi join on label. At 100 TB the corpus would
+    be PARTITIONED BY label so the probe prunes partitions at the scan."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # centroid = element-wise mean, rounded so summation order is moot
+    cent = (
+        base.select("label", F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("i", "v"))
+        .groupBy("label", "i")
+        .agg((F.sum("v") / F.count("*")).alias("s"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, s))), p -> round(p.s, 4))").alias("ce"))
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES)
+    qdot = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+    assign = (
+        q.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e"), "norm")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("qc", qdot)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("qc"), F.asc("label"))
+    probed = (
+        assign.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", "norm", "label")
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(p.e, transform(c.embedding, x -> cast(x as double)),"
+            " (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+        )
+        / (F.col("p.norm") * F.col("c.norm")),
+        6,
+    )
+    scored = (
+        F.broadcast(probed).alias("p")
+        .join(
+            base.alias("c"),
+            (F.col("c.label") == F.col("p.label")) & (F.col("c.vec_id") != F.col("p.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH {_O_BASE},
+    bucketed AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id))
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_o_cos('a', 'b')} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+    WHERE {_o_cos('a', 'b')} >= {NEARDUP_COS}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: LSH-bucketed candidate join
+    (equi on bucket, never all-pairs), exact cosine verify at the threshold."""
+    bucketed = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = _cosine("a", "b")
+    return (
+        a.join(
+            b,
+            (F.col("b.bucket") == F.col("a.bucket")) & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(cos >= NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+    )

@@ -1,1 +1,271 @@
-"""placeholder — filled in subsequent milestones."""
+"""Text-analysis operators for a training-data pipeline (SURVEY.md
+section 2C `text_stats` row + the LLM-pipeline extension list).
+
+- text_stats:       corpus profiling group-by (chars/words per lang+source).
+- text_langid:      stopword-profile language ID — score each document
+  against small per-language lexicons, argmax with deterministic
+  tie-break. Pure column arithmetic on a words array: one scan, one
+  narrow stage, no shuffle until the final compare.
+- text_quality:     Gopher-style quality signals (word count, mean word
+  length, stopword ratio, alpha ratio) folded into a keep/drop flag —
+  the filter stage of a 100 TB ingest, expressed so Catalyst can fuse
+  it into the scan.
+- text_token_count: whitespace tokens vs BPE-ish regex tokens
+  (letter-runs / digit-runs / other) aggregated per source.
+- text_fingerprint: winnowing-lite document fingerprint — the MIN md5
+  over word-5-gram hashes — and the duplicate-cluster sizes it induces.
+  groupBy(fingerprint) is the cheap first-pass clustering that feeds
+  the pairwise stages in dedup.py.
+
+Everything here is built-in-function column algebra (no UDFs): the hot
+path stays in whole-stage codegen and the same expressions re-run
+verbatim in DuckDB for the oracle check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+# Tiny per-language stopword profiles (public-knowledge closed classes).
+PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "con"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+EN_STOPWORDS = PROFILES["en"] + ("it", "for", "on", "with", "as", "at", "by")
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_arr(words: tuple[str, ...]):
+    return F.array(*[F.lit(w) for w in words])
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS total_words,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): the partial-aggregated group-by
+    that sizes a 100 TB corpus in one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(_words())).alias("total_words"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# -- language ID -------------------------------------------------------------
+
+_LANGS = sorted(PROFILES)  # deterministic candidate order
+
+
+def _langid_score_spark(lang: str):
+    return F.size(
+        F.filter(_words(), lambda w: F.array_contains(_spark_arr(PROFILES[lang]), w))
+    )
+
+
+_LANGID_SCORES_ORACLE = ",\n".join(
+    f"           LEN(LIST_FILTER(STRING_SPLIT(text, ' '),"
+    f" w -> LIST_CONTAINS({_sql_list(PROFILES[lang])}, w))) AS s_{lang}"
+    for lang in _LANGS
+)
+
+# argmax by (score DESC, lang ASC) via a single chained CASE
+_LANGID_PRED_ORACLE = "CASE " + " ".join(
+    f"WHEN {' AND '.join(f's_{lang} >= s_{other}' for other in _LANGS if other != lang)}"
+    f" THEN '{lang}'"
+    for lang in _LANGS
+) + " END"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+{_LANGID_SCORES_ORACLE}
+        FROM documents)
+    SELECT doc_id, lang AS actual_lang,
+           {_LANGID_PRED_ORACLE} AS pred_lang,
+           {' + '.join(f's_{lang}' for lang in _LANGS)} AS stopword_hits
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language hit counts over the
+    words array, argmax with lexicographic tie-break (the CASE chain
+    checks langs in sorted order, so the first max wins — identical
+    tie semantics in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[_langid_score_spark(lang).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    pred = None
+    for lang in _LANGS:
+        cond = None
+        for other in _LANGS:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        pred.alias("pred_lang"),
+        sum(F.col(f"s_{lang}") for lang in _LANGS).alias("stopword_hits"),
+    )
+
+
+# -- quality scoring ---------------------------------------------------------
+
+MIN_WORDS, MAX_WORDS = 10, 10000
+MIN_MWL, MAX_MWL = 2.0, 12.0
+MIN_STOP_RATIO = 0.0
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               ROUND(LEN(REPLACE(text, ' ', '')) * 1.0
+                     / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_word_len,
+               ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     w -> LIST_CONTAINS({_sql_list(EN_STOPWORDS)}, w))) * 1.0
+                     / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio,
+               ROUND(LEN(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / LEN(text), 4) AS alpha_ratio
+        FROM documents)
+    SELECT doc_id, n_words, mean_word_len, stopword_ratio, alpha_ratio,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+            AND mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL}
+            AND stopword_ratio >= {MIN_STOP_RATIO}) AS keep
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: length, mean word length, stopword
+    ratio, alphabetic ratio -> keep flag. All ratios rounded in-query
+    (both engines) so the boolean cutoffs can't flip on float dust."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_words())
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / n_words, 4).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.size(F.filter(_words(), lambda w: F.array_contains(_spark_arr(EN_STOPWORDS), w)))
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"), 4
+        ).alias("alpha_ratio"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MWL, MAX_MWL)
+        & (F.col("stopword_ratio") >= MIN_STOP_RATIO),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT source,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
+           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_tokens,
+           ROUND(SUM(LEN(text)) * 1.0 /
+                 SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))), 4)
+               AS chars_per_token
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens vs a BPE-ish
+    pre-tokenizer (letter runs | digit runs | single other char) —
+    the unit planners budget 100 TB corpora in. regexp_extract_all is
+    JVM-side; the whole query is one scan + one partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+    return d.groupBy("source").agg(
+        F.sum(F.size(_words())).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.round(F.sum(F.length("text")) / F.sum(bpe), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 1)),
+                   i -> MD5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4]))) AS gh
+        FROM words),
+    fp AS (SELECT doc_id, MIN(gh) AS fingerprint FROM grams GROUP BY doc_id)
+    SELECT fingerprint,
+           COUNT(*) AS cluster_size,
+           MIN(doc_id) AS representative_doc
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite fingerprint: MIN md5 over word-5-gram hashes per
+    document, then cluster sizes by fingerprint. The groupBy(fingerprint)
+    is an equality dedup pre-pass — at 100 TB it runs as one shuffle on a
+    16-byte key, no pairwise work."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)),"
+                " i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
+                " split(text, ' ')[i+2], split(text, ' ')[i+3], split(text, ' ')[i+4])))"
+            )
+        ).alias("gh"),
+    )
+    fp = grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("representative_doc"),
+    )
