@@ -23,13 +23,17 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 _MODULES = (
-    "relational",
-    "windows",
-    "scalars",
-    "spans",
-    "dedup",
-    "similarity",
-    "textstats",
+    "curatorhadoopinterface_spark.operators.relational",
+    "curatorhadoopinterface_spark.operators.windows",
+    "curatorhadoopinterface_spark.operators.scalars",
+    "curatorhadoopinterface_spark.operators.spans",
+    "curatorhadoopinterface_spark.operators.dedup",
+    "curatorhadoopinterface_spark.operators.similarity",
+    "curatorhadoopinterface_spark.operators.textstats",
+    "curatorhadoopinterface_spark.operators.udfs",
+    "curatorhadoopinterface_spark.operators.multimodal",
+    "curatorhadoopinterface_spark.operators.sources",
+    "curatorhadoopinterface_spark.streaming.ops",
 )
 
 
@@ -52,7 +56,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     for mod in _MODULES:
-        importlib.import_module(f"curatorhadoopinterface_spark.operators.{mod}")
+        importlib.import_module(mod)
 
 
 def all_queries() -> dict[str, QueryFn]:

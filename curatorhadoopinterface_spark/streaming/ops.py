@@ -1,0 +1,255 @@
+"""Streaming operators over the ``events`` table (SURVEY.md section 2C:
+stream_file_source, stream_window_agg, stream_session, stream_watermark,
+stream_dedup).
+
+Each declared query runs a REAL Structured Streaming job — file source →
+transformations → memory sink, `Trigger.AvailableNow` — inside the
+callable, then returns the sink contents as a DataFrame. That keeps the
+driver contract (callable returns a collectable DataFrame) while the
+computation itself exercises the streaming engine: micro-batch planning,
+state store, watermark advancement, and the closing no-data batch that
+flushes append-mode results.
+
+Oracle-checkability rests on semantics that are exactly reproducible in
+batch SQL:
+
+- tumbling window  = ``date_trunc`` group-by;
+- sliding window   = each event belongs to exactly window/slide buckets
+  (UNNEST of the candidate window starts);
+- session window   = gaps-and-islands (LAG + running sum of gap>30min
+  flags), session end = last event + gap — Spark's session_window end
+  semantics (SessionWindow docs);
+- watermark/append = only windows with ``window.end <= max(ts) - delay``
+  have been closed by the final watermark when the stream drains;
+- stateful dedup   = first-arrival per key, projected onto the key
+  columns so the surviving row set is order-independent (DISTINCT).
+
+Reference analogues: the dedup is the content-hash memoization of
+CuratorHandler.getRecord (modified_files_in_curator/.../CuratorHandler.java:468-527);
+the file source is the JobHandler "new batch of documents arrives" loop
+(src/.../infrastructure/JobHandler.java:149-194) made continuous.
+
+Scale notes (100 TB): the file source lists incrementally and carries
+per-file offsets in the checkpoint — at production scale the same plans
+run against a real directory of arriving parquet with
+``maxFilesPerTrigger`` bounding batch size. State (window aggs, dedup
+keys) is partitioned by grouping key across executors via the HDFS/ROCKSDB
+state store; watermarking bounds state growth for append mode and
+``dropDuplicatesWithinWatermark`` evicts dedup keys older than the delay.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from curatorhadoopinterface_spark.operators import query
+
+_SINK_IDS = itertools.count()
+
+GAP = "30 minutes"
+DELAY = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (stream_file_source core).
+
+    The schema comes from a batch peek (streaming file sources require an
+    explicit schema); TIMESTAMP(NANOS) arrives as long under
+    ``nanosAsLong`` and is truncated to microsecond timestamps exactly
+    like session.load_table, so streaming and batch plans agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def run_to_sink(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
+    """Drain a streaming DataFrame through a memory sink with
+    Trigger.AvailableNow and return the materialized result.
+
+    AvailableNow processes every file already present, then runs the
+    final no-data micro-batch that advances the watermark past the last
+    event — which is what flushes closed windows / expires dedup state in
+    append mode before the query stops.
+    """
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_file_source",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'click' AND value > 10
+    """,
+)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source ingestion with a pushed filter: the streaming analogue
+    of A1/A3 (DirectoryInputFormat.java:33-65 / JobHandler.java:149-194).
+    Append mode — every matching row flows through exactly once."""
+    src = events_stream(spark, sf_dir)
+    out = src.filter((F.col("event_type") == "click") & (F.col("value") > 10)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return run_to_sink(out, "append")
+
+
+@query(
+    "stream_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY win_start, event_type
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation, complete mode. State is
+    partitioned by (window, event_type); partial aggregation happens
+    map-side per micro-batch before the state-store merge."""
+    src = events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    out = agg.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "total"
+    )
+    return run_to_sink(out, "complete")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH cand AS (
+        SELECT value,
+               UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                   AS win_start
+        FROM events)
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM cand GROUP BY win_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): each event lands in
+    exactly window/slide = 2 windows. The oracle enumerates the two
+    candidate starts per event explicitly — same multiset, same totals."""
+    src = events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    out = agg.select(F.col("win.start").alias("win_start"), "n", "total")
+    return run_to_sink(out, "complete")
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL {GAP}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {GAP} AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user: Spark merges
+    overlapping per-event candidate sessions in the state store; the
+    batch oracle derives identical islands with LAG + running sum.
+    Session end = last event + gap (session_window semantics)."""
+    src = events_stream(spark, sf_dir)
+    sess = (
+        src.withWatermark("ts", DELAY)
+        .groupBy(F.session_window("ts", GAP).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = sess.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+    return run_to_sink(out, "complete")
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL {DELAY} AS w FROM events)
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events
+    GROUP BY win_start, event_type
+    HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode window agg: only windows the final
+    watermark (max event time - 1 hour) has closed are emitted; the last
+    hour of open windows stays in state. This is the late-data contract —
+    events later than the delay would be dropped, closed results are
+    final. The oracle replays the same eviction rule in batch."""
+    src = events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    out = agg.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "total"
+    )
+    return run_to_sink(out, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): the streaming
+    form of the reference's content-hash memoization (first arrival wins,
+    CuratorHandler.java:468-527). Projected onto the key columns the
+    kept-row set is exactly DISTINCT, independent of arrival order.
+    Watermarked so key state is evictable at scale."""
+    src = events_stream(spark, sf_dir)
+    out = (
+        src.withWatermark("ts", DELAY)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_sink(out, "append")
