@@ -105,12 +105,18 @@ _BANDS_ORACLE = ", ".join(
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verify."""
     sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
+    # ONE aggregation produces both the 12 MinHashes and the shingle set:
+    # one scan + one shuffle on doc_id, and the three downstream readers
+    # (bands, verify-left, verify-right) hit the same exchange, which
+    # Spark reuses (ReusedExchange) instead of recomputing the corpus.
+    doc_agg = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
             for i in range(N_HASHES)
-        ]
+        ],
+        F.collect_list("shingle").alias("s"),
     )
+    sigs = doc_agg
     n_bands = N_HASHES // BAND_SIZE
     band_keys = F.array(
         *[
@@ -134,7 +140,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
+    sets = doc_agg.select("doc_id", "s")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
     )

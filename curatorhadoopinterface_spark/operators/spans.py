@@ -259,3 +259,52 @@ def annotate_ner_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.start").alias("span_start"),
         F.col("s.ending").alias("span_end"),
     )
+
+
+@query(
+    "annotate_pipeline",
+    oracle=f"""
+    WITH {_RE_TOKS_CTE},
+    per_tok AS (SELECT doc_id, COUNT(*) AS n_tokens FROM retoks GROUP BY doc_id),
+    {_WS_TOKS_CTE},
+    matched AS (
+        SELECT doc_id, token_idx,
+               CASE LOWER(token)
+                 WHEN 'spark' THEN 'TECH' WHEN 'hadoop' THEN 'TECH'
+                 WHEN 'hash' THEN 'TECH' WHEN 'vector' THEN 'TECH'
+                 WHEN 'customer' THEN 'ROLE' WHEN 'supplier' THEN 'ROLE'
+                 WHEN 'lorem' THEN 'MISC' WHEN 'ipsum' THEN 'MISC'
+               END AS label
+        FROM offs),
+    islands AS (
+        SELECT doc_id, label,
+               token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, label ORDER BY token_idx) AS grp
+        FROM matched WHERE label IS NOT NULL),
+    ner AS (
+        SELECT doc_id, COUNT(*) AS n_ner
+        FROM (SELECT DISTINCT doc_id, label, grp FROM islands)
+        GROUP BY doc_id)
+    SELECT p.doc_id, p.n_tokens, p.n_tokens AS n_pos,
+           COALESCE(n.n_ner, 0) AS n_ner
+    FROM per_tok p LEFT JOIN ner n ON n.doc_id = p.doc_id
+    """,
+)
+def annotate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship annotation pipeline end-to-end: TOKEN -> POS -> NER
+    through the real pandas-UDF annotators (plans/provide.py walks the
+    dependency DAG, AnnotationMode.java:186-238), summarized per document.
+
+    This is the engine twin of the reference's whole reason to exist —
+    JobHandler's chained MapReduce jobs (JobHandler.java:149-194)
+    collapsed into ONE Catalyst plan with a single Arrow UDF stage (the
+    modes fuse, the A10 stage-fusion analogue), measured in bench.py as
+    annotation throughput. The oracle recomputes every count from the
+    annotator rules in SQL."""
+    ann = _annotated_corpus(spark, sf_dir, ["POS", "NER"])
+    return ann.select(
+        "doc_id",
+        F.size(F.col("label_views")["tokens"]["labels"]).alias("n_tokens"),
+        F.size(F.col("label_views")["pos"]["labels"]).alias("n_pos"),
+        F.size(F.col("label_views")["ner"]["labels"]).alias("n_ner"),
+    )
