@@ -308,3 +308,228 @@ def annotate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("label_views")["pos"]["labels"]).alias("n_pos"),
         F.size(F.col("label_views")["ner"]["labels"]).alias("n_ner"),
     )
+
+
+# ordinal regex-token tags (no char offsets needed): the CHUNK/SRL rules
+# only depend on token ORDER, which SQL reproduces exactly
+_ORD_TAGS_CTE = f"""
+    retoks_ord AS (
+        SELECT doc_id,
+               UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token,
+               GENERATE_SUBSCRIPTS(
+                   REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'), 1) AS token_idx
+        FROM documents),
+    tagged AS (
+        SELECT doc_id, token_idx, token, {_POS_CASE} AS tag
+        FROM retoks_ord),
+    kinds AS (
+        SELECT doc_id, token_idx,
+               CASE WHEN tag IN ('DT','CD','NN','NNS','NNP') THEN 'NP'
+                    WHEN tag IN ('VB','VBD','VBG','RB') THEN 'VP' END AS kind
+        FROM tagged),
+    runs AS (
+        SELECT doc_id, kind, token_idx,
+               token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, kind ORDER BY token_idx) AS grp
+        FROM kinds WHERE kind IS NOT NULL)
+"""
+
+
+@query(
+    "annotate_chunk_spans",
+    oracle=f"""
+    WITH {_ORD_TAGS_CTE}
+    SELECT doc_id, kind AS label, COUNT(DISTINCT grp) AS n_chunks
+    FROM runs GROUP BY doc_id, kind
+    """,
+)
+def annotate_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK through the UDF pipeline (TOKEN->POS->CHUNK closure,
+    AnnotationMode.java:193-196): maximal same-kind tag runs become one
+    NP/VP span (the BIO-merge shape, chunk_spans in annotators/light).
+    The oracle rebuilds the runs with gaps-and-islands over the ordinal
+    tag sequence — chunking depends on token order alone."""
+    ann = _annotated_corpus(spark, sf_dir, "CHUNK")
+    spans = ann.select(
+        "doc_id", F.explode(F.col("label_views")["chunk"]["labels"]).alias("s")
+    )
+    return spans.groupBy("doc_id", F.col("s.label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+
+
+# NER islands with their lowercase surfaces (ws-token adjacency == char
+# adjacency on the single-spaced fixture text, as in annotate_ner_spans)
+_NER_MENTIONS_CTE = f"""
+    {_WS_TOKS_CTE},
+    matched AS (
+        SELECT doc_id, token_idx, token,
+               CASE LOWER(token)
+                 WHEN 'spark' THEN 'TECH' WHEN 'hadoop' THEN 'TECH'
+                 WHEN 'hash' THEN 'TECH' WHEN 'vector' THEN 'TECH'
+                 WHEN 'customer' THEN 'ROLE' WHEN 'supplier' THEN 'ROLE'
+                 WHEN 'lorem' THEN 'MISC' WHEN 'ipsum' THEN 'MISC'
+               END AS label
+        FROM offs),
+    islands AS (
+        SELECT doc_id, token_idx, token, label,
+               token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, label ORDER BY token_idx) AS grp
+        FROM matched WHERE label IS NOT NULL),
+    mentions AS (
+        SELECT doc_id, label,
+               STRING_AGG(LOWER(token), ' ' ORDER BY token_idx) AS mention
+        FROM islands GROUP BY doc_id, label, grp)
+"""
+
+
+@query(
+    "annotate_coref_clusters",
+    oracle=f"""
+    WITH {_NER_MENTIONS_CTE}
+    SELECT doc_id, mention, COUNT(*) AS n_mentions
+    FROM mentions GROUP BY doc_id, mention
+    """,
+)
+def annotate_coref_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREF (Clustering view): mentions with identical lowercase surface
+    form cluster per document (IllinoisCorefHandler.java:120-197 shape,
+    TOKEN/POS/NER closure per AnnotationMode.java:197-201). One row per
+    cluster: its surface key and mention count. The cross-document
+    variant (MultiRecord, cluster.thrift:30) is the same computation
+    grouped by corpus instead of doc_id."""
+    ann = _annotated_corpus(spark, sf_dir, "COREF")
+    clusters = ann.select(
+        "doc_id", F.explode(F.col("cluster_views")["coref"]["clusters"]).alias("c")
+    )
+    return clusters.select(
+        "doc_id",
+        F.col("c.labels")[0]["label"].alias("mention"),
+        F.size(F.col("c.labels")).alias("n_mentions"),
+    )
+
+
+@query(
+    "annotate_wiki_urls",
+    oracle=f"""
+    WITH {_NER_MENTIONS_CTE}
+    SELECT doc_id, label,
+           'https://en.wikipedia.org/wiki/' ||
+           LIST_AGGREGATE(
+               LIST_TRANSFORM(STRING_SPLIT(mention, ' '),
+                              w -> UPPER(w[1]) || w[2:]),
+               'string_agg', '_') AS url
+    FROM mentions
+    """,
+)
+def annotate_wiki_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIKI: one wikified span per NER span carrying an attributes map
+    (CuratorClient.java:1167-1175 reads these attributes; deps
+    TOKEN/POS/CHUNK/NER per AnnotationMode.java:229-234). Exercises
+    Span.attributes end-to-end: the UDF writes the map, the query reads
+    it back out of the nested column."""
+    ann = _annotated_corpus(spark, sf_dir, "WIKI")
+    spans = ann.select(
+        "doc_id", F.explode(F.col("label_views")["wikifier"]["labels"]).alias("s")
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s.label").alias("label"),
+        F.col("s.attributes")["url"].alias("url"),
+    )
+
+
+@query(
+    "annotate_srl_args",
+    oracle=f"""
+    WITH {_ORD_TAGS_CTE},
+    np_runs AS (
+        SELECT doc_id, grp, MIN(token_idx) AS lo, MAX(token_idx) AS hi
+        FROM runs WHERE kind = 'NP' GROUP BY doc_id, grp),
+    preds AS (
+        SELECT doc_id, token_idx FROM tagged WHERE tag IN ('VB','VBD','VBG')),
+    per_pred AS (
+        SELECT p.doc_id, p.token_idx,
+               MAX(CASE WHEN r.hi < p.token_idx THEN 1 ELSE 0 END) AS has0,
+               MAX(CASE WHEN r.lo > p.token_idx THEN 1 ELSE 0 END) AS has1
+        FROM preds p LEFT JOIN np_runs r ON r.doc_id = p.doc_id
+        GROUP BY p.doc_id, p.token_idx),
+    verb AS (
+        SELECT doc_id, COUNT(*) AS n_predicates,
+               SUM(has0) AS n_arg0, SUM(has1) AS n_arg1
+        FROM per_pred GROUP BY doc_id),
+    nom AS (
+        SELECT doc_id, COUNT(*) AS n_nom_predicates
+        FROM tagged WHERE tag = 'NNS' GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(v.n_predicates, 0) AS n_predicates,
+           COALESCE(v.n_arg0, 0) AS n_arg0,
+           COALESCE(v.n_arg1, 0) AS n_arg1,
+           COALESCE(n.n_nom_predicates, 0) AS n_nom_predicates
+    FROM documents d
+    LEFT JOIN verb v ON v.doc_id = d.doc_id
+    LEFT JOIN nom n ON n.doc_id = d.doc_id
+    """,
+)
+def annotate_srl_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERB_SRL + NOM_SRL (Forest views): one tree per predicate, ARG0 =
+    nearest NP chunk left, ARG1 = nearest NP right (srl_forest rules;
+    dep closure TOKEN/POS/CHUNK per AnnotationMode.java:223-228).
+    Column expressions walk the Forest entirely JVM-side (exists/filter
+    lambdas over the nested tree arrays — no second UDF pass)."""
+    ann = _annotated_corpus(spark, sf_dir, ["VERB_SRL", "NOM_SRL"])
+    trees = F.col("parse_views")["srl"]["trees"]
+    has = lambda arg: F.size(  # noqa: E731
+        F.filter(trees, lambda t: F.exists(t["nodes"], lambda n: n["label"] == arg))
+    )
+    return ann.select(
+        "doc_id",
+        F.size(trees).alias("n_predicates"),
+        has("ARG0").alias("n_arg0"),
+        has("ARG1").alias("n_arg1"),
+        F.size(F.col("parse_views")["nom"]["trees"]).alias("n_nom_predicates"),
+    )
+
+
+@query(
+    "annotate_parse_shape",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+(\\s+|$)'))
+               + CASE WHEN TRIM(REGEXP_REPLACE(text, '^.*[.!?]+(\\s+|$)', '', 's'))
+                           <> '' THEN 1 ELSE 0 END AS n_sents,
+               LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_toks
+        FROM documents)
+    SELECT doc_id,
+           n_sents AS n_trees,
+           n_sents + n_toks AS n_nodes,
+           n_toks - n_sents AS n_dep_edges
+    FROM s
+    """,
+)
+def annotate_parse_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARSE + STANFORD_PARSE (Forest views, one tree per sentence;
+    multiparser emits stanfordParse AND stanfordDep from one call,
+    CuratorReducer.java:882-889): tree/node/edge counts per document,
+    read by JVM-side lambda folds over the nested forests. Every
+    sentence's terminator run is itself a token, so node and edge
+    counts close over sentence+token counts exactly."""
+    ann = _annotated_corpus(spark, sf_dir, ["STANFORD_PARSE", "PARSE"])
+    charniak = F.col("parse_views")["charniak"]["trees"]
+    dep = F.col("parse_views")["stanfordDep"]["trees"]
+    n_nodes = F.aggregate(
+        charniak, F.lit(0), lambda acc, t: acc + F.size(t["nodes"])
+    )
+    n_edges = F.aggregate(
+        dep,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(F.size(t["nodes"]) - 1, F.lit(0)),
+    )
+    return ann.select(
+        "doc_id",
+        F.size(charniak).alias("n_trees"),
+        n_nodes.alias("n_nodes"),
+        n_edges.alias("n_dep_edges"),
+    )
