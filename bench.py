@@ -32,12 +32,16 @@ HEADLINE = [
     "math_funcs",
 ]
 
-# extensions appended as they land (dedup/similarity/text analysis)
+# extensions appended as they land (dedup/similarity/text analysis/
+# streaming/UDF surface/multimodal)
 OPTIONAL = [
     "dedup_minhash",
     "sim_topk",
     "text_stats",
     "annotate_pipeline",
+    "stream_window_agg",
+    "udtf_explode",
+    "mm_decode_features",
 ]
 
 

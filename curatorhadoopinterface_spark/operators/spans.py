@@ -533,3 +533,59 @@ def annotate_parse_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes.alias("n_nodes"),
         n_edges.alias("n_dep_edges"),
     )
+
+
+@query(
+    "annotate_crossdoc_coref",
+    oracle=f"""
+    WITH {_NER_MENTIONS_CTE}
+    SELECT d.source, m.mention,
+           COUNT(*) AS n_mentions,
+           COUNT(DISTINCT m.doc_id) AS n_docs
+    FROM mentions m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.source, m.mention
+    """,
+)
+def annotate_crossdoc_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document coreference — the reference's ONLY multi-document
+    operation (MultiRecord, curator.thrift:46-53; clusterRecords over a
+    list of Records, cluster.thrift:30). Spark shape: project each doc
+    down to its mention rows FIRST (never ship whole records into the
+    grouped-map), then groupBy(corpus_key).applyInPandas builds the
+    cross-doc clusters per corpus in Python — the MultiRecord unit is a
+    pandas frame. At 100 TB the pre-projection is what keeps a corpus
+    group bounded: mentions, not documents, cross the shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    ann = _annotated_corpus(spark, sf_dir, "NER")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mentions = (
+        ann.select(
+            "doc_id",
+            "raw_text",
+            F.explode(F.col("label_views")["ner"]["labels"]).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.lower(
+                F.expr("substring(raw_text, s.start + 1, s.ending - s.start)")
+            ).alias("mention"),
+        )
+        .join(docs, "doc_id")
+    )
+
+    out_schema = StructType.fromDDL(
+        "source string, mention string, n_mentions bigint, n_docs bigint"
+    )
+
+    def cluster_corpus(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the MultiRecord: every mention of one corpus in one frame
+        g = pdf.groupby("mention").agg(
+            n_mentions=("doc_id", "size"), n_docs=("doc_id", "nunique")
+        )
+        out = g.reset_index()
+        out.insert(0, "source", pdf["source"].iloc[0])
+        return out
+
+    return mentions.groupBy("source").applyInPandas(cluster_corpus, out_schema)
