@@ -1,0 +1,137 @@
+"""Engine CLI (A31: the reference's two arg parsers,
+src/.../infrastructure/ArgumentParser.java:27-113 and
+CuratorClientArgParser.java:15-49, as one argparse surface).
+
+    python -m curatorhadoopinterface_spark annotate --input DIR --output DIR --mode NER
+    python -m curatorhadoopinterface_spark verify  --input DIR --mode POS NER
+    python -m curatorhadoopinterface_spark queries
+
+Mode names are fuzzy like the reference's (AnnotationMode.java:29-73):
+case-insensitive, unique-prefix, and common aliases resolve
+("ner", "tokenizer", "stanford" all work).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from curatorhadoopinterface_spark.plans.registry import MODES
+
+ALIASES = {
+    "TOKENIZER": "TOKEN",
+    "TOKENS": "TOKEN",
+    "SENTENCES": "SENTENCE",
+    "SSPLIT": "SENTENCE",
+    "CHUNKER": "CHUNK",
+    "NOMINAL_SRL": "NOM_SRL",
+    "VERBAL_SRL": "VERB_SRL",
+    "SRL": "VERB_SRL",
+    "STANFORD": "STANFORD_PARSE",
+    "CHARNIAK": "PARSE",
+    "WIKIFIER": "WIKI",
+    "COREFERENCE": "COREF",
+}
+
+
+def resolve_mode(raw: str) -> str:
+    """Fuzzy mode resolution (AnnotationMode.java:29-73 semantics)."""
+    up = raw.strip().upper().replace("-", "_").replace(" ", "_")
+    if up in MODES:
+        return up
+    if up in ALIASES:
+        return ALIASES[up]
+    prefix = [m for m in MODES if m.startswith(up)]
+    if len(prefix) == 1:
+        return prefix[0]
+    raise SystemExit(
+        f"unknown annotation mode {raw!r}; valid: {', '.join(sorted(MODES))}"
+    )
+
+
+def cmd_annotate(args: argparse.Namespace) -> None:
+    from curatorhadoopinterface_spark.io import read_text_corpus
+    from curatorhadoopinterface_spark.plans.provide import provide
+    from curatorhadoopinterface_spark.session import get_spark
+
+    spark = get_spark("cli-annotate")
+    modes = [resolve_mode(m) for m in args.mode]
+    if args.format == "text":
+        df = read_text_corpus(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.store:
+        from curatorhadoopinterface_spark.plans.incremental import RecordStore
+
+        store = RecordStore(spark, args.store)
+        out = store.provide_incremental(df, modes)
+    else:
+        out = provide(df, modes, best_effort=args.best_effort)
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    n = out.count()
+    errs = (
+        out.filter(out["annotation_error"].isNotNull()).count()
+        if "annotation_error" in out.columns
+        else 0
+    )
+    print(f"annotated {n} records -> {args.output or args.store} ({errs} errors)")
+
+
+def cmd_verify(args: argparse.Namespace) -> None:
+    from curatorhadoopinterface_spark.plans.verify import verify_records
+    from curatorhadoopinterface_spark.session import get_spark
+
+    spark = get_spark("cli-verify")
+    modes = [resolve_mode(m) for m in args.mode]
+    df = spark.read.parquet(args.input)
+    report = verify_records(df, modes)
+    bad = report.filter(~report["ok"]).count()
+    total = report.count()
+    print(f"verified {total} records: {total - bad} ok, {bad} mismatched")
+    sys.exit(1 if bad else 0)
+
+
+def cmd_queries(_: argparse.Namespace) -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in sorted(qs):
+        kind = "oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{kind}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="curatorhadoopinterface_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("annotate", help="annotate a corpus (A24/A7)")
+    pa.add_argument("--input", required=True, help="corpus dir (text files or parquet)")
+    pa.add_argument("--output", default=None, help="output parquet dir")
+    pa.add_argument("--mode", nargs="+", required=True, help="annotation mode(s)")
+    pa.add_argument("--format", choices=("text", "parquet"), default="text")
+    pa.add_argument(
+        "--best-effort",
+        action="store_true",
+        help="carry per-doc failures in annotation_error instead of failing",
+    )
+    pa.add_argument("--store", default=None, help="record-store dir (incremental A21)")
+    pa.set_defaults(fn=cmd_annotate)
+
+    pv = sub.add_parser("verify", help="re-annotate + compare every view (A19)")
+    pv.add_argument("--input", required=True, help="annotated parquet dir")
+    pv.add_argument("--mode", nargs="+", required=True)
+    pv.set_defaults(fn=cmd_verify)
+
+    pq = sub.add_parser("queries", help="list declared queries")
+    pq.set_defaults(fn=cmd_queries)
+
+    args = p.parse_args(argv)
+    if args.cmd == "annotate" and not args.output and not args.store:
+        p.error("annotate requires --output or --store")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

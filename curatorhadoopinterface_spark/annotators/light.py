@@ -290,8 +290,18 @@ def annotate_record(text: str, views: dict, modes: list[str]) -> dict:
     provide-with-requirements loop, CuratorHandler.java:1029-1052).
 
     ``views`` maps view name -> payload; mutated in place and returned.
+    Missing requirements are computed first (the recursive-provide
+    semantics of CuratorHandler.provide, :1036-1045) — callers may
+    request any mode without pre-expanding its dependency closure.
     """
-    from curatorhadoopinterface_spark.plans.registry import MODES
+    from curatorhadoopinterface_spark.plans.registry import MODES, dependency_closure
+
+    expanded: list[str] = []
+    for m in modes:
+        for dep in dependency_closure(m):
+            if dep not in expanded:
+                expanded.append(dep)
+    modes = expanded
 
     def lab(view: str) -> list[dict]:
         return views[view]["labels"]

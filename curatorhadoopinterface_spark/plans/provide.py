@@ -71,9 +71,23 @@ def _parse_views_json(raw: str | None, family: str) -> dict:
     return views
 
 
-def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") -> DataFrame:
+def provide(
+    df: DataFrame,
+    target: str | list[str],
+    text_col: str = "raw_text",
+    best_effort: bool = False,
+) -> DataFrame:
     """Ensure the view(s) for ``target`` mode(s) (and every dependency)
-    exist on each record; compute only what's missing, per row."""
+    exist on each record; compute only what's missing, per row.
+
+    ``best_effort=True`` is the reference's failure budget
+    (CuratorJob.java:280-285 tolerates <=40% reduce-task failures in
+    shared mode) done right: a document whose annotation raises keeps
+    its input views untouched and carries the error in an
+    ``annotation_error`` column instead of failing the task — the 100 TB
+    policy, where one malformed document must not kill a stage. Strict
+    mode (default) propagates the exception so tests fail loud.
+    """
     import pyspark.sql.functions as F
 
     targets = [target] if isinstance(target, str) else list(target)
@@ -97,6 +111,7 @@ def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") 
             StructField("__cluster_views_json", StringType(), True),
             StructField("parse_views", VIEW_COLS["parse_views"], True),
         ]
+        + ([StructField("annotation_error", StringType(), True)] if best_effort else [])
     )
     out_cols = [f.name for f in out_schema.fields]
 
@@ -129,13 +144,20 @@ def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") 
                 col: (pdf[alias].tolist() if alias in pdf.columns else [None] * n)
                 for col, alias in json_cols.items()
             }
-            out_label, out_cluster, out_parse = [], [], []
+            out_label, out_cluster, out_parse, out_err = [], [], [], []
             for i in range(n):
                 views: dict = {}
                 for col in VIEW_COLS:
                     if col in families:
                         views.update(_parse_views_json(families[col][i], col))
-                annotate_record(texts[i], views, modes)
+                if best_effort:
+                    try:
+                        annotate_record(texts[i], views, modes)
+                        out_err.append(None)
+                    except Exception as exc:  # noqa: BLE001 - budget policy
+                        out_err.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    annotate_record(texts[i], views, modes)
                 label, cluster, parse = {}, {}, {}
                 for vname, payload in views.items():
                     vt = MODES[VIEW_TO_MODE[vname]].view_type
@@ -154,6 +176,8 @@ def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") 
             res["__label_views_json"] = out_label
             res["__cluster_views_json"] = out_cluster
             res["parse_views"] = out_parse
+            if best_effort:
+                res["annotation_error"] = out_err
             yield res[out_cols]
 
     annotated = udf_input.mapInPandas(annotate_batches, out_schema)
@@ -164,6 +188,7 @@ def provide(df: DataFrame, target: str | list[str], text_col: str = "raw_text") 
             "cluster_views"
         ),
         "parse_views",
+        *(["annotation_error"] if best_effort else []),
     )
 
 
