@@ -33,6 +33,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.udfs",
     "curatorhadoopinterface_spark.operators.multimodal",
     "curatorhadoopinterface_spark.operators.sources",
+    "curatorhadoopinterface_spark.operators.incremental_q",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

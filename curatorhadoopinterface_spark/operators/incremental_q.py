@@ -1,0 +1,115 @@
+"""Declared queries over the incremental layer (SURVEY.md A18-A23 —
+the reference's most distinctive semantics).
+
+``incremental_staleness`` drives the REAL engine expressions
+(plans/incremental.stale_views_col + remove_stale_views) end-to-end:
+annotate a corpus, perturb view versions deterministically, then let the
+version-compare (CuratorHandler.updateRequired, :816-896) and cascading
+invalidation (cascadeRemoveStaleFields, :600-644) decide what survives.
+The oracle restates the DAG's answer independently:
+
+- doc_id%4==0: tokens downgraded to 0.9 -> stale; POS requires TOKEN
+  (AnnotationMode.java:214-216), so the cascade drops pos too; ner
+  survives (NER requires nothing, :202-204).
+- doc_id%4==1: all fresh -> nothing drops.
+- doc_id%4==2: ner downgraded -> ner drops; its dependents (COREF,
+  WIKI) are not present, so nothing cascades.
+- doc_id%4==3: pos downgraded -> pos drops; its dependents (CHUNK,
+  COREF, WIKI, SRL) are not present.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+
+@query(
+    "incremental_staleness",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN ['tokens'] WHEN 2 THEN ['ner']
+                           WHEN 3 THEN ['pos'] ELSE [] END AS stale_views,
+           CASE doc_id % 4 WHEN 0 THEN ['ner']
+                           WHEN 1 THEN ['ner', 'pos', 'tokens']
+                           WHEN 2 THEN ['pos', 'tokens']
+                           ELSE ['ner', 'tokens'] END AS views_after,
+           CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END
+               AS n_views_after
+    FROM documents
+    """,
+)
+def incremental_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version staleness + cascading invalidation on real annotated
+    records: downgrade one view's source version per doc (mod-4
+    pattern), run the engine's stale/cascade column expressions, report
+    what survived. All JVM-side map_filter/transform algebra over the
+    nested view maps — no Python round-trip, so at 100 TB invalidation
+    is a metadata-speed scan."""
+    from curatorhadoopinterface_spark.plans.incremental import (
+        remove_stale_views,
+        stale_views_col,
+        view_count_col,
+    )
+    from curatorhadoopinterface_spark.plans.provide import provide
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("raw_text")
+    )
+    ann = provide(d, ["POS", "NER"])
+
+    def downgraded(k, v):
+        m = F.col("doc_id") % 4
+        new_src = (
+            F.when((m == 0) & (k == "tokens"), F.lit("enginetok-0.9"))
+            .when((m == 2) & (k == "ner"), F.lit("enginener-0.5"))
+            .when((m == 3) & (k == "pos"), F.lit("enginepos-0.2"))
+            .otherwise(v.getField("source"))
+        )
+        return v.withField("source", new_src)
+
+    perturbed = ann.withColumn(
+        "label_views", F.transform_values("label_views", downgraded)
+    )
+    cleaned = remove_stale_views(
+        perturbed.withColumn(
+            "stale_views", F.array_sort(stale_views_col(perturbed))
+        )
+    )
+    return cleaned.select(
+        "doc_id",
+        "stale_views",
+        F.array_sort(F.map_keys("label_views")).alias("views_after"),
+        view_count_col(cleaned.drop("parse_views", "cluster_views")).alias(
+            "n_views_after"
+        ),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew treatment for keys
+    too hot even for AQE's skew-join splitting (SCALE.md playbook row 1).
+    Phase 1 shuffles on (key, salt16) so one hot key spreads over 16
+    reducers; phase 2 merges the 16 partials per key. Same answer as the
+    plain group-by (the oracle), ~16x the parallelism on a hot key. The
+    salt must be deterministic row data (here event_id % 16), never
+    rand(): retries/speculation would double-count otherwise."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "__salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 4).alias("total")
+    )
