@@ -48,26 +48,48 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     slide the same window. concat_ws drops out-of-range NULLs the same
     way in both engines for the <3-word degenerate case."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # shingling is CPU-bound column work: spread a few-split scan over
+    # the cores (same 1-partition trap as provide(); no-op at scale
+    # where file splits >> cores)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    # materialize the words array ONCE per row — inlining split(text)
+    # into every element access makes codegen re-split per gram term
+    return d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
-                    " i -> concat_ws(' ', split(text, ' ')[i],"
-                    " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                    "transform(sequence(0, greatest(size(w) - 3, 0)),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
                 )
             )
         ).alias("shingle"),
     )
 
 
+# ONE md5 per shingle, then 12 affine permutations h_i = (a_i*v + b_i) % P
+# over its first 28 bits (the classic minhash family) — 12x less hashing
+# than hashing per permutation, and the arithmetic replays bit-identically
+# in DuckDB (CAST('0x..' AS BIGINT) == Spark conv(hex,16,10)): a_i < 2^20
+# and v < 2^28 keep every product < 2^48, far from bigint overflow.
+MINHASH_P = 1_000_000_007
+MINHASH_A = (100003, 100019, 100043, 100057, 100069, 100103,
+             100109, 100129, 100151, 100153, 100169, 100183)
+MINHASH_B = (15731, 789221, 1376312589, 69069, 362437, 521288629,
+             88675123, 5783321, 6543217, 96337, 71993, 915170213)
+
+_MINHASH_V_ORACLE = "CAST(CONCAT('0x', SUBSTR(MD5(shingle), 1, 7)) AS BIGINT)"
+
 _MINHASH_AGG_ORACLE = ",\n".join(
-    f"               MIN(MD5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+    f"               MIN(({MINHASH_A[i]} * {_MINHASH_V_ORACLE} + {MINHASH_B[i]})"
+    f" % {MINHASH_P}) AS h{i}"
+    for i in range(N_HASHES)
 )
 
 _BANDS_ORACLE = ", ".join(
-    "h{a} || h{b} || h{c}".format(a=3 * b, b=3 * b + 1, c=3 * b + 2)
+    "CONCAT_WS('_', h{a}, h{b}, h{c})".format(a=3 * b, b=3 * b + 1, c=3 * b + 2)
     for b in range(N_HASHES // BAND_SIZE)
 )
 
@@ -104,14 +126,19 @@ _BANDS_ORACLE = ", ".join(
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verify."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).withColumn(
+        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    )
     # ONE aggregation produces both the 12 MinHashes and the shingle set:
     # one scan + one shuffle on doc_id, and the three downstream readers
     # (bands, verify-left, verify-right) hit the same exchange, which
     # Spark reuses (ReusedExchange) instead of recomputing the corpus.
+    # Each minhash is an affine permutation of the one shared md5.
     doc_agg = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i])) % MINHASH_P
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
         ],
         F.collect_list("shingle").alias("s"),
@@ -120,7 +147,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = N_HASHES // BAND_SIZE
     band_keys = F.array(
         *[
-            F.concat(*[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
+            F.concat_ws("_", *[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
             for b in range(n_bands)
         ]
     )

@@ -254,13 +254,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equality dedup pre-pass — at 100 TB it runs as one shuffle on a
     16-byte key, no pairwise work."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # words array materialized once per row (same reasoning as
+    # dedup._shingles: inlined split re-evaluates per gram term)
+    grams = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)),"
-                " i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
-                " split(text, ' ')[i+2], split(text, ' ')[i+3], split(text, ' ')[i+4])))"
+                "transform(sequence(0, greatest(size(w) - 5, 0)),"
+                " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"
             )
         ).alias("gh"),
     )
