@@ -183,3 +183,64 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vids = manifest(spark, sf_dir).filter(F.col("modality") == "video")
     return vids.mapInPandas(sample_frames, out_schema)
+
+
+TARGET_W, TARGET_H = 224, 224
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, {_MODALITY} AS modality,
+               octet_length(encode(text)) AS n
+        FROM documents),
+    dims AS (
+        SELECT doc_id, modality,
+               n % 640 + 1 AS width, (n * 7) % 480 + 1 AS height
+        FROM m WHERE modality = 'image')
+    SELECT doc_id, width, height,
+           {TARGET_W} AS out_w, {TARGET_H} AS out_h,
+           ROUND(LEAST({TARGET_W} * 1.0 / width, {TARGET_H} * 1.0 / height), 6)
+               AS scale,
+           CAST(FLOOR(width * ROUND(LEAST({TARGET_W} * 1.0 / width,
+                                          {TARGET_H} * 1.0 / height), 6)) AS INT)
+               AS fit_w,
+           CAST(FLOOR(height * ROUND(LEAST({TARGET_W} * 1.0 / width,
+                                           {TARGET_H} * 1.0 / height), 6)) AS INT)
+               AS fit_h
+    FROM dims
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image payloads: aspect-preserving fit into
+    224x224 computed in Arrow-batched Python from the decoded (fake)
+    dimensions — the letterbox arithmetic every vision-model ingest
+    performs, with the actual pixel resample stubbed like decode_media.
+    The scale factor is rounded in-query before the floor in BOTH
+    engines so fit dims can't flip on float dust."""
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, width int, height int, out_w int, out_h int,"
+        " scale double, fit_w int, fit_h int"
+    )
+
+    def plan_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = fake_decode(bytes(payload))
+                w, h = f["width"], f["height"]
+                scale = math.floor(min(TARGET_W / w, TARGET_H / h) * 10**6 + 0.5) / 10**6
+                rows.append(
+                    (doc_id, w, h, TARGET_W, TARGET_H, scale,
+                     int(w * scale), int(h * scale))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h",
+                         "scale", "fit_w", "fit_h"],
+            )
+            rows = []
+
+    imgs = manifest(spark, sf_dir).filter(F.col("modality") == "image")
+    return imgs.mapInPandas(plan_resize, out_schema)
