@@ -65,6 +65,11 @@ def main() -> None:
 
     # warm the JVM/codegen paths outside the measured window
     qs["flagship_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # ... and the Python-worker/Arrow path (daemon + worker fork per core
+    # is a one-time session cost, not an operator cost)
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     names = HEADLINE + [n for n in OPTIONAL if n in qs]
     times: dict[str, float] = {}

@@ -604,3 +604,47 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_band"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_norm"),
     )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+    o AS (SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+          FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS has_customer,
+           o.o_custkey IS NOT NULL AS has_orders,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(c.c_acctbal, 0.0), 2) AS acctbal,
+           COALESCE(o.spend, 0.0) AS spend
+    FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with both sides genuinely null-extending (each side is
+    filtered so the other contributes unmatched rows) — the blank-record-
+    on-miss shape of A21 from both directions. AQE plans a sort-merge
+    full join; at scale the null-extended sides stream, nothing builds a
+    hash table of the big side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_acctbal"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
