@@ -253,3 +253,43 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_to_sink(out, "append")
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running (count, sum) held in explicit state across micro-batches —
+    the escape hatch for stateful semantics the built-in windows can't
+    express (arbitrary per-key accumulators, custom eviction). Update
+    mode emits each key's latest accumulator per batch; with the stream
+    drained the final emission per key equals the batch aggregate (the
+    oracle). State is partitioned by the grouping key across executors
+    exactly like the built-in aggs; at scale, pair with state TTL
+    (GroupStateTimeout) so abandoned keys evict."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    src = events_stream(spark, sf_dir)
+    out_t = StructType.fromDDL("user_id bigint, n_events bigint, total double")
+    st_t = StructType.fromDDL("cnt bigint, tot double")
+
+    def track(key, pdfs, state):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total": [round(tot, 4)]}
+        )
+
+    res = src.groupBy("user_id").applyInPandasWithState(
+        track, out_t, st_t, "update", "NoTimeout"
+    )
+    return run_to_sink(res, "update")
