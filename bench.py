@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_pricing_summary",
+    "flagship_local_supplier_volume",
     "scan_parquet",
     "join_broadcast",
     "join_sortmerge",

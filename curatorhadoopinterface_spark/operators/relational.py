@@ -649,3 +649,82 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
         F.coalesce("spend", F.lit(0.0)).alias("spend"),
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark `percentile`
+    == DuckDB `quantile_cont`). Exact quantiles need the group's values
+    together (one shuffle); at 100 TB swap in approx_percentile
+    (t-digest, partial-aggregable, no full materialization) once the
+    tolerance is agreed — the approximate twin of A17's counters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99_price"),
+    )
+
+
+@query(
+    "flagship_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1994-01-01'
+      AND o.o_orderdate <  DATE '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the multi-way join every warehouse query at
+    100 TB lives and dies by. Catalyst reorders; the tiny dims
+    (region/nation/supplier) broadcast, the fact-fact
+    orders-lineitem join shuffles once on orderkey, and the
+    o_orderdate range predicate pushes into the orders scan (at scale:
+    the partition-pruning column). The customer-nation == supplier-nation
+    equality is the 'local supplier' residual."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
