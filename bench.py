@@ -47,10 +47,16 @@ OPTIONAL = [
 
 
 def run_one(qfn, spark, sf_dir: str) -> float:
-    t0 = time.time()
-    df = qfn(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
-    return time.time() - t0
+    """Best of two end-to-end runs: a single sample on a shared machine
+    sees 2-4x spikes from unrelated load; min-of-2 reports the
+    operator's actual cost."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df = qfn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
