@@ -91,3 +91,28 @@ def verify_records(
         col = F.col(f"{c}_match")
         ok = col if ok is None else (ok & col)
     return out.withColumn("ok", ok)
+
+
+def enforce_failure_budget(
+    annotated: DataFrame, max_fraction: float = 0.4
+) -> DataFrame:
+    """A7's failure budget as a gate (CuratorJob.java:280-285 tolerates
+    <=40% reduce-task failures in shared mode; here the budget is per
+    ROW, which is the honest unit). Raises if the error fraction of a
+    best_effort run exceeds ``max_fraction``; returns only the clean
+    rows otherwise — callers chain .write on the survivors."""
+    if "annotation_error" not in annotated.columns:
+        return annotated
+    agg = annotated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("annotation_error").alias("n_err"),
+    ).first()
+    n, n_err = agg["n"], agg["n_err"]
+    if n and n_err / n > max_fraction:
+        raise RuntimeError(
+            f"annotation failure budget exceeded: {n_err}/{n} rows failed "
+            f"({n_err / n:.1%} > {max_fraction:.0%})"
+        )
+    return annotated.filter(F.col("annotation_error").isNull()).drop(
+        "annotation_error"
+    )

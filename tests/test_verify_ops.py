@@ -78,3 +78,31 @@ def test_verify_records_roundtrip_and_tamper(spark, corpus):
     )
     bad = verify_records(tampered, ["POS", "NER"]).filter(~F.col("ok"))
     assert bad.count() == 1
+
+
+def test_failure_budget_gate(spark, corpus):
+    """<=40% row failures pass (clean rows survive); above raises."""
+    from curatorhadoopinterface_spark.plans.provide import provide
+    from curatorhadoopinterface_spark.plans.verify import enforce_failure_budget
+
+    one_bad = corpus.select("identifier", "raw_text", "whitespaced").unionByName(
+        spark.createDataFrame(
+            [("bad1", None, False)],
+            "identifier string, raw_text string, whitespaced boolean",
+        )
+    )
+    ann = provide(one_bad, "TOKEN", best_effort=True)
+    ok = enforce_failure_budget(ann, max_fraction=0.4)
+    assert ok.count() == one_bad.count() - 1
+    assert "annotation_error" not in ok.columns
+
+    mostly_bad = spark.createDataFrame(
+        [(f"bad{i}", None, False) for i in range(9)]
+        + [("good", "fine text here", False)],
+        "identifier string, raw_text string, whitespaced boolean",
+    )
+    ann2 = provide(mostly_bad, "TOKEN", best_effort=True)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="failure budget"):
+        enforce_failure_budget(ann2, max_fraction=0.4)
