@@ -256,3 +256,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         jac.alias("jaccard"),
     )
+
+
+# pigeonhole blocks for Hamming distance <= 2 on 16 bits: 3 blocks
+# (6+5+5); any pair differing in <= 2 bits agrees exactly on >= 1 block
+_HAM_K = 2
+_HAM_BLOCKS = ((1, 6), (7, 5), (12, 5))  # (1-based start, length)
+
+_SIMHASH_STR_ORACLE = " || ".join(f"b{i}" for i in range(_SIMHASH_BITS))
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS word
+        FROM documents),
+    bits AS (
+        SELECT doc_id,
+{_SIMHASH_BIT_ORACLE}
+        FROM words GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {_SIMHASH_STR_ORACLE} AS sig FROM bits),
+    blocks AS (
+        SELECT doc_id, sig,
+               UNNEST([{', '.join(f"SUBSTR(sig, {s}, {l})" for s, l in _HAM_BLOCKS)}])
+                   AS block_val,
+               UNNEST([{', '.join(str(i) for i in range(len(_HAM_BLOCKS)))}]) AS block_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                        b.doc_id AS doc_b, b.sig AS sig_b
+        FROM blocks a JOIN blocks b
+          ON a.block_id = b.block_id AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           LEN(LIST_FILTER(GENERATE_SERIES(1, {_SIMHASH_BITS}),
+               i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) AS hamming
+    FROM cands
+    WHERE LEN(LIST_FILTER(GENERATE_SERIES(1, {_SIMHASH_BITS}),
+              i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) <= {_HAM_K}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance 2 of the 16-bit
+    SimHash — beyond dedup_simhash's identical-signature buckets. The
+    pigeonhole block trick (Hamming-distance similarity search over
+    MapReduce, EDBT 2015): split the signature into k+1 blocks; any pair
+    within distance k agrees exactly on >= 1 block, so candidates come
+    from an EQUI join on (block_id, block_value) — never an all-pairs
+    scan — and only candidates pay the exact-distance verify. At 100 TB:
+    64-bit signatures with 4x16-bit blocks give 65k-way bucketing; block
+    count tracks the distance budget, block width tracks selectivity."""
+    sigs = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash", "sig")
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[F.substring("sig", s, l) for s, l in _HAM_BLOCKS]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {_SIMHASH_BITS}),"
+        " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return cands.filter(hamming <= _HAM_K).select("doc_a", "doc_b", hamming.alias("hamming"))
