@@ -1,0 +1,45 @@
+"""CLI tests (A31): annotate -> verify round trip through the argparse
+surface, in-process (get_spark reuses the session fixture's JVM)."""
+
+from __future__ import annotations
+
+import pytest
+
+from curatorhadoopinterface_spark.__main__ import main, resolve_mode
+
+
+def test_resolve_mode_fuzzy():
+    assert resolve_mode("ner") == "NER"
+    assert resolve_mode("tokenizer") == "TOKEN"
+    assert resolve_mode("stanford") == "STANFORD_PARSE"
+    assert resolve_mode("VERB") == "VERB_SRL"
+    assert resolve_mode("chunker") == "CHUNK"
+    with pytest.raises(SystemExit):
+        resolve_mode("nonsense")
+
+
+def test_cli_annotate_then_verify(spark, tmp_path, capsys):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "doc1.txt").write_text("The fast Spark job runs. Hadoop wins!")
+    (corpus / "doc2.txt").write_text("A customer merged the hash table data.")
+    out = str(tmp_path / "annotated")
+
+    main(["annotate", "--input", str(corpus), "--output", out, "--mode", "pos", "ner"])
+    assert "annotated 2 records" in capsys.readouterr().out
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert "label_views" in back.columns
+
+    with pytest.raises(SystemExit) as exc:
+        main(["verify", "--input", out, "--mode", "pos", "ner"])
+    assert exc.value.code == 0
+    assert "2 ok, 0 mismatched" in capsys.readouterr().out
+
+
+def test_cli_queries_listing(capsys):
+    main(["queries"])
+    out = capsys.readouterr().out
+    assert "dedup_minhash\toracle" in out
+    assert "annotate_pipeline\toracle" in out
