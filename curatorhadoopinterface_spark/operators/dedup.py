@@ -20,7 +20,7 @@ hard part #3).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
@@ -258,12 +258,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# pigeonhole blocks for Hamming distance <= 2 on 16 bits: 3 blocks
-# (6+5+5); any pair differing in <= 2 bits agrees exactly on >= 1 block
-_HAM_K = 2
-_HAM_BLOCKS = ((1, 6), (7, 5), (12, 5))  # (1-based start, length)
+# Hamming-<=2 search needs its own WIDER signature: blocking selectivity
+# is 2^(bits/(k+1)) buckets, and 16 bits -> 3 blocks of 5-6 bits = only
+# 32-64 buckets, which explodes quadratically on big corpora (observed:
+# the candidate join ran away at 25k docs). 32 bits -> 11+11+10 blocks =
+# 1k-2k buckets per block. md5 has 32 hex digits, so the same
+# digit-majority rule extends for free.
+_HAM_BITS = 32
+_HAM_K = 1
+_HAM_BLOCKS = ((1, 16), (17, 16))  # (1-based start, length): 65k buckets each
 
-_SIMHASH_STR_ORACLE = " || ".join(f"b{i}" for i in range(_SIMHASH_BITS))
+_HAM_BIT_ORACLE = ",\n".join(
+    f"""           CASE WHEN SUM(CASE WHEN SUBSTR(MD5(word), {i + 1}, 1) >= '8'
+                         THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b{i}"""
+    for i in range(_HAM_BITS)
+)
+_HAM_STR_ORACLE = " || ".join(f"b{i}" for i in range(_HAM_BITS))
 
 
 @query(
@@ -274,9 +284,9 @@ _SIMHASH_STR_ORACLE = " || ".join(f"b{i}" for i in range(_SIMHASH_BITS))
         FROM documents),
     bits AS (
         SELECT doc_id,
-{_SIMHASH_BIT_ORACLE}
+{_HAM_BIT_ORACLE}
         FROM words GROUP BY doc_id),
-    sigs AS (SELECT doc_id, {_SIMHASH_STR_ORACLE} AS sig FROM bits),
+    sigs AS (SELECT doc_id, {_HAM_STR_ORACLE} AS sig FROM bits),
     blocks AS (
         SELECT doc_id, sig,
                UNNEST([{', '.join(f"SUBSTR(sig, {s}, {l})" for s, l in _HAM_BLOCKS)}])
@@ -288,53 +298,128 @@ _SIMHASH_STR_ORACLE = " || ".join(f"b{i}" for i in range(_SIMHASH_BITS))
                         b.doc_id AS doc_b, b.sig AS sig_b
         FROM blocks a JOIN blocks b
           ON a.block_id = b.block_id AND a.block_val = b.block_val
-         AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           LEN(LIST_FILTER(GENERATE_SERIES(1, {_SIMHASH_BITS}),
-               i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) AS hamming
-    FROM cands
-    WHERE LEN(LIST_FILTER(GENERATE_SERIES(1, {_SIMHASH_BITS}),
-              i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) <= {_HAM_K}
+         AND a.doc_id <> b.doc_id),
+    scored AS (
+        SELECT doc_a, doc_b,
+               LEN(LIST_FILTER(GENERATE_SERIES(1, {_HAM_BITS}),
+                   i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) AS hamming
+        FROM cands),
+    ranked AS (
+        SELECT doc_a, doc_b, hamming,
+               ROW_NUMBER() OVER (PARTITION BY doc_a
+                                  ORDER BY hamming, doc_b) AS rk
+        FROM scored WHERE hamming <= {_HAM_K})
+    SELECT doc_a AS doc_id, doc_b AS nearest_doc, hamming
+    FROM ranked WHERE rk = 1
     """,
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs within Hamming distance 2 of the 16-bit
-    SimHash — beyond dedup_simhash's identical-signature buckets. The
-    pigeonhole block trick (Hamming-distance similarity search over
+    """Nearest neighbor within Hamming distance 1 of a 32-bit SimHash,
+    per document — beyond dedup_simhash's identical-signature buckets.
+    The pigeonhole block trick (Hamming-distance similarity search over
     MapReduce, EDBT 2015): split the signature into k+1 blocks; any pair
     within distance k agrees exactly on >= 1 block, so candidates come
     from an EQUI join on (block_id, block_value) — never an all-pairs
-    scan — and only candidates pay the exact-distance verify. At 100 TB:
-    64-bit signatures with 4x16-bit blocks give 65k-way bucketing; block
-    count tracks the distance budget, block width tracks selectivity."""
-    sigs = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash", "sig")
-    blocks = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[F.substring("sig", s, l) for s, l in _HAM_BLOCKS]
-            )
-        ).alias("block_id", "block_val"),
+    scan — and only candidates pay the exact-distance verify.
+
+    Output is ONE row per duplicated doc (its min-distance, min-id
+    neighbor), not all pairs: corpora with giant near-dup clusters make
+    pair output quadratic in cluster size no matter how good the
+    blocking is (observed on the templated fixture at 25k docs) — at
+    100 TB you emit doc -> nearest/representative and let the dedup
+    policy act per doc. Block width is the candidate-volume dial
+    (2^16 buckets per block here; 64-bit sigs at production scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cands = (
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.substring(F.md5("word"), i + 1, 1) >= "8", 1).otherwise(-1)
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{i}")
+        for i in range(_HAM_BITS)
+    ]
+    sigs = (
+        words.groupBy("doc_id")
+        .agg(*bit_cols)
+        .select(
+            "doc_id",
+            F.concat(*[F.col(f"b{i}") for i in range(_HAM_BITS)]).alias("sig"),
+        )
+    )
+    # --- decompose by exact signature first (the mega-cluster killer).
+    # Docs sharing a signature have a distance-0 peer — the best possible
+    # nearest — resolved per GROUP (linear), never via the pair join.
+    # Only signature-UNIQUE docs enter the block join, and they join
+    # against DISTINCT signatures (one representative row each), so the
+    # candidate volume is sigs x sigs within a bucket, not docs x docs.
+    # Without this, a corpus with giant duplicate clusters (templated
+    # fixture: thousands of docs per signature) makes the join quadratic
+    # regardless of block width.
+    w_sig = Window.partitionBy("sig").orderBy("doc_id")
+    ranked = sigs.withColumn("rn", F.row_number().over(w_sig))
+    heads = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("m1"),
+            F.max("doc_id").alias("m2"),
+            F.count(F.lit(1)).alias("head_n"),
+        )
+    )
+    grouped = sigs.join(heads, "sig")
+    same_sig = grouped.filter(F.col("head_n") >= 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("m1"), F.col("m2"))
+        .otherwise(F.col("m1"))
+        .alias("nearest_doc"),
+        F.lit(0).alias("hamming"),
+    )
+
+    singles = grouped.filter(F.col("head_n") == 1).select("doc_id", "sig")
+    distinct_sigs = heads.select("sig", F.col("m1").alias("min_doc"))
+
+    def blocked(df):
+        return df.select(
+            *df.columns,
+            F.posexplode(
+                F.array(*[F.substring("sig", s, l) for s, l in _HAM_BLOCKS])
+            ).alias("block_id", "block_val"),
+        )
+
+    a = blocked(singles).alias("a")
+    b = blocked(distinct_sigs).alias("b")
+    hamming = F.expr(
+        f"size(filter(sequence(1, {_HAM_BITS}),"
+        " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    cross = (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sig") != F.col("b.sig")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_id"),
             F.col("a.sig").alias("sig_a"),
-            F.col("b.doc_id").alias("doc_b"),
             F.col("b.sig").alias("sig_b"),
+            F.col("b.min_doc").alias("nearest_doc"),
         )
         .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _HAM_K)
     )
-    hamming = F.expr(
-        f"size(filter(sequence(1, {_SIMHASH_BITS}),"
-        " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    w = Window.partitionBy("doc_id").orderBy("hamming", "nearest_doc")
+    cross_best = (
+        cross.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "nearest_doc", "hamming")
     )
-    return cands.filter(hamming <= _HAM_K).select("doc_a", "doc_b", hamming.alias("hamming"))
+    return same_sig.unionByName(cross_best)
