@@ -85,6 +85,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            # parquet written without isAdjustedToUTC (e.g. DuckDB COPY)
+            # reads as NTZ; cast to session-TZ (UTC) timestamp so event
+            # time works everywhere (watermarks require TIMESTAMP)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -69,8 +69,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ parquet (no isAdjustedToUTC): cast to session-TZ timestamp —
+        # watermarks/windows require TIMESTAMP, not NTZ
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
