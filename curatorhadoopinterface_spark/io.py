@@ -57,6 +57,102 @@ def write_corpus(df: DataFrame, path: str, mode: str = "overwrite", partition_by
     writer.parquet(path)
 
 
+#: Serialized-record container format (the engine's analogue of the
+#: reference's one-Thrift-binary-file-per-document layout,
+#: SerializationHandler.java:39-117): magic, version, then two
+#: length-prefixed UTF-8 fields (identifier, raw_text).
+_REC_MAGIC = b"CHIR"
+_REC_VERSION = 1
+
+
+def _encode_record(identifier: str, raw_text: str) -> bytes:
+    import struct
+
+    ib = identifier.encode("utf-8")
+    tb = raw_text.encode("utf-8")
+    return b"".join(
+        [
+            _REC_MAGIC,
+            bytes([_REC_VERSION]),
+            struct.pack("<I", len(ib)),
+            ib,
+            struct.pack("<I", len(tb)),
+            tb,
+        ]
+    )
+
+
+def _decode_record(blob: bytes) -> tuple[str, str]:
+    import struct
+
+    if blob[:4] != _REC_MAGIC:
+        raise ValueError("not a CHIR record (bad magic)")
+    if blob[4] != _REC_VERSION:
+        raise ValueError(f"unsupported record version {blob[4]}")
+    off = 5
+    (ilen,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    identifier = blob[off : off + ilen].decode("utf-8")
+    off += ilen
+    (tlen,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    raw_text = blob[off : off + tlen].decode("utf-8")
+    return identifier, raw_text
+
+
+def write_serialized_records(df: DataFrame, path: str) -> None:
+    """A5 binary sink: one ``<identifier>.rec`` file per record, written
+    EXECUTOR-side via ``foreachPartition`` (no driver collect) — the
+    distributed twin of SerializationHandler.java:39-117, which writes
+    ``<hash>.txt`` Thrift blobs one doc at a time on a single node.
+
+    Needs ``identifier`` (string) and ``raw_text`` columns. At 100 TB the
+    file-per-doc layout is only for interop/resume parity with the
+    reference (A4); parquet remains the engine's native format.
+    """
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        import os
+
+        for row in rows:
+            blob = _encode_record(row["identifier"], row["raw_text"])
+            dest = os.path.join(path, f"{row['identifier']}.rec")
+            with open(dest, "wb") as fh:
+                fh.write(blob)
+
+    df.select("identifier", "raw_text").foreachPartition(write_partition)
+
+
+def read_serialized_records(spark: SparkSession, path: str) -> DataFrame:
+    """A2/A4 serialized-record ingestion: ``binaryFile`` scan (one row
+    per file, non-splittable — matching the reference's one-split-per-
+    record-file DirectoryInputFormat.java:33-65) + an Arrow-batched
+    decoder replacing CuratorRecordReader.java:24-57's Thrift
+    deserialization."""
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.rec")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts = [], []
+            for blob in pdf["content"]:
+                identifier, raw_text = _decode_record(bytes(blob))
+                ids.append(identifier)
+                texts.append(raw_text)
+            yield pd.DataFrame({"identifier": ids, "raw_text": texts})
+
+    return src.mapInPandas(decode, "identifier string, raw_text string")
+
+
 def roundtrip_check(spark: SparkSession, df: DataFrame, path: str) -> bool:
     """Write-then-read-back equality, the reference's post-write check
     (HadoopCuratorClient.java:83-104): re-read and diff must be empty.

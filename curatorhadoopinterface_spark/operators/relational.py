@@ -728,3 +728,61 @@ def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_sampled,
+           SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE SUBSTR(MD5(text), 1, 1) <
+          CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+    GROUP BY lang, source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (downsample the
+    dominant language: 25% for 'en', 50% for the rest) — the
+    training-data-mix knob every corpus pipeline needs, and the exact-
+    semantics upgrade of the reference's random file sampling
+    (JobHandler.java:579-606, A13).
+
+    Content-hash thresholding (first md5 hex nibble) instead of rand():
+    deterministic across engines/retries/cluster sizes, embarrassingly
+    parallel (a pure filter — no shuffle, no seed coordination), and
+    stable under re-partitioning, which rand(seed) is NOT at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit("4")).otherwise(F.lit("8"))
+    return (
+        d.filter(F.substring(F.md5("text"), 1, 1) < thr)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a numeric column (width_bucket
+    emulation with plain integer arithmetic so both engines bucket
+    identically). Distribution profiling is a first-pass op on any new
+    100 TB corpus; the plan is a single map-side-combined hash aggregate
+    on a derived key — the cheapest shuffle shape there is (bucket
+    cardinality, not row count, crosses the wire).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

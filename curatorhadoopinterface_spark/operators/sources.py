@@ -76,3 +76,98 @@ def write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_binary_records",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS identifier,
+           LEN(text) AS n_chars,
+           LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 AS n_words
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def scan_binary_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4/A5 serialized-record round trip: write one binary record
+    file per document (executor-side, the reference's <hash>.txt Thrift
+    layout, SerializationHandler.java:39-117), re-ingest via a
+    ``binaryFile`` scan + Arrow-batched decode (CuratorRecordReader.java:
+    24-57), and profile the decoded text. The oracle over the original
+    table IS the round-trip equality check. One-file-per-doc is interop
+    parity only — at 100 TB the native format stays parquet, and the
+    binaryFile scan still parallelizes file-per-task like the
+    reference's DirectoryInputFormat."""
+    from curatorhadoopinterface_spark.io import (
+        read_serialized_records,
+        write_serialized_records,
+    )
+
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_binary_records"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    write_serialized_records(
+        d.select(F.col("doc_id").cast("string").alias("identifier"), F.col("text").alias("raw_text")),
+        out,
+    )
+    back = read_serialized_records(spark, out)
+    return back.select(
+        "identifier",
+        F.length("raw_text").alias("n_chars"),
+        (F.length("raw_text") - F.length(F.replace(F.col("raw_text"), F.lit(" "), F.lit(""))) + 1).alias("n_words"),
+    )
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an EXPLICIT schema (no inference pass — a second
+    full read at 100 TB) + aggregate over the re-read rows. Free text is
+    excluded from the CSV (embedded newlines would force multiLine=true,
+    which makes files non-splittable — a scan-parallelism killer)."""
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "source", "n_chars").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    back = spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint").option(
+        "header", "true"
+    ).csv(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(text)) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema, free text included (JSON
+    escaping survives newlines/quotes, unlike CSV). JSONL stays
+    line-splittable, so a 100 TB ingest still fans out by line ranges;
+    schema-on-read skips the inference scan."""
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_json")
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang").write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, text string, lang string").json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )

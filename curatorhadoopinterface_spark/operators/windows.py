@@ -143,3 +143,70 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 28800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_sec
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): an 8-hour silence starts
+    a new session; one summary row per (user, session). The batch twin
+    of ``stream_session`` (F.session_window) and the classic training-
+    data-pipeline op for behavioral corpora.
+
+    Scale shape: ONE shuffle on user_id feeds both window passes and the
+    final aggregate (same partitioning key reused across stages); the
+    micros arithmetic stays integer, JVM-side, inside whole-stage
+    codegen. Skewed users would be the only hazard — AQE skew handling
+    applies because it is a plain hash partition on the group key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 28_800_000_000), 1).otherwise(0)
+    sess = (
+        e.select("user_id", "event_id", "value", "ts", ts_us.alias("ts_us"), is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "ts_us",
+            # second window keeps the FIRST window's exact sort keys
+            # (ts, event_id — ts_us is order-equivalent but Spark can't
+            # know that), so one Sort serves both window passes
+            F.sum("is_new")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+            .alias("session_id"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.expr("(MAX(ts_us) - MIN(ts_us)) div 1000000").alias("dur_sec"),
+    )

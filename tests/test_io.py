@@ -30,3 +30,39 @@ def test_partitioned_write(spark, corpus, tmp_path):
     write_corpus(df, out, partition_by=["bucket"])
     back = spark.read.parquet(out)
     assert back.count() == corpus.count()
+
+
+def test_record_codec_roundtrip_unicode():
+    from curatorhadoopinterface_spark.io import _decode_record, _encode_record
+
+    for ident, text in [("abc123", "hello world"), ("7", "中文 — naïve\nmulti\tline")]:
+        assert _decode_record(_encode_record(ident, text)) == (ident, text)
+
+
+def test_record_codec_rejects_garbage():
+    import pytest
+
+    from curatorhadoopinterface_spark.io import _decode_record, _encode_record
+
+    with pytest.raises(ValueError, match="magic"):
+        _decode_record(b"NOPE" + b"\x00" * 16)
+    blob = bytearray(_encode_record("x", "y"))
+    blob[4] = 99
+    with pytest.raises(ValueError, match="version"):
+        _decode_record(bytes(blob))
+
+
+def test_serialized_records_roundtrip(spark, corpus, tmp_path):
+    from curatorhadoopinterface_spark.io import (
+        read_serialized_records,
+        write_serialized_records,
+    )
+
+    out = str(tmp_path / "recs")
+    write_serialized_records(
+        corpus.select("identifier", "raw_text"), out
+    )
+    back = read_serialized_records(spark, out)
+    orig = {(r.identifier, r.raw_text) for r in corpus.collect()}
+    got = {(r.identifier, r.raw_text) for r in back.collect()}
+    assert got == orig
