@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
@@ -269,4 +270,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("fingerprint").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("representative_doc"),
+    )
+
+
+@query(
+    "text_vocab",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 100
+    """,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by global frequency. The
+    explode blows each doc into ~n_words rows — the classic shuffle-
+    amplification shape — but partial (map-side) aggregation collapses
+    the blowup to distinct-terms-per-partition before the exchange, so
+    what crosses the wire is vocabulary-sized, not corpus-sized. The
+    final top-100 is a TakeOrdered, not a global sort. Integer counts:
+    no float-ordering hazard between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(100)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS cnt
+        FROM words GROUP BY doc_id, term),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df_docs
+        FROM words GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.cnt * LN(CAST(n.n_docs AS DOUBLE) / df.df_docs), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term — the standard corpus keyword/
+    feature op. Two aggregations share ONE exploded intermediate; the
+    document-frequency side is vocabulary-sized after its agg, so Spark
+    broadcasts it into the tf side (no co-partition shuffle of the big
+    side on term). ROUND(·,6) BEFORE ranking: the ranking key is then
+    bit-identical across engines (libm ln can differ in the last ulp —
+    e.g. 2·ln(5) vs ln(25) — and an unrounded rank key could flip the
+    winner), with ties broken by term."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    words = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    df_docs = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    scored = tf.join(F.broadcast(df_docs), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df_docs")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -298,3 +298,94 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         track, out_t, st_t, "update", "NoTimeout"
     )
     return run_to_sink(res, "update")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the errors the same
+    user hit in the preceding hour. Both sides are watermarked and the
+    join condition carries explicit event-time bounds, so each side's
+    state store holds only one watermark-delay's worth of rows — the
+    requirement for an unbounded 100 TB/day join to run in bounded
+    memory. With AvailableNow draining both sides fully, the emitted
+    pairs equal the batch join (the oracle)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", DELAY)
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", DELAY)
+    )
+    j = clicks.join(
+        errors,
+        F.expr(
+            "user_id = err_user AND "
+            "error_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    ).select("click_id", "error_id", "user_id")
+    return run_to_sink(j, "append")
+
+
+@query(
+    "stream_sink_parquet",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events WHERE value > 5 GROUP BY event_type
+    """,
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once parquet file sink: filtered stream → parquet files +
+    _spark_metadata transaction log + checkpoint, then a batch read-back
+    and aggregate over what landed. The metadata log is what makes the
+    sink exactly-once under retries (readers only see committed files) —
+    the streaming twin of A5's write-then-verify
+    (HadoopCuratorClient.java:83-104)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_sink"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    src = events_stream(spark, sf_dir).filter(F.col("value") > 5).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
