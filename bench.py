@@ -43,6 +43,10 @@ OPTIONAL = [
     "stream_window_agg",
     "udtf_explode",
     "mm_decode_features",
+    "sessionize_events",
+    "text_vocab",
+    "text_tfidf",
+    "sample_stratified",
 ]
 
 

@@ -786,3 +786,68 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("bucket"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           arg_min(event_id, ts) AS first_event_id,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest/earliest row per key via max_by/min_by — the argmax
+    aggregate (reference analogue: keep the record copy with the most
+    views, CuratorClient.java:581-651/A18, which is argmax over view
+    count). ONE hash aggregate with map-side partials — strictly
+    cheaper at scale than the row_number window idiom, which must sort
+    every partition. Deterministic because (user_id, ts) is unique."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_small,
+           ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below half their part's average
+    quantity, revenue per brand. Expressed DE-CORRELATED — the
+    per-part average is ONE aggregate joined back on l_partkey —
+    which is exactly the rewrite Catalyst would have to find for the
+    correlated scalar subquery; writing it directly guarantees the
+    single-pass plan (no per-row re-aggregation) at any scale. The
+    part dim joins broadcast; the lineitem-vs-avg join co-partitions
+    on l_partkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
