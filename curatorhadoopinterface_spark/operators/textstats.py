@@ -356,3 +356,77 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "text_clean",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '\\b(order|fast|error)\\b'))
+               AS n_redacted,
+           LEN(regexp_replace(text, '\\b(order|fast|error)\\b', '<X>', 'g'))
+               AS clean_len
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing/redaction — the PII-removal shape of a corpus
+    cleaning pass (here redacting vocabulary terms since the synthetic
+    corpus has no URLs/emails; the pattern slot is where phone/email/
+    URL scrubbers go). Both regexp calls are JVM-side, codegen'd, and
+    embarrassingly parallel: no shuffle at all — the cleaning pass at
+    100 TB is pure scan bandwidth. Patterns stay in the RE2 ∩ Java
+    regex common subset so the DuckDB oracle matches byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(order|fast|error)\b"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+            "n_redacted"
+        ),
+        F.length(F.regexp_replace("text", pat, "<X>")).alias("clean_len"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+    b AS (
+        SELECT term || ' ' || LEAD(term) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM w)
+    SELECT bigram, COUNT(*) AS n
+    FROM b WHERE bigram IS NOT NULL
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams. Bigrams are built ARRAY-LOCALLY
+    (zip_with over two slices of the words array) instead of the
+    posexplode + per-doc window the oracle uses: same result, but no
+    per-document sort and no window state — each row produces its
+    bigram list in place, then partial aggregation collapses counts
+    map-side. The n-gram step of MinHash dedup reuses this exact
+    shape (dedup._shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(_words().alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
