@@ -430,3 +430,54 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+CHUNK_WORDS = 50
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+    SELECT doc_id,
+           CAST((pos - 1) // {CHUNK_WORDS} AS BIGINT) AS chunk_idx,
+           string_agg(term, ' ' ORDER BY pos) AS chunk_text,
+           COUNT(*) AS n_words
+    FROM w GROUP BY doc_id, chunk_idx
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into {CHUNK_WORDS}-word chunks — the
+    context-window chunking stage of an LLM training pipeline. Built
+    ARRAY-LOCALLY: one `sequence` per doc enumerates chunk indices and
+    `slice` cuts each chunk out of the words array, so chunking needs
+    NO shuffle at all (the oracle's group-by formulation is the slow
+    way; Spark never groups). Output rows ≈ corpus_words/{CHUNK_WORDS},
+    produced streaming through whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words().alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(CHUNK_WORDS)).cast("int")
+    return (
+        w.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "_zero"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice("w", F.col("chunk_idx") * CHUNK_WORDS + 1, CHUNK_WORDS),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice("w", F.col("chunk_idx") * CHUNK_WORDS + 1, CHUNK_WORDS)
+            ).cast("long").alias("n_words"),
+        )
+    )

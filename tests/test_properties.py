@@ -91,3 +91,14 @@ def test_identifier_reproduces_reference_sha1_on_adversarial_texts(spark):
     for t in texts:
         expected = hashlib.sha1(f"FLAG:false:{t}".encode()).hexdigest()
         assert got[t] == expected, t
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS, TEXTS)
+def test_record_codec_total_roundtrip(identifier, text):
+    # the binary record container (io._encode_record) must be lossless
+    # for ANY identifier/text pair, including empty strings and
+    # full-plane unicode — the A5 serialize + A2 deserialize contract
+    from curatorhadoopinterface_spark.io import _decode_record, _encode_record
+
+    assert _decode_record(_encode_record(identifier, text)) == (identifier, text)
