@@ -94,10 +94,11 @@ _BANDS_ORACLE = ", ".join(
 )
 
 
-@query(
-    "dedup_minhash",
-    oracle=f"""
-    WITH {_SHINGLES_ORACLE},
+# Full pair pipeline as reusable CTEs: shingles -> minhash sigs -> LSH
+# bands -> candidate pairs -> exact-Jaccard-verified `pairs`. Shared by
+# dedup_minhash (emits the pairs) and dedup_clusters (resolves them to
+# connected components).
+_PAIRS_CTES = f"""{_SHINGLES_ORACLE},
     sigs AS (
         SELECT doc_id,
 {_MINHASH_AGG_ORACLE}
@@ -113,19 +114,32 @@ _BANDS_ORACLE = ", ".join(
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id),
     sets AS (
-        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id)
-    SELECT c.doc_a, c.doc_b,
-           LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
-                 LEN(LIST_DISTINCT(sa.s || sb.s)) AS jaccard
-    FROM cands c
-    JOIN sets sa ON sa.doc_id = c.doc_a
-    JOIN sets sb ON sb.doc_id = c.doc_b
-    WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
-          LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J}
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+                     LEN(LIST_DISTINCT(sa.s || sb.s)) AS jaccard
+        FROM cands c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+              LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J})"""
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verify."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs `(doc_a, doc_b, jaccard)`, doc_a < doc_b."""
     sh = _shingles(spark, sf_dir).withColumn(
         "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
     )
@@ -423,3 +437,97 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "nearest_doc", "hamming")
     )
     return same_sig.unionByName(cross_best)
+
+
+# ---- duplicate-cluster resolution (connected components) -------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(src, dst)``
+    via hash-to-min label propagation: every node starts labeled with
+    its own id; each round replaces the label with the min over itself
+    and its neighbors. Converges in O(diameter) rounds — near-dup
+    clusters are dense (every member LSH-collides with most others), so
+    diameters are tiny; ``max_iter`` is a runaway guard, not a tuning
+    knob. Returns ``(node, comp)`` with comp = min node id reachable.
+
+    Scale shape: each round is ONE shuffle join on node id (the edge
+    list is symmetrized once and cached, so its partitioning is reused
+    every round) plus a min-aggregate with map-side partials.
+    ``localCheckpoint`` truncates the per-round lineage so round k's
+    plan doesn't replay rounds 1..k-1 (on a cluster, a reliable
+    ``checkpoint`` to the distributed store does the same job with
+    lineage durability; local mode has no HDFS, and losing an executor
+    loses the whole job anyway).
+    """
+    sym = edges.toDF("src", "dst")
+    sym = sym.union(sym.select("dst", "src")).distinct()
+    sym.persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS doc_id, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id),
+    comps AS (
+        SELECT doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comps
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve verified MinHash near-dup PAIRS into duplicate CLUSTERS
+    (connected components), the step that turns pairwise detection into
+    an actionable keep/drop decision: keep `is_canonical` (min doc id
+    per component), drop the rest. Pair detection alone under-deletes —
+    A~B and B~C must collapse to ONE cluster even when A~C was never a
+    candidate pair. Reference parity: the reference dedups at the
+    record-store level by exact hash only (CuratorHandler record
+    lookup); cluster resolution is the corpus-scale generalization its
+    users run as a batch job. The oracle replays the propagation as a
+    DuckDB recursive CTE (min reachable id == hash-to-min fixpoint)."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
