@@ -131,6 +131,17 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual_lang"),
         *[_langid_score_spark(lang).alias(f"s_{lang}") for lang in _LANGS],
     )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        _langid_pred_col().alias("pred_lang"),
+        sum(F.col(f"s_{lang}") for lang in _LANGS).alias("stopword_hits"),
+    )
+
+
+def _langid_pred_col():
+    """Argmax over the s_<lang> score columns with lexicographic
+    tie-break — the Spark twin of _LANGID_PRED_ORACLE's CASE chain."""
     pred = None
     for lang in _LANGS:
         cond = None
@@ -140,12 +151,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    return scored.select(
-        "doc_id",
-        "actual_lang",
-        pred.alias("pred_lang"),
-        sum(F.col(f"s_{lang}") for lang in _LANGS).alias("stopword_hits"),
-    )
+    return pred
 
 
 # -- quality scoring ---------------------------------------------------------
@@ -480,4 +486,113 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("w", F.col("chunk_idx") * CHUNK_WORDS + 1, CHUNK_WORDS)
             ).cast("long").alias("n_words"),
         )
+    )
+
+
+# -- end-to-end corpus cleaning pipeline -------------------------------------
+
+
+@query(
+    "corpus_cleanup",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+{_LANGID_SCORES_ORACLE}
+        FROM documents),
+    pred AS (
+        SELECT doc_id, text, {_LANGID_PRED_ORACLE} AS pred_lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               ROUND(LEN(REPLACE(text, ' ', '')) * 1.0
+                     / LEN(STRING_SPLIT(text, ' ')), 4) AS mwl
+        FROM scored),
+    flags AS (
+        SELECT doc_id, text, pred_lang,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                AND mwl BETWEEN {MIN_MWL} AND {MAX_MWL}) AS q_ok
+        FROM pred),
+    canon AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_id
+        FROM flags WHERE pred_lang = 'en' AND q_ok)
+    SELECT f.doc_id,
+           CASE WHEN f.pred_lang <> 'en' THEN 'lang'
+                WHEN NOT f.q_ok THEN 'quality'
+                WHEN c.canon_id <> f.doc_id THEN 'duplicate'
+                ELSE 'kept' END AS verdict
+    FROM flags f LEFT JOIN canon c ON c.doc_id = f.doc_id
+    """,
+)
+def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style cleaning pipeline END-TO-END as one plan:
+    language-ID gate (keep pred 'en') -> quality gate (word count +
+    mean word length bounds) -> exact dedup among survivors (min doc_id
+    per md5(text) is canonical). Emits the per-doc audit verdict
+    ('kept' | 'lang' | 'quality' | 'duplicate') — the drop-reason
+    ledger a production cleanup run has to produce.
+
+    Scale shape: the two gates are shuffle-free column work fused into
+    the scan; ONLY survivors reach the dedup shuffle (filter-then-
+    -shuffle ordering), keyed on md5(text) so clustering is uniform
+    regardless of content skew. Dropped docs never hit the canon join:
+    their verdict resolves in the earlier CASE arms, so the NULL
+    canon_id from the left join can't misfire."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        *[_langid_score_spark(lang).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    n_words = F.size(_words())
+    mwl = F.round(F.length(F.regexp_replace("text", " ", "")) / n_words, 4)
+    flags = scored.select(
+        "doc_id",
+        "text",
+        _langid_pred_col().alias("pred_lang"),
+        (n_words.between(MIN_WORDS, MAX_WORDS) & mwl.between(MIN_MWL, MAX_MWL)).alias(
+            "q_ok"
+        ),
+    )
+    surv = flags.filter((F.col("pred_lang") == "en") & F.col("q_ok"))
+    canon = surv.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("canon_id"),
+    )
+    return flags.join(canon, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("pred_lang") != "en", "lang")
+        .when(~F.col("q_ok"), "quality")
+        .when(F.col("canon_id") != F.col("doc_id"), "duplicate")
+        .otherwise("kept")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "index_inverted",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS term
+        FROM documents)
+    SELECT term,
+           COUNT(*) AS df,
+           LIST(doc_id ORDER BY doc_id) AS postings
+    FROM words GROUP BY term
+    """,
+)
+def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> sorted posting list of doc ids +
+    document frequency. The explode-amplification shape again: distinct
+    terms per doc BEFORE the explode-side shuffle, partial aggregation
+    collapses per-partition duplicates, and the only exchange is keyed
+    by term. At 100 TB the stopword rows are the skew risk — posting
+    lists for head terms get huge; the production variant shards a
+    posting list by doc_id range (key = (term, doc_id DIV shard)) and
+    concatenates shards at read time. Emitting whole lists here keeps
+    the operator oracle-checkable; the sharded key is a one-line
+    change to the groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("term")
+    )
+    return words.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
