@@ -47,6 +47,11 @@ OPTIONAL = [
     "text_vocab",
     "text_tfidf",
     "sample_stratified",
+    "dedup_clusters",
+    "corpus_cleanup",
+    "index_inverted",
+    "agg_entropy",
+    "ts_spine_fill",
 ]
 
 

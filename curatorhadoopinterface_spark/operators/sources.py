@@ -171,3 +171,42 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
     )
+
+
+@query(
+    "write_partitioned",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type, event_date
+    """,
+)
+def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout: write events partitioned by
+    event_date, then read ONE week back and aggregate. The point at
+    100 TB is the read side: the date filter matches the directory
+    layout, so the scan's PartitionFilters prune 23 of 30 day
+    directories BEFORE any file is opened — partition pruning, the
+    single highest-leverage layout decision for a time-series store
+    (the reference's record store has no layout story at all; every
+    lookup walks the full table, CuratorHandler.java record fetch).
+    Date, not timestamp, is the partition key: one dir per day keeps
+    partition counts bounded (~37k dirs for 100 years) where
+    per-hour or per-key layouts explode the metastore."""
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_write_partitioned"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    rb = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return rb.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -596,3 +596,49 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term)
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    repetitiveness signal (low entropy = boilerplate/spam) a corpus
+    quality pipeline scores alongside text_quality's ratio gates.
+    Computed in the numerically stable single-pass form
+    H = ln(N) - sum(c*ln c)/N, so no per-term division and the two
+    SUMs share one aggregate. Rounded to 6 in-query in both engines:
+    cross-libm ln() ulp dust can't flip the hash. Scale shape: ONE
+    exchange total, and it moves the COMPACT table — repartition the
+    (doc_id, text) rows by doc_id BEFORE exploding, which satisfies the
+    clustered distribution of BOTH downstream groupBys (doc_id is a
+    subset of (doc_id, term)), so the exploded token rows never shuffle
+    at all. The naive order (explode -> groupBy -> groupBy) shuffles
+    twice, the first time at token volume."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )

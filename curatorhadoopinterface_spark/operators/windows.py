@@ -210,3 +210,94 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.expr("(MAX(ts_us) - MIN(ts_us)) div 1000000").alias("dur_sec"),
     )
+
+
+@query(
+    "ts_spine_fill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS h FROM events),
+    bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id),
+    spine AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds),
+    cnt AS (
+        SELECT user_id, h, COUNT(*) AS n FROM e GROUP BY user_id, h),
+    filled AS (
+        SELECT s.user_id, s.h, COALESCE(c.n, 0) AS n
+        FROM spine s LEFT JOIN cnt c ON c.user_id = s.user_id AND c.h = s.h),
+    marked AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, n = 0 ORDER BY h) AS grp
+        FROM filled),
+    gaps AS (
+        SELECT user_id, COUNT(*) AS gap_len
+        FROM marked WHERE n = 0 GROUP BY user_id, grp),
+    agg AS (
+        SELECT user_id,
+               COUNT(*) AS total_hours,
+               SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS active_hours
+        FROM filled GROUP BY user_id)
+    SELECT a.user_id, a.total_hours, a.active_hours,
+           COALESCE(g.longest, 0) AS longest_gap_hours
+    FROM agg a
+    LEFT JOIN (SELECT user_id, MAX(gap_len) AS longest
+               FROM gaps GROUP BY user_id) g
+      ON g.user_id = a.user_id
+    """,
+)
+def ts_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine densification: per user, materialize EVERY hour
+    between their first and last event (`sequence` generates the spine
+    array-locally — no cross join against a calendar table), left-join
+    the real hourly counts, zero-fill, then run gaps-and-islands over
+    the dense series to find the longest inactive streak. Gap-filling
+    is the step every time-series feature pipeline needs and naive SQL
+    gets wrong (aggregating raw events can't see hours with NO rows).
+
+    Scale shape: the spine explodes from per-user bounds (2 timestamps
+    per user), so its pre-explode input is tiny; the left join and both
+    window passes share the user_id hash partitioning, and all three
+    window/group steps run on the SAME exchange. Spine width is bounded
+    by the retention window (720 rows/user/month), not event volume —
+    at 100 TB of events the filled series is usually SMALLER than the
+    raw table. The compact (user_id, hour) projection is repartitioned
+    by user_id ONCE up front: both aggregates, the spine join, and both
+    window passes are clustered on user_id (subset co-partitioning), so
+    the only other shuffles are the runtime-reused copy of that same
+    exchange (AQE ReusedExchange) on the second branch."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).repartition("user_id")
+    bounds = e.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    cnt = e.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("n"))
+    filled = spine.join(cnt, ["user_id", "h"], "left").select(
+        "user_id", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    rn_all = F.row_number().over(Window.partitionBy("user_id").orderBy("h"))
+    rn_state = F.row_number().over(
+        Window.partitionBy("user_id", F.col("n") == 0).orderBy("h")
+    )
+    marked = filled.select("user_id", "n", (rn_all - rn_state).alias("grp"))
+    gaps = (
+        marked.filter(F.col("n") == 0)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("gap_len"))
+    )
+    longest = gaps.groupBy("user_id").agg(F.max("gap_len").alias("longest"))
+    agg = filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_hours"),
+        F.sum((F.col("n") > 0).cast("long")).alias("active_hours"),
+    )
+    return agg.join(longest, "user_id", "left").select(
+        "user_id",
+        "total_hours",
+        "active_hours",
+        F.coalesce("longest", F.lit(0).cast("long")).alias("longest_gap_hours"),
+    )

@@ -56,6 +56,16 @@ AUDITS: dict[str, dict] = {
     "agg_histogram": {"partial": True, "prune": ["event_id", "props"]},
     # pure filter + agg: no join, no extra shuffle beyond the group-by
     "sample_stratified": {"partial": True, "prune": ["doc_id"], "max_exchange": 1},
+    # gates fuse into the scan; only survivors reach the dedup shuffle
+    "corpus_cleanup": {"prune": ["lang", "source", "n_chars"]},
+    # explode collapses map-side; posting lists build in one term exchange
+    "index_inverted": {"partial": True, "prune": ["lang", "source", "n_chars"]},
+    # one exchange moves the COMPACT doc table; token rows never shuffle
+    "agg_entropy": {"partial": True, "prune": ["lang", "source", "n_chars"],
+                    "max_exchange": 1},
+    # spine/join/window passes all clustered on the up-front user_id
+    # repartition (remaining Exchange nodes are its runtime-reused copies)
+    "ts_spine_fill": {"partial": True, "prune": ["event_type", "props", "value"]},
 }
 
 
