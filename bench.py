@@ -52,6 +52,11 @@ OPTIONAL = [
     "index_inverted",
     "agg_entropy",
     "ts_spine_fill",
+    "having_topk",
+    "agg_median_mode",
+    "agg_collect_list",
+    "dedup_fuzzy_edit",
+    "win_percentiles",
 ]
 
 

@@ -1,0 +1,456 @@
+"""Analytics batch 2 (SURVEY.md section 2C growth): unpivot/melt,
+collected-list aggregates, statistical moments, median/mode, EXISTS
+subqueries (TPC-H Q4 shape), HAVING + join-back top-k (Q18 shape),
+ORC source round-trip, range-clustered sorted layout, distribution
+window functions, cross join, bitwise aggregates, and blocked
+edit-distance near-dedup.
+
+Scale notes:
+- every aggregate here partial-aggregates map-side before its exchange;
+- the Q18 shape filters the fat side (HAVING over lineitem) BEFORE
+  joining back to orders/customer, so the join input is the ~1% of
+  orders that survive, not the full fact table;
+- the EXISTS shape is a left-semi join: no row multiplication, and the
+  probe side is pre-filtered to the qualifying lineitem subset;
+- fuzzy dedup bounds its candidate pairs with a (prefix, length-bucket)
+  blocking key — the O(n^2) edit distance only runs inside blocks, the
+  same containment trick the minhash/simhash dedups use;
+- the sorted-layout writer (repartitionByRange + sortWithinPartitions)
+  produces parquet whose row-group min/max stats make point/range scans
+  prune: the read side shows PushedFilters reaching the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt (wide -> long). Reference analogue: view maps are the
+# "long" form already (SURVEY.md section 1.2); this is the inverse of
+# pivot_table for feature-matrix style corpora.
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt two numeric part attributes into (key, attr, val) rows.
+    Spark's unpivot is a zero-shuffle narrow op (row-local expand)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+# --------------------------------------------------------------------------
+# collected-list aggregate (posting-list shape, A17 view-list analogue)
+# --------------------------------------------------------------------------
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT l_orderkey,
+           LIST(l_linenumber ORDER BY l_linenumber)                AS line_numbers,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_returnflag)), ',') AS flags,
+           COUNT(*)                                                AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order collected line-number list (sorted for determinism) +
+    distinct flag set. collect_list partial-aggregates map-side; the
+    per-key list is bounded (7 lines/order), so no skew risk — unbounded
+    variants should shard the key like index_inverted's postings."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# statistical moments (corr/covar/stddev/var) — single-pass streaming
+# aggregates in both engines; definitions (sample vs population) match.
+# --------------------------------------------------------------------------
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 2)  AS qty_price_covar_pop,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar_samp,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2)            AS price_stddev_samp,
+           ROUND(STDDEV_POP(l_extendedprice), 2)             AS price_stddev_pop,
+           ROUND(VAR_SAMP(l_quantity), 6)                    AS qty_var_samp,
+           ROUND(VAR_POP(l_quantity), 6)                     AS qty_var_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar_samp"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev_samp"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("price_stddev_pop"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var_samp"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_var_pop"),
+    )
+
+
+# --------------------------------------------------------------------------
+# median + deterministic mode. Mode is done as a SINGLE-PASS two-level
+# aggregate with min_by over a (-count, value) ordering struct — no
+# window sort over the fact table (the row_number idiom sorts every
+# partition; min_by is a hash-agg partial like agg_argmax).
+# --------------------------------------------------------------------------
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority),
+    cnt AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        FROM orders GROUP BY o_orderpriority, o_orderstatus),
+    pick AS (
+        SELECT o_orderpriority, o_orderstatus AS mode_status,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY c DESC, o_orderstatus) AS rn
+        FROM cnt)
+    SELECT m.o_orderpriority, m.median_price, p.mode_status, m.n_orders
+    FROM med m JOIN pick p
+      ON m.o_orderpriority = p.o_orderpriority AND p.rn = 1
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact, interpolated — sort-based in both engines) and a
+    deterministic mode (max count, ties broken by min value). The mode
+    side never window-sorts: counts collapse to (priority x status)
+    cardinality, then min_by picks per group."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    mode = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min_by(
+                "o_orderstatus", F.struct((-F.col("c")).alias("nc"), F.col("o_orderstatus"))
+            ).alias("mode_status")
+        )
+    )
+    return med.join(mode, "o_orderpriority").select(
+        "o_orderpriority", "median_price", "mode_status", "n_orders"
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS subquery (TPC-H Q4 shape; A21 cache-hit semantics is the same
+# left-semi pattern). Adapted predicate: lineitem has no commit/receipt
+# dates in the fixture, so "has any large-quantity line" stands in.
+# --------------------------------------------------------------------------
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS = left-semi join: probe side pre-filtered (quantity
+    predicate pushed to the lineitem scan), no row multiplication, and
+    the date filter prunes orders before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey"
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING + join-back top-k (TPC-H Q18 shape: large-volume customers)
+# --------------------------------------------------------------------------
+@query(
+    "having_topk",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           ROUND(s.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250) s
+    JOIN orders o ON o.o_orderkey = s.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape. The aggregate+HAVING runs FIRST, shrinking the fact
+    table to the ~1% qualifying orders; the joins back to orders and
+    customer then move only survivor keys. Top-k is TakeOrdered (no
+    global sort). Deterministic tie-break on o_orderkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("sum_qty_raw"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC source round trip (columnar interop beyond parquet; A5 sink family)
+# --------------------------------------------------------------------------
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem projection as ORC, read it back, aggregate.
+    DuckDB can't read ORC, so the oracle aggregates the same rows from
+    parquet — the round trip is exact (no row/value drift) by
+    construction if the hashes match. ORC keeps the same columnar
+    pruning/pushdown properties as parquet under Spark's scan."""
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    l = load_table(spark, sf_dir, "lineitem")
+    l.select("l_returnflag", "l_linestatus", "l_extendedprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# range-clustered sorted layout (the 100 TB scan-pruning play)
+# --------------------------------------------------------------------------
+@query(
+    "write_sorted",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    GROUP BY l_orderkey
+    """,
+)
+def write_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartitionByRange + sortWithinPartitions on the probe key, then
+    a key-range read over the clustered copy. Each output file covers a
+    disjoint orderkey range, so parquet row-group min/max stats prune
+    the scan to ~1 file — the layout that turns a 100 TB full scan into
+    a seek. The oracle runs the same range query on the original."""
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    shutil.rmtree(out, ignore_errors=True)
+    l = load_table(spark, sf_dir, "lineitem")
+    (
+        l.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("l_orderkey").between(1000, 2000))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# distribution window functions (percent_rank/cume_dist/nth_value)
+# --------------------------------------------------------------------------
+@query(
+    "win_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           FIRST_VALUE(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS min_bal,
+           LAST_VALUE(c_acctbal)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS max_bal,
+           NTH_VALUE(c_acctbal, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist are exact double ratios — identical in
+    both engines, no rounding needed. Order key includes c_custkey so
+    ties can't reorder frames. One shuffle on c_mktsegment serves all
+    five windows."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_acctbal").over(wfull).alias("min_bal"),
+        F.last("c_acctbal").over(wfull).alias("max_bal"),
+        F.nth_value("c_acctbal", 3).over(wfull).alias("third_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cross join (dimension cartesian — only ever small x small)
+# --------------------------------------------------------------------------
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CONCAT(r.r_name, '/', n.n_name) AS pair,
+           (n.n_regionkey = r.r_regionkey) AS is_member
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian of two dims (5 x 25). Spark requires
+    crossJoin() to be deliberate — a guard the engine keeps: cartesians
+    of fact tables are a plan bug, and plan_audit asserts no accidental
+    CartesianProduct anywhere else in the suite."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.concat(F.col("r_name"), F.lit("/"), F.col("n_name")).alias("pair"),
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_member"),
+    )
+
+
+# --------------------------------------------------------------------------
+# bitwise aggregates (fingerprint folding — the simhash accumulate
+# pattern as first-class aggregates)
+# --------------------------------------------------------------------------
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(event_id) AS ids_and,
+           BIT_OR(event_id)  AS ids_or,
+           BIT_XOR(event_id) AS ids_xor,
+           COUNT(*)          AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "events")
+    return l.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# blocked edit-distance near-dedup (the fuzzy tier between exact-hash
+# and minhash: catches small in-place edits)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_fuzzy_edit",
+    oracle="""
+    SELECT a.doc_id, b.doc_id AS dup_id,
+           LEVENSHTEIN(SUBSTR(a.text, 1, 200), SUBSTR(b.text, 1, 200)) AS edit_dist
+    FROM documents a JOIN documents b
+      ON SUBSTR(a.text, 1, 20) = SUBSTR(b.text, 1, 20)
+     AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE LEVENSHTEIN(SUBSTR(a.text, 1, 200), SUBSTR(b.text, 1, 200)) <= 5
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by bounded edit distance. The O(len^2)-per-pair
+    Levenshtein only runs INSIDE blocks keyed by (20-char prefix,
+    length/20 bucket) — an equi-join, so it shuffles by block key and
+    never goes quadratic in the corpus. Distance is computed on a
+    200-char prefix cap: cost per pair is bounded no matter how long
+    documents get. JVM-side F.levenshtein (no Python)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, 20).alias("blk_prefix"),
+        (F.col("n_chars") / 20).cast("bigint").alias("blk_len"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk_prefix") == F.col("b.blk_prefix"))
+        & (F.col("a.blk_len") == F.col("b.blk_len"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.levenshtein(
+        F.substring(F.col("a.text"), 1, 200), F.substring(F.col("b.text"), 1, 200)
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("b.doc_id").alias("dup_id"),
+        dist.alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 5)

@@ -1,0 +1,96 @@
+"""Analytics batch 2: scale-claim evidence that the oracle gate can't
+see — sorted-layout file disjointness (the row-group pruning
+precondition), deterministic mode tie-breaking, and fuzzy-dedup
+blocking behavior on planted near-duplicates."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+
+def test_write_sorted_files_cover_disjoint_key_ranges(spark):
+    """repartitionByRange guarantees each output file owns a disjoint
+    l_orderkey interval — the property that lets parquet min/max stats
+    prune a key-range scan to ~1 file at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from curatorhadoopinterface_spark.operators.analytics import write_sorted
+
+    write_sorted(spark, "/root/testdata/sf0.001").collect()
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    ranges = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_orderkey"]
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges
+
+
+def test_write_sorted_readback_pushes_key_filter(spark):
+    from curatorhadoopinterface_spark.operators.analytics import write_sorted
+
+    write_sorted(spark, "/root/testdata/sf0.001").collect()
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    rb = spark.read.parquet(out).filter(F.col("l_orderkey").between(1000, 2000))
+    plan = rb._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    start = plan.index("PushedFilters")
+    assert "l_orderkey" in plan[start : plan.index("]", start)]
+
+
+def test_mode_tie_breaks_to_min_value(spark):
+    """Two statuses with equal counts -> the lexicographically smaller
+    one wins (the determinism contract shared with the oracle)."""
+    from curatorhadoopinterface_spark.operators.analytics import agg_median_mode
+
+    rows = [
+        (1, "P1", "B", 10.0),
+        (2, "P1", "A", 20.0),
+        (3, "P1", "C", 30.0),
+        (4, "P1", "A", 40.0),
+        (5, "P1", "B", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string, o_totalprice double"
+    )
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_test_mode")
+    df.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    got = {r.o_orderpriority: r for r in agg_median_mode(spark, out).collect()}
+    assert got["P1"].mode_status == "A"  # A and B both count 2; A < B
+    assert got["P1"].median_price == 30.0
+    assert got["P1"].n_orders == 5
+
+
+def test_fuzzy_edit_finds_planted_near_dup_only(spark):
+    """A 2-char edit inside the same block is caught; a same-prefix doc
+    with a large tail rewrite (distance > 5) is not; a different-length
+    doc never even pairs (blocking)."""
+    from curatorhadoopinterface_spark.operators.analytics import dedup_fuzzy_edit
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    near = base[:-8] + "lazy cat"                      # small edit, same length
+    far = base[:20] + ("Z" * (len(base) - 20))         # same block key, big rewrite
+    other = "completely different and much shorter text"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, near, "en", "web", len(near)),
+        (3, far, "en", "web", len(far)),
+        (4, other, "en", "web", len(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_test_fuzzy")
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    pairs = {(r.doc_id, r.dup_id) for r in dedup_fuzzy_edit(spark, out).collect()}
+    assert pairs == {(1, 2)}

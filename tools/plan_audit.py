@@ -66,6 +66,27 @@ AUDITS: dict[str, dict] = {
     # spine/join/window passes all clustered on the up-front user_id
     # repartition (remaining Exchange nodes are its runtime-reused copies)
     "ts_spine_fill": {"partial": True, "prune": ["event_type", "props", "value"]},
+    # analytics batch 2
+    "unpivot_melt": {"prune": ["p_name", "p_brand", "p_type"]},
+    "agg_collect_list": {"partial": True, "prune": ["l_extendedprice", "l_shipdate"]},
+    "agg_stats_moments": {"partial": True, "prune": ["l_orderkey", "l_shipdate"]},
+    # median is sort-based but still partials (TypedImperativeAggregate);
+    # the mode side is two hash aggs, both partialed
+    "agg_median_mode": {"partial": True, "prune": ["o_orderkey", "o_custkey"]},
+    # quantity predicate pushed to the lineitem scan feeding the semi join
+    "subquery_exists": {"pushed": True, "prune": ["l_extendedprice", "o_totalprice"]},
+    # HAVING agg partials before its exchange; fact table shrinks FIRST
+    "having_topk": {"partial": True, "prune": ["l_shipdate", "l_extendedprice"]},
+    # one mktsegment exchange serves all five window functions
+    "win_percentiles": {"max_exchange": 1, "prune": ["c_name", "c_nationkey"]},
+    # deliberate 5x25 dim cartesian: BNLJ against a broadcast-tiny side
+    # IS the intended strategy (never CartesianProduct)
+    "join_cross": {"no_bnlj": False},
+    "agg_bitwise": {"partial": True, "prune": ["ts", "user_id", "value", "props"]},
+    # orderkey range predicate must reach the clustered copy's scan —
+    # the row-group pruning evidence for the sorted layout
+    "write_sorted": {"pushed": True},
+    "dedup_fuzzy_edit": {"prune": ["lang", "source"]},
 }
 
 
