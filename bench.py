@@ -57,6 +57,8 @@ OPTIONAL = [
     "agg_collect_list",
     "dedup_fuzzy_edit",
     "win_percentiles",
+    "agg_approx_quantile",
+    "graph_pagerank",
 ]
 
 

@@ -454,3 +454,148 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("dup_id"),
         dist.alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 5)
+
+
+# --------------------------------------------------------------------------
+# approximate quantiles (the bounded-memory sketch path for 100 TB)
+# --------------------------------------------------------------------------
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_DISC(l_extendedprice, [0.25, 0.5, 0.9, 0.95, 0.99]) AS price_q,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx = the Greenwald-Khanna sketch: single pass,
+    bounded memory, mergeable partials — the quantile that still works
+    when a group holds 10^12 rows (exact percentile must sort). With
+    accuracy >= group size the sketch returns the exact lower order
+    statistic, which is how it stays oracle-checkable here (verified
+    element-identical to DuckDB quantile_disc at sf0.001/0.01/0.1); at
+    production scale the same plan degrades gracefully to rank error
+    <= n/accuracy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.9, 0.95, 0.99], 1_000_000
+        ).alias("price_q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join (M7: the recurring-join shuffle, paid once)
+# --------------------------------------------------------------------------
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over PRE-BUCKETED copies of orders/lineitem (8 buckets on
+    the join key, sorted within buckets). The bucketing shuffle is paid
+    once at write time; every later join on the key is a local merge —
+    the physical plan has NO exchange on either join side (asserted in
+    tests/test_bucketed_join.py and the plan audit: only the group-by
+    exchanges). This is the 100 TB answer for a join that runs daily."""
+    wh = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_bucketed_q")
+    for tbl, src, key in (
+        ("bq_orders", "orders", "o_orderkey"),
+        ("bq_lineitem", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        load_table(spark, sf_dir, src).write.bucketBy(8, key).sortBy(key).option(
+            "path", os.path.join(wh, tbl)
+        ).mode("overwrite").saveAsTable(tbl)
+    o = spark.table("bq_orders")
+    l = spark.table("bq_lineitem").hint("merge")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-iteration PageRank (iterative algorithm as repeated join+agg,
+# with an UNROLLED exact SQL oracle — no "weaker rows-only check")
+# --------------------------------------------------------------------------
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg_o AS (SELECT o, COUNT(*) AS d FROM edges GROUP BY o),
+    deg_p AS (SELECT p, COUNT(*) AS d FROM edges GROUP BY p),
+    n_o AS (SELECT COUNT(*) AS c FROM deg_o),
+    n_p AS (SELECT COUNT(*) AS c FROM deg_p),
+    r0 AS (SELECT o, 1.0 / (SELECT c FROM n_o) AS s FROM deg_o),
+    p1 AS (SELECT e.p,
+                  ROUND(0.15 / (SELECT c FROM n_p)
+                        + 0.85 * SUM(r0.s / deg_o.d), 12) AS s
+           FROM edges e JOIN r0 ON e.o = r0.o JOIN deg_o ON e.o = deg_o.o
+           GROUP BY e.p),
+    r1 AS (SELECT e.o,
+                  ROUND(0.15 / (SELECT c FROM n_o)
+                        + 0.85 * SUM(p1.s / deg_p.d), 12) AS s
+           FROM edges e JOIN p1 ON e.p = p1.p JOIN deg_p ON e.p = deg_p.p
+           GROUP BY e.o),
+    p2 AS (SELECT e.p,
+                  ROUND(0.15 / (SELECT c FROM n_p)
+                        + 0.85 * SUM(r1.s / deg_o.d), 12) AS s
+           FROM edges e JOIN r1 ON e.o = r1.o JOIN deg_o ON e.o = deg_o.o
+           GROUP BY e.p)
+    SELECT p2.p AS l_partkey, p2.s AS pagerank, deg_p.d AS part_degree
+    FROM p2 JOIN deg_p ON p2.p = deg_p.p
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full power-iteration rounds of PageRank (damping 0.85) over
+    the bipartite order<->part graph from lineitem edges. Each round is
+    join(scores, edges) + groupBy — the Pregel-in-DataFrames shape. The
+    edge table is the reused, key-partitioned operand: at scale you
+    persist edges bucketed by the join key so every iteration is
+    shuffle-free on the edge side (see join_bucketed). Intermediate
+    scores round to 12 decimals IN BOTH ENGINES so FP summation order
+    can't compound across iterations; graph layout (degrees, damping
+    leak) is preserved exactly. The oracle unrolls the same two rounds
+    as CTEs — exact value check, not rows-only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    deg_o = edges.groupBy("o").agg(F.count(F.lit(1)).alias("d_o"))
+    deg_p = edges.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
+    n_o = deg_o.count()  # scalar aggregates, not unbounded collects
+    n_p = deg_p.count()
+    ed = edges.join(deg_o, "o").join(deg_p, "p")
+
+    def push(scores: DataFrame, src: str, dst: str, src_deg: str, n_dst: int) -> DataFrame:
+        return (
+            ed.join(scores, src)
+            .groupBy(dst)
+            .agg(
+                F.round(
+                    F.lit(0.15 / n_dst) + F.lit(0.85) * F.sum(F.col("s") / F.col(src_deg)),
+                    12,
+                ).alias("s")
+            )
+        )
+
+    r0 = deg_o.select("o", F.lit(1.0 / n_o).alias("s"))
+    p1 = push(r0, "o", "p", "d_o", n_p)
+    r1 = push(p1, "p", "o", "d_p", n_o)
+    p2 = push(r1, "o", "p", "d_o", n_p)
+    return p2.join(deg_p, "p").select(
+        F.col("p").alias("l_partkey"),
+        F.col("s").alias("pagerank"),
+        F.col("d_p").alias("part_degree"),
+    )

@@ -87,6 +87,12 @@ AUDITS: dict[str, dict] = {
     # the row-group pruning evidence for the sorted layout
     "write_sorted": {"pushed": True},
     "dedup_fuzzy_edit": {"prune": ["lang", "source"]},
+    # GK sketch partials merge map-side like any hash agg
+    "agg_approx_quantile": {"partial": True, "prune": ["l_orderkey", "l_shipdate"]},
+    # the join consumes the 8-bucket layout: the ONLY exchange allowed
+    # is the group-by's (the join itself is shuffle-free)
+    "join_bucketed": {"max_exchange": 1},
+    "graph_pagerank": {"partial": True, "prune": ["l_extendedprice", "l_shipdate"]},
 }
 
 
