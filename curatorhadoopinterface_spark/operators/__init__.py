@@ -25,6 +25,7 @@ ORACLE: dict[str, str] = {}
 _MODULES = (
     "curatorhadoopinterface_spark.operators.relational",
     "curatorhadoopinterface_spark.operators.analytics",
+    "curatorhadoopinterface_spark.operators.advanced",
     "curatorhadoopinterface_spark.operators.windows",
     "curatorhadoopinterface_spark.operators.scalars",
     "curatorhadoopinterface_spark.operators.spans",

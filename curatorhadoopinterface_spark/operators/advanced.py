@@ -1,0 +1,383 @@
+"""Analytics batch 4: warehouse + Spark-4-native surface growth.
+
+- ``merge_scd2``: slowly-changing-dimension type-2 reconstruction (validity
+  intervals from an event log) — the warehouse twin of the reference's
+  version-staleness model (CuratorHandler.java:816-896: a view is "current"
+  until a newer annotator version supersedes it).
+- ``join_salted_skew``: explicit salted equi-join — the M7/SCALE.md skew
+  remedy as a declared, oracle-checked query (result must equal the plain
+  join byte-for-byte).
+- ``text_repetition``: Gopher-style repetition quality signals (top-bigram
+  fraction, duplicate-word fraction) computed ARRAY-LOCALLY per document —
+  zero shuffles, the only scale-sane way to score 100 TB of text.
+- ``udtf_native``: Spark 4 Python UDTF (`@udtf`) in a LATERAL join — the
+  typed-table-function face of the annotator dispatch (A24,
+  CuratorHandler.java:911-961 ``transform``).
+- ``json_variant``: Spark 4 VARIANT ingestion (``parse_json`` +
+  ``try_variant_get``) over the ``events.props`` JSON column — the engine's
+  debug/interchange format (SURVEY.md §2C json row) upgraded to the
+  binary-encoded open type.
+- ``agg_sketch_hll``: Datasketches HLL distinct-count sketch
+  (``hll_sketch_agg``/``hll_sketch_estimate``) — mergeable partials, the
+  100 TB answer to COUNT(DISTINCT). Self-verifying: the query emits a
+  Spark-side boolean asserting the estimate lands within 5% of exact; the
+  oracle pins the exact count and expects the boolean TRUE, so a drifting
+  sketch fails the hash.
+- ``agg_zscore_outlier``: per-group z-score outlier screen — the
+  statistical quality gate a training-data pipeline runs over telemetry
+  (two-pass: tiny stats aggregate broadcast back onto the fact stream).
+
+Scale notes:
+- scd2 uses ONE user_id sort exchange for both window passes (lag-change
+  detection + lead valid_to share partitioning and ordering);
+- the salted join multiplies only the SMALL side (x8 explode of orders)
+  and salts the fact side with a deterministic hash — at 100 TB this is
+  what turns one straggler reducer on a hot key into 8 even tasks;
+- text_repetition does sort+fold inside the row (array_sort + aggregate
+  over the bigram array): no explode, no shuffle, scan-shaped;
+- hll partials merge map-side exactly like any hash agg — constant-size
+  state per group vs the O(distinct) state of exact COUNT(DISTINCT).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# SCD2 reconstruction from an event log
+# --------------------------------------------------------------------------
+@query(
+    "merge_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    chg AS (
+      SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM chg
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the events log: collapse
+    consecutive same-type rows per user, then assign [valid_from,
+    valid_to) intervals with the next change's timestamp (NULL = current
+    row). Mirrors the reference's "view valid until a newer annotator
+    version supersedes it" semantics (CuratorHandler.java:816-896).
+    Both window passes share one (user_id, ts, event_id) sort exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    valid_to = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# salted skew join (result identical to the plain join)
+# --------------------------------------------------------------------------
+_SALT_BUCKETS = 8
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key remedy as a declared query: the fact side gets a
+    deterministic salt in [0, 8) and the dim side is exploded x8, so one
+    skewed orderkey spreads over 8 reducers. The oracle is the PLAIN
+    join — salting must not change a single row. At 100 TB this (or
+    AQE's skewedJoin, enabled in session.py) is the difference between
+    one 2-hour straggler and 8 even 15-minute tasks."""
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_partkey", "l_suppkey"), F.lit(_SALT_BUCKETS)).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+    )
+    return (
+        l.join(
+            o,
+            (l["l_orderkey"] == o["o_orderkey"]) & (l["salt"] == o["salt"]),
+            "inner",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals, array-local
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, word, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+      )
+    ),
+    b AS (
+      SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY ord)
+               AS bigram
+      FROM w
+    ),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c
+      FROM b WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS nb
+      FROM bc GROUP BY doc_id
+    ),
+    ws AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
+      FROM w GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           ws.n_words,
+           top.top_bigram_cnt,
+           ROUND(top.top_bigram_cnt * 1.0 / top.nb, 9) AS top_bigram_frac,
+           ROUND(1.0 - ws.n_distinct * 1.0 / ws.n_words, 9) AS dup_word_frac
+    FROM ws JOIN top USING (doc_id)
+    WHERE ws.n_words >= 2
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText filters): the
+    fraction of bigrams taken by the single most frequent bigram, and
+    the fraction of duplicated word occurrences. Everything happens
+    INSIDE the row — zip_with builds the bigram array, array_sort +
+    aggregate folds out the longest equal-run (= max bigram count)
+    without any explode or shuffle. The oracle rebuilds the same stats
+    relationally (unnest + windows + group-bys). Plan shape: scan ->
+    project, zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    run_step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_words"),
+            top_cnt.cast("long").alias("top_bigram_cnt"),
+            F.round(top_cnt / (n - 1).cast("double"), 9).alias("top_bigram_frac"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double"), 9
+            ).alias("dup_word_frac"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 native Python UDTF in a LATERAL join
+# --------------------------------------------------------------------------
+@query(
+    "udtf_native",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms,
+           COUNT(DISTINCT term) AS n_distinct_terms
+    FROM t GROUP BY doc_id
+    """,
+)
+def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed table-function face of annotator dispatch (A24,
+    CuratorHandler.java:911-961): a Spark 4 ``@udtf`` class yields
+    (term, pos) rows per document and is applied with a SQL LATERAL
+    join, then aggregated. This is the registered-UDTF API surface;
+    the hot path for the same computation is the pure-SQL split +
+    explode (see text_token_count) — the UDTF form is for logic a SQL
+    expression can't state."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, term_pos int")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            if text:
+                for i, t in enumerate(text.split(" ")):
+                    yield t, i
+
+    spark.udtf.register("adv_split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("adv_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS n_terms,
+               COUNT(DISTINCT s.term) AS n_distinct_terms
+        FROM adv_docs d, LATERAL adv_split_words(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion of the JSON props column
+# --------------------------------------------------------------------------
+@query(
+    "json_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(props->>'$.k' AS INTEGER)) AS n_k,
+           MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+           MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+           ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema JSON ingestion via the Spark 4 VARIANT type:
+    ``parse_json`` binary-encodes ``events.props`` once, then
+    ``try_variant_get`` extracts typed paths without a fixed schema —
+    the engine's upgrade of the reference's stringly-typed attributes
+    map (Span.attributes, curator.thrift / SURVEY.md section 1.2). At
+    100 TB, VARIANT beats per-query ``get_json_object`` re-parsing
+    (one decode, shredded binary access after)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL distinct sketch (self-verifying against exact)
+# --------------------------------------------------------------------------
+@query(
+    "agg_sketch_hll",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL per-group distinct-user count. The sketch state
+    is constant-size and MERGEABLE, so partial aggregation works
+    map-side exactly like a sum — the 100 TB replacement for exact
+    COUNT(DISTINCT)'s O(distinct)-sized hash state. Self-verifying
+    oracle contract: the Spark side computes BOTH the sketch estimate
+    and the exact count and emits ``est_within_5pct``; the oracle pins
+    the exact count and expects TRUE, so an out-of-tolerance sketch
+    flips the boolean and fails the value hash."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-group z-score outlier screen
+# --------------------------------------------------------------------------
+@query(
+    "agg_zscore_outlier",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) > 2 THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality gate: count |z| > 2 outliers per event_type.
+    Two-pass shape that scales: pass 1 reduces 100 TB to a
+    groups-sized stats table; pass 2 broadcasts it back onto the fact
+    stream — the fact table is scanned twice but never shuffled on a
+    data-sized key. (A training-data pipeline uses the same shape to
+    drop documents with outlier perplexity/length per source.)"""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )

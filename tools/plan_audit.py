@@ -93,6 +93,19 @@ AUDITS: dict[str, dict] = {
     # is the group-by's (the join itself is shuffle-free)
     "join_bucketed": {"max_exchange": 1},
     "graph_pagerank": {"partial": True, "prune": ["l_extendedprice", "l_shipdate"]},
+    # analytics batch 4
+    # one (user_id, ts, event_id) sort exchange feeds BOTH window passes
+    "merge_scd2": {"max_exchange": 1, "prune": ["value", "props"]},
+    # salting must not defeat partial aggregation or read extra columns
+    "join_salted_skew": {"partial": True, "prune": ["l_comment", "l_shipdate"]},
+    # repetition signals are array-local: scan -> project, ZERO exchanges
+    "text_repetition": {"max_exchange": 0, "prune": ["lang", "source", "n_chars"]},
+    "udtf_native": {"prune": ["lang", "source", "n_chars"]},
+    "json_variant": {"partial": True, "prune": ["user_id", "value"]},
+    "agg_sketch_hll": {"partial": True, "prune": ["value", "props"]},
+    # stats side broadcasts back onto the fact scan
+    "agg_zscore_outlier": {"broadcast": True, "partial": True,
+                           "prune": ["props", "user_id"]},
 }
 
 
