@@ -5,9 +5,14 @@ routes every value through ``BigDecimal.setScale`` (object allocation +
 string conversion per row) — measured ~9x slower than pure double math
 on a 600k-row projection. DuckDB's ``ROUND(DOUBLE, n)`` is itself pure
 double arithmetic (``std::round(x * 10^n) / 10^n``), so for the oracle
-contract the double-native form is the *more* faithful one. Verified
-bit-identical to ``F.round`` over lineitem-derived positives at sf0.01
-and sf0.1.
+contract the double-native form is the closer match. Verified equal to
+``F.round`` over lineitem-derived positives at sf0.01 and sf0.1 — a
+DATASET-SPECIFIC equivalence, not a general identity: on decimal-
+boundary doubles (e.g. 2.675, whose nearest double is below 2.675)
+BigDecimal HALF_UP and double-native rounding can differ by 1 ulp of
+the last kept digit, and ``floor(x*10^s + 0.5)`` can differ from
+``std::round`` when ``x*10^s`` sits within 0.5-epsilon of an integer.
+New callers with arbitrary data should not rely on the identity.
 """
 
 from __future__ import annotations

@@ -254,7 +254,10 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="term string, term_pos int")
     class SplitWords:
         def eval(self, text: str):  # noqa: ANN001
-            if text:
+            # `is not None`, not truthiness: DuckDB's string_split('')
+            # unnests one '' term, so an empty-string doc must still
+            # emit a row to keep row counts aligned across engines.
+            if text is not None:
                 for i, t in enumerate(text.split(" ")):
                     yield t, i
 

@@ -715,7 +715,10 @@ def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
         c.join(o, o["o_custkey"] == c["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(s),
+            # no broadcast hint: supplier scales with SF (~10M rows/TB);
+            # AQE picks broadcast at small SF and shuffle join at 100x.
+            # nation/region below stay hinted — they are fixed-size dims.
+            s,
             (s["s_suppkey"] == li["l_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
@@ -735,7 +738,7 @@ def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_sampled,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE SUBSTR(MD5(text), 1, 1) <
           CASE WHEN lang = 'en' THEN '4' ELSE '8' END
