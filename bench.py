@@ -7,12 +7,22 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect — the 100 TB-honest way to measure).
+
+Instrumentation (so a real regression is separable from machine load in
+one artifact): every query runs 3 times; ``queries`` reports the MIN
+(the operator's actual cost — spikes on a shared machine are load, not
+the plan), and ``detail`` adds min/median/max plus the stage count and
+shuffle read/write bytes of the final run, taken from the Spark
+AppStatusStore. Unchanged code whose min moves <20% round-over-round
+with identical stage/shuffle counts is load; a shuffle-byte or
+stage-count delta is a plan change.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -61,18 +71,65 @@ OPTIONAL = [
     "graph_pagerank",
 ]
 
+N_RUNS = 3
 
-def run_one(qfn, spark, sf_dir: str) -> float:
-    """Best of two end-to-end runs: a single sample on a shared machine
-    sees 2-4x spikes from unrelated load; min-of-2 reports the
-    operator's actual cost."""
-    best = float("inf")
-    for _ in range(2):
+
+def _stage_snapshot(spark) -> dict:
+    """(stageId, attempt) -> (shuffle_read_bytes, shuffle_write_bytes)
+    for every stage the AppStatusStore currently retains."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        gw = spark.sparkContext._gateway
+        # Scala defaults are invisible to py4j: pass all five args
+        # (statuses=[] means ALL, details=False, withSummaries=False,
+        # quantiles=[], taskStatus=[])
+        seq = store.stageList(
+            gw.jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.ArrayList(),
+        )
+        out = {}
+        for i in range(seq.size()):
+            s = seq.apply(i)
+            out[(s.stageId(), s.attemptId())] = (
+                s.shuffleReadBytes(),
+                s.shuffleWriteBytes(),
+            )
+        return out
+    except Exception:
+        return {}
+
+
+def run_one(qfn, spark, sf_dir: str) -> dict:
+    """N_RUNS end-to-end executions; min is the reported cost, the final
+    run's stage/shuffle delta is the plan fingerprint."""
+    samples = []
+    stages = shuffle_read = shuffle_write = 0
+    for i in range(N_RUNS):
+        before = _stage_snapshot(spark) if i == N_RUNS - 1 else None
         t0 = time.time()
         df = qfn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.time() - t0)
-    return best
+        samples.append(time.time() - t0)
+        if before is not None:
+            # listener bus is async; let the final events land (outside
+            # the timed window)
+            time.sleep(0.4)
+            after = _stage_snapshot(spark)
+            new = {k: v for k, v in after.items() if k not in before}
+            stages = len(new)
+            shuffle_read = sum(v[0] for v in new.values())
+            shuffle_write = sum(v[1] for v in new.values())
+    return {
+        "min": round(min(samples), 3),
+        "median": round(statistics.median(samples), 3),
+        "max": round(max(samples), 3),
+        "stages": stages,
+        "shuffle_read_mb": round(shuffle_read / 1e6, 2),
+        "shuffle_write_mb": round(shuffle_write / 1e6, 2),
+    }
 
 
 def main() -> None:
@@ -96,10 +153,13 @@ def main() -> None:
 
     names = HEADLINE + [n for n in OPTIONAL if n in qs]
     times: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             continue
-        times[name] = round(run_one(qs[name], spark, sf_dir), 3)
+        d = run_one(qs[name], spark, sf_dir)
+        times[name] = d["min"]
+        detail[name] = d
 
     total = round(sum(times.values()), 3)
     print(
@@ -109,6 +169,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "detail": detail,
+                "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -153,6 +153,79 @@ def read_serialized_records(spark: SparkSession, path: str) -> DataFrame:
     return src.mapInPandas(decode, "identifier string, raw_text string")
 
 
+#: Engine RECORD schema in DDL form, for the thrift reader's mapInPandas
+#: output (mirrors schema.RECORD; kept as DDL so the Arrow path gets an
+#: explicit schema without importing pyspark types worker-side).
+_RECORD_DDL = (
+    "identifier string, raw_text string, whitespaced boolean, "
+    "label_views map<string,struct<labels:array<struct<start:int,ending:int,"
+    "label:string,score:double,source:string,attributes:map<string,string>>>,"
+    "source:string,score:double>>, "
+    "cluster_views map<string,struct<clusters:array<struct<labels:array<struct<"
+    "start:int,ending:int,label:string,score:double,source:string,"
+    "attributes:map<string,string>>>>>,source:string,score:double>>, "
+    "parse_views map<string,struct<trees:array<struct<top:int,nodes:array<struct<"
+    "label:string,span:struct<start:int,ending:int,label:string,score:double,"
+    "source:string,attributes:map<string,string>>,children:map<int,string>>>,"
+    "score:double>>,source:string>>"
+)
+
+
+def read_thrift_records(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+    """Ingest a corpus the REFERENCE produced: one Thrift-binary Record
+    file per document (SerializationHandler.java:39-117 wire format, read
+    back by CuratorRecordReader.java:24-57). The genuine interop surface —
+    a migrating user points this at their existing serialized corpus.
+
+    ``binaryFile`` scan (one row per file, like the reference's
+    one-split-per-record DirectoryInputFormat.java:33-65) + Arrow-batched
+    stdlib decode (thrift_codec.py) into the engine RECORD schema. At
+    100 TB the file-per-doc layout itself is the bottleneck (NN pressure,
+    no splits) — ingest once, persist as parquet via write_corpus."""
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from curatorhadoopinterface_spark.thrift_codec import decode_thrift_record
+
+        for pdf in batches:
+            recs = [decode_thrift_record(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(recs)
+
+    return src.mapInPandas(decode, _RECORD_DDL)
+
+
+def write_thrift_records(df: DataFrame, path: str) -> None:
+    """The inverse: emit a reference-READABLE serialized corpus, one
+    ``<identifier>.txt`` TBinaryProtocol blob per record, executor-side
+    (foreachPartition, no driver collect) — so a user can hand results
+    back to the reference stack (CuratorClient.java:299-339 resume)."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    cols = set(df.columns)
+
+    def write_partition(rows) -> None:
+        import os
+
+        from curatorhadoopinterface_spark.thrift_codec import encode_thrift_record
+
+        for row in rows:
+            rec = row.asDict(recursive=True)
+            blob = encode_thrift_record(rec)
+            with open(os.path.join(path, f"{rec['identifier']}.txt"), "wb") as fh:
+                fh.write(blob)
+
+    keep = [c for c in ("identifier", "raw_text", "whitespaced", "label_views", "cluster_views", "parse_views") if c in cols]
+    df.select(*keep).foreachPartition(write_partition)
+
+
 def roundtrip_check(spark: SparkSession, df: DataFrame, path: str) -> bool:
     """Write-then-read-back equality, the reference's post-write check
     (HadoopCuratorClient.java:83-104): re-read and diff must be empty.

@@ -599,42 +599,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. The oracle unrolls the same two rounds as CTEs — exact
     value check, not rows-only.
 
-    The iterated operand ``ed`` (edges ⋈ both degree tables) is
-    PERSISTED: it appears in every push round plus the final projection,
-    and lineage for each round's scores truncates at the cache instead
-    of re-scanning lineitem (the round-1 plan audit flagged 3 re-scans).
-    Both vertex counts come off the cached ``ed`` in a single action."""
+    Cache layout: the narrow distinct edge list plus the two per-vertex
+    degree aggregates are persisted (each re-read by every push round);
+    per-edge contributions are computed SCORE-side (s/d on the small
+    vertex table) before touching edges, so no widened edges⋈degrees
+    operand is ever built or cached. Vertex counts come off the narrow
+    degree aggregates. The final result is eagerly localCheckpoint-ed
+    (the dedup.py pattern) so every cache can be unpersisted before
+    return — no cached blocks leak into the shared session."""
     l = load_table(spark, sf_dir, "lineitem")
-    edges = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    deg_o = edges.groupBy("o").agg(F.count(F.lit(1)).alias("d_o"))
-    deg_p = edges.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
-    ed = edges.join(deg_o, "o").join(deg_p, "p").persist()
-    # one action: materializes the cache AND yields both vertex counts
-    # (scalar aggregates, not unbounded collects; no lineitem re-scan)
-    counts = ed.agg(
-        F.countDistinct("o").alias("n_o"), F.countDistinct("p").alias("n_p")
-    ).first()
-    n_o, n_p = counts["n_o"], counts["n_p"]
+    edges = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    deg_o = edges.groupBy("o").agg(F.count(F.lit(1)).alias("d_o")).persist()
+    deg_p = edges.groupBy("p").agg(F.count(F.lit(1)).alias("d_p")).persist()
+    # ONE action yields both vertex counts off the narrow aggregates and
+    # materializes all three caches (no lineitem re-scan afterwards)
+    n_o, n_p = (
+        deg_o.agg(F.count(F.lit(1)).alias("c"))
+        .unionAll(deg_p.agg(F.count(F.lit(1)).alias("c")))
+        .collect()
+    )
+    n_o, n_p = n_o["c"], n_p["c"]
 
-    def push(scores: DataFrame, src: str, dst: str, src_deg: str, n_dst: int) -> DataFrame:
+    def push(scores: DataFrame, deg: DataFrame, src: str, dst: str, n_dst: int) -> DataFrame:
+        # divide by out-degree on the small per-vertex table FIRST, then
+        # join edges — the wide side never carries degree columns
+        contrib = scores.join(deg, src).select(
+            src, (F.col("s") / F.col(deg.columns[1])).alias("c")
+        )
         return (
-            ed.join(scores, src)
+            edges.join(contrib, src)
             .groupBy(dst)
             .agg(
-                F.round(
-                    F.lit(0.15 / n_dst) + F.lit(0.85) * F.sum(F.col("s") / F.col(src_deg)),
-                    9,
-                ).alias("s")
+                F.round(F.lit(0.15 / n_dst) + F.lit(0.85) * F.sum("c"), 9).alias("s")
             )
         )
 
-    r0 = ed.select("o", "d_o").dropDuplicates(["o"]).select("o", F.lit(1.0 / n_o).alias("s"))
-    p1 = push(r0, "o", "p", "d_o", n_p)
-    r1 = push(p1, "p", "o", "d_p", n_o)
-    p2 = push(r1, "o", "p", "d_o", n_p)
-    # part degrees read from the cache too — no deg_p recompute
-    return p2.join(ed.select("p", "d_p").dropDuplicates(["p"]), "p").select(
-        F.col("p").alias("l_partkey"),
-        F.col("s").alias("pagerank"),
-        F.col("d_p").alias("part_degree"),
+    r0 = deg_o.select("o", F.lit(1.0 / n_o).alias("s"))
+    p1 = push(r0, deg_o, "o", "p", n_p)
+    r1 = push(p1, deg_p, "p", "o", n_o)
+    p2 = push(r1, deg_o, "o", "p", n_p)
+    out = (
+        p2.join(deg_p, "p")
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("s").alias("pagerank"),
+            F.col("d_p").alias("part_degree"),
+        )
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    deg_o.unpersist()
+    deg_p.unpersist()
+    return out

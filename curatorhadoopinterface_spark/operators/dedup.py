@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
 
 N_HASHES = 12
 BAND_SIZE = 3  # 4 bands of 3 rows; P(candidate) ~= 1-(1-J^3)^4
@@ -49,11 +49,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     way in both engines for the <3-word degenerate case."""
     d = load_table(spark, sf_dir, "documents")
     # shingling is CPU-bound column work: spread a few-split scan over
-    # the cores (same 1-partition trap as provide(); no-op at scale
-    # where file splits >> cores)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # the cores (same 1-partition trap as provide(); plan-side estimate,
+    # no RDD materialization; no-op at scale where file splits >> cores)
+    d = ensure_min_partitions(d)
     # materialize the words array ONCE per row — inlining split(text)
     # into every element access makes codegen re-split per gram term
     return d.select("doc_id", F.split("text", " ").alias("w")).select(

@@ -696,12 +696,14 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: the multi-way join every warehouse query at
-    100 TB lives and dies by. Catalyst reorders; the tiny dims
-    (region/nation/supplier) broadcast, the fact-fact
-    orders-lineitem join shuffles once on orderkey, and the
-    o_orderdate range predicate pushes into the orders scan (at scale:
-    the partition-pruning column). The customer-nation == supplier-nation
-    equality is the 'local supplier' residual."""
+    100 TB lives and dies by. Catalyst reorders; only the FIXED-SIZE
+    dims (nation/region) carry broadcast hints — supplier scales with
+    SF, so its join strategy is left to AQE (broadcast at small SF,
+    shuffle join at 100x). The fact-fact orders-lineitem join shuffles
+    once on orderkey, and the o_orderdate range predicate pushes into
+    the orders scan (at scale: the partition-pruning column). The
+    customer-nation == supplier-nation equality is the 'local supplier'
+    residual."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))

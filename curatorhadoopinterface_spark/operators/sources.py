@@ -121,6 +121,49 @@ def scan_binary_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_thrift_records",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('02fa706ba34aeee1a4d7afd0627da3aa251b841f', 1888, 339, 35, 339, false),
+      ('631accbe63b5ef429286300f38ccc61a2d0593bf', 3535, 712, 13, 712, false),
+      ('9b9208987bf78e4c1f3e8004e8b9b5b0a67db881', 1185, 210, 17, 210, false),
+      ('f1e05f878989d070e9eca58cc52081eca4e91b5b',  208,  46,  2,  46, false)
+    ) AS t(identifier, n_chars, n_tokens, n_sentences, n_pos, whitespaced)
+    """,
+)
+def scan_thrift_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL reference-corpus interop: ingest the Thrift-binary Records
+    the reference itself serialized (samplejob/serialized/<sha1>.txt,
+    SerializationHandler.java:39-117 wire format / CuratorRecordReader
+    .java:24-57 read path) via the stdlib TBinaryProtocol decoder
+    (thrift_codec.py) and profile identifier + view cardinalities.
+
+    The oracle is the literal expected table: these four files are fixed
+    public artifacts, and every value (identifier = filename = the
+    Identifier.java sha1 rule, token/sentence/pos span counts inside the
+    label views) is independently pinned by tests/test_thrift_interop.py.
+    Falls back to empty (0 rows, same schema) if the reference corpus is
+    not mounted."""
+    from curatorhadoopinterface_spark.io import read_thrift_records
+
+    corpus = "/root/reference/samplejob/serialized"
+    if not os.path.isdir(corpus):
+        return spark.createDataFrame(
+            [],
+            "identifier string, n_chars int, n_tokens int, n_sentences int, n_pos int, whitespaced boolean",
+        )
+    rec = read_thrift_records(spark, corpus)
+    return rec.select(
+        "identifier",
+        F.length("raw_text").cast("int").alias("n_chars"),
+        F.size(F.col("label_views")["tokens"]["labels"]).alias("n_tokens"),
+        F.size(F.col("label_views")["sentences"]["labels"]).alias("n_sentences"),
+        F.size(F.col("label_views")["pos"]["labels"]).alias("n_pos"),
+        "whitespaced",
+    )
+
+
+@query(
     "scan_csv",
     oracle="""
     SELECT lang, source,

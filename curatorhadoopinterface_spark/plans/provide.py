@@ -35,6 +35,7 @@ from curatorhadoopinterface_spark.plans.registry import (
     dependency_closure,
 )
 from curatorhadoopinterface_spark.schema import CLUSTERING, FOREST, LABELING
+from curatorhadoopinterface_spark.session import ensure_min_partitions
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -124,11 +125,9 @@ def provide(
 
     # annotation is CPU-bound in the Python worker: a small corpus that
     # parquet packed into fewer splits than there are cores would leave
-    # most executors idle (the 1-partition/1-core trap). At 100 TB the
-    # file splits already exceed core count and this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if udf_input.rdd.getNumPartitions() < parallelism:
-        udf_input = udf_input.repartition(parallelism)
+    # most executors idle (the 1-partition/1-core trap). Plan-side split
+    # estimate — no RDD materialization; no-op at 100 TB.
+    udf_input = ensure_min_partitions(udf_input)
 
     def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # worker-side import: annotator "model load" happens once per

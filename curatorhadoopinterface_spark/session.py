@@ -96,3 +96,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Spread a small scan over all cores before CPU-bound column work.
+
+    A corpus that parquet packs into fewer splits than there are cores
+    leaves most executors idle (the 1-partition/1-core trap). Detection
+    is PLAN-side — no RDD conversion, no job: the expected split count
+    is bounded below by max(#input files, scan bytes / maxPartitionBytes)
+    from Catalyst's plan statistics. At 100 TB either bound vastly
+    exceeds core count and this is a no-op; repartition fires only when
+    the whole scan provably packs under ``defaultParallelism`` splits.
+    """
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df.repartition(parallelism)
+    # 128 MiB: spark.sql.files.maxPartitionBytes default; a conservative
+    # (over-)estimate of split granularity is fine — we only need a
+    # lower bound on split count to prove the scan is small
+    est_splits = max(n_files, size_bytes // (128 * 1024 * 1024))
+    if est_splits < parallelism:
+        return df.repartition(parallelism)
+    return df

@@ -94,3 +94,38 @@ def test_fuzzy_edit_finds_planted_near_dup_only(spark):
     df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     pairs = {(r.doc_id, r.dup_id) for r in dedup_fuzzy_edit(spark, out).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_native_array_collect_and_percentile(spark):
+    """The native-array variant of agg_collect_list (docstring claim):
+    collect_list/sort_array kept as real ARRAY columns (the driver
+    oracle only sees the ,-joined projection because its canonicalizer
+    can't hash array cells), plus exact `percentile` continuous
+    interpolation on a hand-checkable group."""
+    rows = [
+        (10, 3, "R", 4.0),
+        (10, 1, "N", 8.0),
+        (10, 2, "R", 6.0),
+        (20, 1, "A", 10.0),
+        (20, 2, "A", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_returnflag string, l_quantity double"
+    )
+    got = {
+        r.l_orderkey: r
+        for r in df.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        )
+        .collect()
+    }
+    assert got[10].line_numbers == [1, 2, 3]
+    assert got[10].flags == ["N", "R"]
+    assert got[10].median_qty == 6.0
+    assert got[20].line_numbers == [1, 2]
+    assert got[20].flags == ["A"]
+    # continuous interpolation: midpoint of 10 and 20
+    assert got[20].median_qty == 15.0
