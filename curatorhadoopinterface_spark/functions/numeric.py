@@ -22,12 +22,17 @@ from pyspark.sql import Column
 
 
 def round_pos_double(col: Column, scale: int) -> Column:
-    """HALF_UP rounding of a NON-NEGATIVE double column, pure double math.
+    """HALF_UP rounding of a double column, pure double math on the
+    non-negative fast path.
 
     ``floor(x * 10^s + 0.5) / 10^s`` == BigDecimal HALF_UP for x >= 0.
-    For negative x the floor form rounds toward +inf instead of away
-    from zero — callers must guarantee a non-negative domain (prices,
-    distances, sqrt/ln outputs ...).
-    """
+    DOMAIN-GUARDED (not caller-trusted): negative values take Spark's
+    ``F.round`` (BigDecimal HALF_UP) instead, because for x < 0 the
+    floor form rounds toward +inf rather than away from zero. The guard
+    is a codegen branch, not a second pass — the hot path (prices,
+    distances, sqrt/ln outputs) stays allocation-free, and a caller that
+    feeds a negative can no longer silently get the wrong rounding mode
+    when the driver raises the scale factor."""
     p = F.lit(float(10**scale))
-    return F.floor(col * p + F.lit(0.5)) / p
+    fast = F.floor(col * p + F.lit(0.5)) / p
+    return F.when(col >= 0, fast).otherwise(F.round(col, scale))

@@ -464,53 +464,67 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # approximate quantiles (the bounded-memory sketch path for 100 TB)
 # --------------------------------------------------------------------------
+_AQ_QS = (0.25, 0.50, 0.90, 0.95, 0.99)
+_AQ_ACC = 10_000  # GK accuracy: rank error <= n/_AQ_ACC
+_AQ_TOL = 2.0 / _AQ_ACC  # x2 margin over the guarantee for cont-vs-disc edges
+
+
 @query(
     "agg_approx_quantile",
     oracle="""
     SELECT l_returnflag,
-           QUANTILE_DISC(l_extendedprice, 0.25) AS p25,
-           QUANTILE_DISC(l_extendedprice, 0.50) AS p50,
-           QUANTILE_DISC(l_extendedprice, 0.90) AS p90,
-           QUANTILE_DISC(l_extendedprice, 0.95) AS p95,
-           QUANTILE_DISC(l_extendedprice, 0.99) AS p99,
-           COUNT(*) AS n_rows
+           COUNT(*) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+           TRUE AS p95_ok, TRUE AS p99_ok
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx = the Greenwald-Khanna sketch: single pass,
     bounded memory, mergeable partials — the quantile that still works
-    when a group holds 10^12 rows (exact percentile must sort). With
-    accuracy >= group size the sketch returns the exact lower order
-    statistic, which is how it stays oracle-checkable here (verified
-    element-identical to DuckDB quantile_disc at sf0.001/0.01/0.1); at
-    production scale the same plan degrades gracefully to rank error
-    <= n/accuracy. NOTE: the exact==quantile_disc identity only holds
-    while every group fits the accuracy parameter (1e6 rows); beyond
-    sf~1 switch the oracle contract to a tolerance check (like
-    agg_sketch_hll) — documented here so the contract is explicit.
+    when a group holds 10^12 rows (exact percentile must sort).
 
-    The sketch still runs ONCE per group (one agg producing the
-    5-element array); the quantiles are projected to scalar columns
-    afterwards because the driver's pandas canonicalizer cannot hash
-    array cells (CORRECTNESS_r01 err — same root cause as
-    agg_collect_list)."""
+    SELF-VERIFYING oracle contract (the agg_sketch_hll pattern, and
+    SCALE-INDEPENDENT — the round-2 NOTE about the exact==quantile_disc
+    identity breaking past ~1e6 rows/group is now moot): pass 1 computes
+    the sketch; pass 2 broadcasts the groups-sized estimate table back
+    onto the fact and counts each estimate's exact rank interval
+    ``[cnt_lt+1, cnt_le]``. The GK guarantee — the returned element has
+    a rank within ``q*n ± n/accuracy`` — is then checked as
+    ``cnt_lt <= q*n + n/acc  AND  cnt_le >= q*n - n/acc`` (±1 row slop
+    for floor conventions). Rank counting is EXACT at every group size,
+    unlike interpolated-percentile bounds, which sit between adjacent
+    order statistics and break for groups under ~tol⁻¹ rows. The oracle
+    pins group counts and expects every flag TRUE, so an out-of-bound
+    sketch flips a boolean and fails the value hash — at sf0.001 or
+    sf100 alike. Pass 2 is the verification harness, not the production
+    path; production reads the sketch alone (single pass, mergeable)."""
     l = load_table(spark, sf_dir, "lineitem")
-    q = l.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.9, 0.95, 0.99], 1_000_000
-        ).alias("price_q"),
+    g = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", list(_AQ_QS), _AQ_ACC).alias("est"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return q.select(
-        "l_returnflag",
-        F.col("price_q")[0].alias("p25"),
-        F.col("price_q")[1].alias("p50"),
-        F.col("price_q")[2].alias("p90"),
-        F.col("price_q")[3].alias("p95"),
-        F.col("price_q")[4].alias("p99"),
-        "n_rows",
+    j = l.join(F.broadcast(g), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        *[
+            F.sum((F.col("l_extendedprice") < F.col("est")[i]).cast("long")).alias(f"lt{i}")
+            for i in range(len(_AQ_QS))
+        ],
+        *[
+            F.sum((F.col("l_extendedprice") <= F.col("est")[i]).cast("long")).alias(f"le{i}")
+            for i in range(len(_AQ_QS))
+        ],
     )
+    out = g.join(ranks, "l_returnflag")
+    slack = F.col("n_rows") / _AQ_ACC + 1
+    checks = [
+        (
+            (F.col(f"lt{i}") <= F.lit(q) * F.col("n_rows") + slack)
+            & (F.col(f"le{i}") >= F.lit(q) * F.col("n_rows") - slack)
+        ).alias(f"p{int(q * 100)}_ok")
+        for i, q in enumerate(_AQ_QS)
+    ]
+    return out.select("l_returnflag", "n_rows", *checks)
 
 
 # --------------------------------------------------------------------------
@@ -586,7 +600,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p2 JOIN deg_p ON p2.p = deg_p.p
     """,
 )
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """Two full power-iteration rounds of PageRank (damping 0.85) over
     the bipartite order<->part graph from lineitem edges. Each round is
     join(scores, edges) + groupBy — the Pregel-in-DataFrames shape. The
@@ -642,15 +656,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = push(r0, deg_o, "o", "p", n_p)
     r1 = push(p1, deg_p, "p", "o", n_o)
     p2 = push(r1, deg_o, "o", "p", n_p)
-    out = (
-        p2.join(deg_p, "p")
-        .select(
-            F.col("p").alias("l_partkey"),
-            F.col("s").alias("pagerank"),
-            F.col("d_p").alias("part_degree"),
-        )
-        .localCheckpoint(eager=True)
+    out = p2.join(deg_p, "p").select(
+        F.col("p").alias("l_partkey"),
+        F.col("s").alias("pagerank"),
+        F.col("d_p").alias("part_degree"),
     )
+    if not checkpoint:
+        # plan-audit path: expose the full (uncheckpointed) plan; the
+        # caller must not unpersist-race a concurrent execution
+        return out
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
     deg_o.unpersist()
     deg_p.unpersist()

@@ -136,8 +136,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate stage alone (`doc_a < doc_b` distinct pairs
+    before the exact-Jaccard verify) — exposed so the scale harness
+    (tools/stress_dedup.py, SCALE.md) can measure candidate growth
+    against the all-pairs quadratic baseline."""
+    cands, _ = _minhash_core(spark, sf_dir)
+    return cands
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs `(doc_a, doc_b, jaccard)`, doc_a < doc_b."""
+    cands, sets = _minhash_core(spark, sf_dir)
+    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
+        F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    return (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= VERIFY_J)
+        # int/int division of identical ints is bit-identical across
+        # engines — no rounding needed (rounding could HALF_UP/HALF_EVEN
+        # diverge on power-of-two denominators)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared signature+LSH stages: returns (candidate pairs, shingle
+    sets keyed by doc_id)."""
     sh = _shingles(spark, sf_dir).withColumn(
         "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
     )
@@ -180,18 +207,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sets = doc_agg.select("doc_id", "s")
-    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
-        F.array_union(F.col("sa.s"), F.col("sb.s"))
-    )
-    return (
-        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= VERIFY_J)
-        # int/int division of identical ints is bit-identical across
-        # engines — no rounding needed (rounding could HALF_UP/HALF_EVEN
-        # diverge on power-of-two denominators)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return cands, sets
 
 
 _SIMHASH_BITS = 16

@@ -7,15 +7,16 @@ metadata columns; every media op is a Pandas-batched UDF over
 ``mapInPandas`` so payload bytes stream through the Python worker in
 Arrow batches without ever materializing on the driver.
 
-The decode step itself is STUBBED here — the image/audio libraries are
-not in this container (see ``decode_media``: raises NotImplementedError
-unless a decoder import succeeds) — but everything Spark-side is real and
-oracle-checked: binary column construction, schema, Arrow batch shape,
-the byte-slicing frame sampler, and the metadata arithmetic that a real
-decoder would replace. The deterministic fake derives every "decoded"
+The decode step is REAL for the containers the stdlib can parse —
+PPM (P6), BMP, and WAV are decoded byte-for-byte by ``decode_media``
+(width/height/channels from actual headers and pixel/frame data, with
+matching stdlib encoders for tests). Codec-heavy formats (JPEG/MP4/Opus)
+still require PIL/pyav and fall back — like the fixtures' text-byte
+payloads — to the deterministic fake, which derives every "decoded"
 field from the payload byte count so DuckDB can replay it
-(``octet_length(encode(text))``), which pins the full Python byte-path
-(Arrow BINARY → bytes → compute → struct out) against the JVM value.
+(``octet_length(encode(text))``). Either way the full Python byte-path
+(Arrow BINARY → bytes → compute → struct out) is identical and pinned
+against the JVM value.
 
 Payloads are synthesized in-query as the UTF-8 encoding of the document
 text (DuckDB: ``encode(text)``) — the fixtures carry no real media, and
@@ -44,21 +45,133 @@ FRAME_SIZE = 256  # bytes per sampled "frame" of a fake video payload
 _MODALITY = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
 
-def decode_media(payload: bytes, modality: str) -> dict:
-    """Real decoder hook — image/audio libs are not installed in this
-    container, so this raises unless one is importable. Production
-    deployments swap the import for PIL / torchaudio / pyav; the UDFs
-    below fall back to :func:`fake_decode` (deterministic, oracle-
-    replayable) when no decoder is present.
+def decode_media(payload: bytes, modality: str | None = None) -> dict:
+    """REAL stdlib-only decoder for the formats a container with no
+    media libraries can still parse byte-for-byte:
+
+    - **PPM (P6)**: width/height from the ASCII header, channels=3,
+      pixel data length validated against w*h*3.
+    - **BMP** (BITMAPINFOHEADER): width/height/channels from the little-
+      endian header fields at offsets 18/22/28.
+    - **WAV** (RIFF PCM, via the stdlib ``wave`` module): mapped onto the
+      image-shaped feature struct as width=n_frames, height=sample_rate,
+      channels=n_channels (documented shape, asserted in pytest).
+
+    Anything else (e.g. the fixtures' UTF-8 text payloads) raises
+    ``ValueError`` and the pipeline falls back to :func:`fake_decode`
+    (deterministic, oracle-replayable). Codec-heavy formats (JPEG/MP4/
+    Opus) still need PIL/pyav — swap the import here in production.
     """
-    try:  # pragma: no cover - decoder libs absent by design
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "no media decoder available in this environment; "
-            "use fake_decode() for deterministic plumbing tests"
-        ) from None
-    raise NotImplementedError("real decode path not wired yet")
+    n = len(payload)
+    est_kb = math.floor(n / 1024.0 * 10000 + 0.5) / 10000
+    if payload[:2] == b"P6":
+        # ASCII header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":  # comment line
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, _maxval = fields
+        if n - pos < w * h * 3:
+            raise ValueError("PPM pixel data shorter than width*height*3")
+        return {"n_bytes": n, "width": w, "height": h, "channels": 3, "est_kb": est_kb}
+    if payload[:2] == b"BM" and n >= 34:
+        import struct
+
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = abs(struct.unpack_from("<i", payload, 22)[0])  # top-down BMPs are negative
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if w <= 0 or h <= 0 or bpp % 8:
+            raise ValueError("malformed BMP header")
+        return {
+            "n_bytes": n,
+            "width": w,
+            "height": h,
+            "channels": bpp // 8,
+            "est_kb": est_kb,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            return {
+                "n_bytes": n,
+                "width": wf.getnframes(),
+                "height": wf.getframerate(),
+                "channels": wf.getnchannels(),
+                "est_kb": est_kb,
+            }
+    raise ValueError("unrecognized media container (no PPM/BMP/WAV magic)")
+
+
+def try_decode(payload: bytes) -> dict:
+    """decode_media if the payload is a real PPM/BMP/WAV container,
+    else the deterministic fake — the single decode entrypoint the
+    batch UDFs use, so real media and the text-byte fixtures flow
+    through identical plumbing."""
+    try:
+        return decode_media(payload)
+    except ValueError:
+        return fake_decode(payload)
+
+
+# ---- stdlib encoders (test fixtures; the write-side twin of decode) ----
+def make_ppm(width: int, height: int) -> bytes:
+    """Binary P6 PPM with a deterministic pixel gradient."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes(((x * 7) % 256, (y * 13) % 256, (x + y) % 256))
+    return header + bytes(px)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """24-bit bottom-up BMP (BITMAPINFOHEADER, rows padded to 4 bytes)."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    data_size = (row + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + data_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes(((x + y) % 256, (y * 3) % 256, (x * 5) % 256))
+        px += b"\x00" * pad
+    return header + bytes(px)
+
+
+def make_wav(n_frames: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """16-bit PCM WAV with a deterministic sawtooth."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack("<h", (i * 257) % 32768 - 16384) * channels
+            for i in range(n_frames)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -122,10 +235,19 @@ def mm_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Decode' each payload in Arrow-batched Python (mapInPandas) —
-    bytes in, feature struct out, zero shuffle. The fake decoder's
-    fields are byte-count arithmetic so the oracle replays them; a real
-    decoder drops into the same signature (see decode_media)."""
+    """Decode each payload in Arrow-batched Python (mapInPandas) —
+    bytes in, feature struct out, zero shuffle. Real PPM/BMP/WAV
+    containers are ACTUALLY parsed (decode_media, stdlib-only); other
+    payloads — including these fixtures' UTF-8 text bytes — fall back to
+    the deterministic fake whose fields are byte-count arithmetic so the
+    oracle replays them. Same plumbing either way (try_decode), pinned
+    on real pixels by tests/test_udfs_multimodal.py."""
+    return decode_features(manifest(spark, sf_dir))
+
+
+def decode_features(mdf: DataFrame) -> DataFrame:
+    """The reusable decode stage over any manifest-schema DataFrame
+    (doc_id, modality, payload binary)."""
     out_schema = StructType.fromDDL(
         "doc_id bigint, modality string, n_bytes int, width int, height int,"
         " channels int, est_kb double"
@@ -133,13 +255,13 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode(p) for p in pdf["payload"]]
+            feats = [try_decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "modality", pdf["modality"].values)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return manifest(spark, sf_dir).mapInPandas(decode_batches, out_schema)
+    return mdf.mapInPandas(decode_batches, out_schema)
 
 
 @query(

@@ -139,3 +139,129 @@ def test_multibatch_dedup_keeps_first_arrival(spark, tmp_path):
     rows = {r["event_id"]: r["value"] for r in spark.table("t_dd_mb").collect()}
     # event 1's SECOND arrival (value 99) was suppressed by state
     assert rows == {1: 1.0, 2: 2.0, 3: 3.0}, rows
+
+
+def test_stream_stream_join_state_across_batches_and_eviction(spark, tmp_path):
+    """Join state must SURVIVE to the next micro-batch (an error arriving
+    in batch 1 joins a click arriving in batch 2) and be EVICTED once the
+    watermark passes (a click far older than the in-force watermark finds
+    nothing, and emits nothing). This is the bounded-memory contract a
+    100 TB/day stream-stream join runs on."""
+    base = str(tmp_path / "ssj_src")
+    t0 = time.time() - 1000
+    # batch 1: an error for user 1 at 00:00 (enters error-side state)
+    _write_batch(
+        spark, [(10, "2024-01-01 00:00:00", 1.0)], f"{base}/errors/b1.parquet", t0
+    )
+    _write_batch(
+        spark, [(0, "2024-01-01 00:00:00", 0.0)], f"{base}/clicks/b0.parquet", t0
+    )
+    # batch 2: a click for user 1 at 00:30 -> joins the batch-1 error
+    _write_batch(
+        spark, [(20, "2024-01-01 00:30:00", 1.0)], f"{base}/clicks/b2.parquet", t0 + 10
+    )
+    # batch 3: both sides jump to 08:00 -> watermark (delay 1h) advances
+    # past 00:00 on both sides; the 00:00 error is evicted from state
+    _write_batch(
+        spark, [(30, "2024-01-01 08:00:00", 1.0)], f"{base}/errors/b3.parquet", t0 + 20
+    )
+    _write_batch(
+        spark, [(40, "2024-01-01 08:00:00", 1.0)], f"{base}/clicks/b3.parquet", t0 + 20
+    )
+    # batch 4: another advance so the new watermark is in force
+    _write_batch(
+        spark, [(50, "2024-01-01 09:00:00", 1.0)], f"{base}/clicks/b4.parquet", t0 + 30
+    )
+    # batch 5: a LATE click back at 00:45 — the matching error's state is
+    # gone, so no pair may be emitted for it
+    _write_batch(
+        spark, [(60, "2024-01-01 00:45:00", 1.0)], f"{base}/clicks/b5.parquet", t0 + 40
+    )
+
+    def side(sub, id_alias, ts_alias):
+        return (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{base}/{sub}")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.lit(1).alias(f"user_{sub}"),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    clicks = side("clicks", "click_id", "click_ts")
+    errors = side("errors", "error_id", "error_ts")
+    j = clicks.join(
+        errors,
+        F.expr(
+            "user_clicks = user_errors AND "
+            "error_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    ).select("click_id", "error_id")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_ssj_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    pairs = {(r["click_id"], r["error_id"]) for r in spark.table("t_ssj_mb").collect()}
+    assert (20, 10) in pairs, f"cross-batch join pair missing: {pairs}"
+    assert (60, 10) not in pairs, f"evicted state was re-joined: {pairs}"
+    # the 08:00/09:00 clicks may legitimately pair with the 08:00 error
+    unexpected = pairs - {(20, 10), (40, 30), (50, 30), (0, 10)}
+    assert not unexpected, f"unexpected pairs: {unexpected}"
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
+    """Exactly-once across a query RESTART on the same checkpoint: rows
+    committed by run 1 are not re-emitted by run 2, files added between
+    runs are picked up once, and the _spark_metadata log hides any
+    uncommitted files from batch readers."""
+    src_dir = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    t0 = time.time() - 1000
+    _write_batch(
+        spark,
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 2.0)],
+        f"{src_dir}/b1.parquet",
+        t0,
+    )
+    _write_batch(
+        spark, [(3, "2024-01-01 00:02:00", 3.0)], f"{src_dir}/b2.parquet", t0 + 10
+    )
+
+    def run_once():
+        src = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+        q = (
+            src.select("event_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+
+    run_once()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3]
+    # between runs: one more file lands
+    _write_batch(
+        spark, [(4, "2024-01-01 00:03:00", 4.0)], f"{src_dir}/b3.parquet", t0 + 20
+    )
+    run_once()
+    back = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in back)
+    # 1-3 appear exactly once (no reprocessing), 4 exactly once (no loss)
+    assert ids == [1, 2, 3, 4], ids

@@ -66,13 +66,63 @@ def test_mm_payload_roundtrips_bytes(spark, sf_dir):
         assert row["modality"] in ("image", "audio", "video")
 
 
-def test_mm_decode_stub_gated(spark):
-    """decode_media must refuse (NotImplementedError) when no decoder lib
-    is importable — never silently fake in the real path."""
+def test_mm_decode_refuses_undecodable(spark):
+    """decode_media must refuse (ValueError) containers it cannot truly
+    parse (PNG needs a codec lib) — never silently fake in the real
+    path; the fake fallback happens only in try_decode."""
     from curatorhadoopinterface_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image")
+
+
+def test_decode_media_real_ppm_bmp_wav():
+    """The stdlib decoder recovers the EXACT dimensions the stdlib
+    encoders wrote — real bytes in, real header/pixel parse out."""
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        decode_media,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    ppm = decode_media(make_ppm(17, 9))
+    assert (ppm["width"], ppm["height"], ppm["channels"]) == (17, 9, 3)
+    bmp = decode_media(make_bmp(33, 21))
+    assert (bmp["width"], bmp["height"], bmp["channels"]) == (33, 21, 3)
+    wav = decode_media(make_wav(480, sample_rate=8000, channels=2))
+    assert (wav["width"], wav["height"], wav["channels"]) == (480, 8000, 2)
+    # truncated pixel data must not parse as a valid image
+    with pytest.raises(ValueError):
+        decode_media(make_ppm(17, 9)[:-10])
+
+
+def test_mm_decode_features_real_pixels_through_spark(spark):
+    """The mapInPandas decode stage computes width/height/channels from
+    REAL decoded pixels when payloads are genuine containers, and falls
+    back to the deterministic fake for plain text bytes — in one batch,
+    through the same Arrow plumbing mm_decode_features uses."""
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        decode_features,
+        fake_decode,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    rows = [
+        (1, "image", make_ppm(31, 7)),
+        (2, "image", make_bmp(12, 50)),
+        (3, "audio", make_wav(1600, sample_rate=16000, channels=1)),
+        (4, "image", b"just some text bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, modality string, payload binary")
+    got = {r["doc_id"]: r for r in decode_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (31, 7, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (12, 50, 3)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (1600, 16000, 1)
+    fk = fake_decode(b"just some text bytes")
+    assert (got[4]["width"], got[4]["height"]) == (fk["width"], fk["height"])
 
 
 def test_mm_frame_sample_covers_payload(spark, sf_dir):

@@ -167,7 +167,11 @@ def main() -> None:
     for name, spec in AUDITS.items():
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
+        if name == "graph_pagerank":
+            # audit the full plan, not the post-checkpoint scan stub
+            df = qs[name](spark, sf_dir, checkpoint=False)
+        else:
+            df = qs[name](spark, sf_dir)
         plan = plan_of(df)
         problems = audit(name, plan, spec)
         status = "PASS" if not problems else "FAIL: " + "; ".join(problems)
