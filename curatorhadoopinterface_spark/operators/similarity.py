@@ -301,3 +301,74 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
     )
+
+
+# -- ANN quality measurement: recall of the LSH path vs the exact baseline --
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH {_O_BASE},
+    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_o_cos('q', 'c')} DESC, c.vec_id) AS rk
+            FROM q JOIN base c ON c.vec_id <> q.vec_id)
+        WHERE rk <= {TOP_K}),
+    bucketed AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id)),
+    bq AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY bq.vec_id
+                       ORDER BY {_o_cos('bq', 'c')} DESC, c.vec_id) AS rk
+            FROM bq JOIN bucketed c
+              ON c.bucket = bq.bucket AND c.vec_id <> bq.vec_id)
+        WHERE rk <= {TOP_K}),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS n_overlap
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COALESCE(MIN(h.n_overlap), 0) AS n_overlap,
+           ROUND(COALESCE(MIN(h.n_overlap), 0) * 1.0 / {TOP_K}, 4) AS recall
+    FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH path against the brute-force baseline — the
+    metric ANN indexes are actually judged by, computed as a QUERY so it
+    runs on the production corpus itself (both engines compute the same
+    deterministic pipelines, so the whole recall table is value-checked,
+    not just a tolerance flag).
+
+    Shape at 100 TB: the exact side is the expensive one (broadcast
+    cross-scan), but this runs on a SAMPLE of queries (vec_id <
+    N_QUERIES) — the standard recall-estimation protocol: you never need
+    exact answers for every query, only for enough sampled queries to
+    estimate recall. Both sides reuse the same single corpus scan."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / TOP_K, 4).alias("recall"),
+        )
+    )

@@ -642,3 +642,129 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-LM scoring: per-doc unigram negative log-likelihood (the KenLM-
+# style quality signal of LLM-data pipelines, reduced to the exactly-
+# replayable unigram MLE case)
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT COUNT(*) AS t FROM words)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           ROUND(AVG(-LN(cnt * 1.0 / (SELECT t FROM tot))), 4)
+               AS avg_neg_logprob,
+           ROUND(EXP(AVG(-LN(cnt * 1.0 / (SELECT t FROM tot)))), 2)
+               AS unigram_ppl
+    FROM words JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood (and perplexity) under
+    the corpus's own unigram MLE — the language-model quality score
+    every LLM-ingest pipeline runs (low-probability-dense docs are
+    gibberish/boilerplate candidates), in its exactly-replayable form.
+
+    Two-pass broadcast shape (same as text_tfidf): pass 1 reduces the
+    exploded words to a vocabulary-sized count table that BROADCASTS
+    into pass 2's per-word scoring join, so the corpus-side explode is
+    scanned once and never shuffled on the word. At 100 TB the full
+    vocabulary outgrows a broadcast: keep the top-K head broadcast and
+    co-partition the Zipf tail (or fold OOV into a smoothing constant —
+    here every scored word is in-vocabulary by construction, so the MLE
+    needs no smoothing and both engines compute bit-comparable
+    ``-ln(cnt/total)`` terms; the per-doc AVG is rounded in-query in
+    BOTH engines so summation order can't flip the hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = words.count()
+    lp = -F.log(F.col("cnt") / F.lit(float(total)))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(lp), 4).alias("avg_neg_logprob"),
+            F.round(F.exp(F.avg(lp)), 2).alias("unigram_ppl"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# passage-level exact dedup (fixed word-window blocks): the boilerplate
+# remover of LLM-data pipelines — repeated passages are dropped even when
+# their containing documents differ
+# --------------------------------------------------------------------------
+_PASSAGE_WORDS = 20
+
+
+@query(
+    "dedup_passages",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    b AS (SELECT doc_id,
+                 ARRAY_TO_STRING(ws[(i * {_PASSAGE_WORDS} + 1):
+                                    (i * {_PASSAGE_WORDS} + {_PASSAGE_WORDS})], ' ')
+                     AS block
+          FROM w, UNNEST(GENERATE_SERIES(0, LEN(ws) // {_PASSAGE_WORDS} - 1))
+                      AS t(i))
+    SELECT MD5(block) AS block_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM b GROUP BY MD5(block)
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage dedup over non-overlapping {20}-word blocks: hash
+    every block, keep hashes seen in more than one document — the
+    boilerplate/template remover that document-level dedup misses
+    (headers, licence blocks, navigation chrome repeat across otherwise
+    distinct pages).
+
+    Shape at 100 TB: the explode multiplies rows by ~n_words/20, but
+    each exploded row is immediately reduced to a 16-byte hash
+    projection, and the groupBy partial-aggregates map-side before the
+    single hash-keyed exchange — the shuffle carries hashes and counts,
+    never passage text. Dropping the flagged blocks is then a
+    broadcast-able anti-join for all but pathological corpora (the
+    flagged set is duplicated-passages-sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    # sub-block docs yield no passages; filtering them BEFORE the
+    # sequence also avoids Spark's illegal-boundary error on
+    # sequence(0, -1, 1) (DuckDB's GENERATE_SERIES returns empty there)
+    w = d.select("doc_id", _words().alias("ws")).filter(
+        F.size("ws") >= _PASSAGE_WORDS
+    )
+    blocks = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"size(ws) div {_PASSAGE_WORDS}") - F.lit(1),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ws"), i * _PASSAGE_WORDS + 1, _PASSAGE_WORDS)
+                ),
+            )
+        ).alias("block"),
+    )
+    return (
+        blocks.groupBy(F.md5("block").alias("block_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -275,6 +275,50 @@ def _w_forest(w: _Writer, fo: dict) -> None:
     w.stop()
 
 
+def decode_thrift_multirecord(blob: bytes) -> dict:
+    """One serialized MultiRecord (curator.thrift:46-53: the cross-doc
+    annotation unit — member record identifiers + corpus-level views
+    whose spans index into the concatenation of member rawTexts)."""
+    raw = _Reader(blob).struct()
+    return {
+        "identifier": raw.get(1),
+        "records": raw.get(2, []),
+        "label_views": {k: _labeling(v) for k, v in raw.get(3, {}).items()} or None,
+        "cluster_views": {k: _clustering(v) for k, v in raw.get(4, {}).items()} or None,
+        "parse_views": {k: _forest(v) for k, v in raw.get(5, {}).items()} or None,
+    }
+
+
+def encode_thrift_multirecord(rec: dict) -> bytes:
+    """Engine dict -> reference-compatible MultiRecord blob."""
+    w = _Writer()
+    w.field(T_STRING, 1); w.v_str(rec["identifier"])
+    w.field(T_LIST, 2)
+    members = rec.get("records") or []
+    w.list_header(T_STRING, len(members))
+    for m in members:
+        w.v_str(m)
+    w.field(T_MAP, 3)
+    lv = rec.get("label_views") or {}
+    w.map_header(T_STRING, T_STRUCT, len(lv))
+    for k, v in lv.items():
+        w.v_str(k); _w_labeling(w, v)
+    w.field(T_MAP, 4)
+    cv = rec.get("cluster_views") or {}
+    w.map_header(T_STRING, T_STRUCT, len(cv))
+    for k, v in cv.items():
+        w.v_str(k); _w_clustering(w, v)
+    w.field(T_MAP, 5)
+    pv = rec.get("parse_views") or {}
+    w.map_header(T_STRING, T_STRUCT, len(pv))
+    for k, v in pv.items():
+        w.v_str(k); _w_forest(w, v)
+    w.field(T_MAP, 6)
+    w.map_header(T_STRING, T_STRUCT, 0)
+    w.stop()
+    return b"".join(w.parts)
+
+
 def encode_thrift_record(rec: dict) -> bytes:
     """Engine RECORD-schema dict -> reference-compatible Record blob.
 

@@ -175,3 +175,37 @@ def test_golden_pipeline_vs_reference_output(spark):
         if (t_ours, s_ours) == (t_ref, s_ref):
             exact += 1
     assert exact >= 2, "expected exact token+sentence parity on >=2 docs"
+
+
+def test_multirecord_codec_roundtrip():
+    """MultiRecord (curator.thrift:46-53) encode -> decode is lossless,
+    including cluster views whose spans index the concatenated member
+    texts — the unit annotate_crossdoc_coref models."""
+    from curatorhadoopinterface_spark.thrift_codec import (
+        decode_thrift_multirecord,
+        encode_thrift_multirecord,
+    )
+
+    mr = {
+        "identifier": "corpus-0",
+        "records": ["a" * 40, "b" * 40],
+        "label_views": None,
+        "cluster_views": {
+            "coref": {
+                "clusters": [
+                    {
+                        "labels": [
+                            {"start": 0, "ending": 5, "label": "M", "score": None,
+                             "source": None, "attributes": None},
+                            {"start": 120, "ending": 126, "label": "M", "score": None,
+                             "source": None, "attributes": None},
+                        ]
+                    }
+                ],
+                "source": "enginecoref-1.0",
+                "score": None,
+            }
+        },
+        "parse_views": None,
+    }
+    assert decode_thrift_multirecord(encode_thrift_multirecord(mr)) == mr
