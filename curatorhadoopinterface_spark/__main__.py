@@ -58,6 +58,13 @@ def cmd_annotate(args: argparse.Namespace) -> None:
     modes = [resolve_mode(m) for m in args.mode]
     if args.format == "text":
         df = read_text_corpus(spark, args.input)
+    elif args.format == "thrift":
+        # migrate straight off a reference-serialized corpus (one
+        # TBinaryProtocol Record file per doc) — existing views are kept
+        # and provide() computes only what's missing per record
+        from curatorhadoopinterface_spark.io import read_thrift_records
+
+        df = read_thrift_records(spark, args.input)
     else:
         df = spark.read.parquet(args.input)
     if args.store:
@@ -110,7 +117,7 @@ def main(argv: list[str] | None = None) -> None:
     pa.add_argument("--input", required=True, help="corpus dir (text files or parquet)")
     pa.add_argument("--output", default=None, help="output parquet dir")
     pa.add_argument("--mode", nargs="+", required=True, help="annotation mode(s)")
-    pa.add_argument("--format", choices=("text", "parquet"), default="text")
+    pa.add_argument("--format", choices=("text", "parquet", "thrift"), default="text")
     pa.add_argument(
         "--best-effort",
         action="store_true",

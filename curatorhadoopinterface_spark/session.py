@@ -53,6 +53,11 @@ def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None =
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level bloom pruning: a selective dim-side filter
+        # becomes a bloom filter applied at the fact-side SCAN before the
+        # join shuffle — at 100 TB this is the difference between
+        # shuffling the whole fact table and shuffling the matching slice
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and convert in load_table.

@@ -43,3 +43,26 @@ def test_cli_queries_listing(capsys):
     out = capsys.readouterr().out
     assert "dedup_minhash\toracle" in out
     assert "annotate_pipeline\toracle" in out
+
+
+def test_cli_annotate_thrift_corpus(spark, tmp_path, capsys):
+    """--format thrift ingests a reference-serialized corpus directly;
+    views already in the records are KEPT (memoization), the missing
+    mode is computed."""
+    import os
+
+    src = "/root/reference/samplejob/serialized"
+    if not os.path.isdir(src):
+        pytest.skip("reference samplejob fixtures not present")
+    out = str(tmp_path / "from_thrift")
+    main(
+        ["annotate", "--input", src, "--format", "thrift",
+         "--output", out, "--mode", "chunk"]
+    )
+    assert "annotated 4 records" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    rows = {r["identifier"]: r.asDict(recursive=True) for r in back.collect()}
+    assert len(rows) == 4
+    for rec in rows.values():
+        # pre-existing reference views retained + the new chunk view
+        assert {"sentences", "tokens", "pos", "chunk"} <= set(rec["label_views"])

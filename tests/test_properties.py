@@ -102,3 +102,54 @@ def test_record_codec_total_roundtrip(identifier, text):
     from curatorhadoopinterface_spark.io import _decode_record, _encode_record
 
     assert _decode_record(_encode_record(identifier, text)) == (identifier, text)
+
+
+# ---- thrift codec: adversarial round-trip (tests/test_thrift_interop
+# pins the 4 real reference files; this pins the wire format on
+# arbitrary records) ----
+
+_SPANS = st.lists(
+    st.builds(
+        lambda a, b, label, attrs: {
+            "start": min(a, b),
+            "ending": max(a, b) + 1,
+            "label": label,
+            "score": None,
+            "source": None,
+            "attributes": attrs or None,
+        },
+        st.integers(0, 300),
+        st.integers(0, 300),
+        st.one_of(st.none(), TEXTS),
+        st.dictionaries(TEXTS, TEXTS, max_size=3),
+    ),
+    max_size=5,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ident=st.text(min_size=1, max_size=64),
+    raw=TEXTS,
+    ws=st.booleans(),
+    view=st.one_of(st.none(), _SPANS),
+)
+def test_thrift_record_roundtrip_arbitrary(ident, raw, ws, view):
+    from curatorhadoopinterface_spark.thrift_codec import (
+        decode_thrift_record,
+        encode_thrift_record,
+    )
+
+    rec = {
+        "identifier": ident,
+        "raw_text": raw,
+        "whitespaced": ws,
+        "label_views": (
+            {"tokens": {"labels": view, "source": "t-1.0", "score": None}}
+            if view is not None
+            else None
+        ),
+        "cluster_views": None,
+        "parse_views": None,
+    }
+    assert decode_thrift_record(encode_thrift_record(rec)) == rec
