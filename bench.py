@@ -69,6 +69,10 @@ OPTIONAL = [
     "win_percentiles",
     "agg_approx_quantile",
     "graph_pagerank",
+    "contamination_ngram",
+    "pack_sequences",
+    "mixture_sample",
+    "eval_split",
 ]
 
 N_RUNS = 3

@@ -36,6 +36,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.multimodal",
     "curatorhadoopinterface_spark.operators.sources",
     "curatorhadoopinterface_spark.operators.incremental_q",
+    "curatorhadoopinterface_spark.operators.curation",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

@@ -1,0 +1,251 @@
+"""Training-data curation operators (LLM-pipeline extension list).
+
+The four stages a 100 TB pretraining-data pipeline runs after cleanup
+and dedup, each expressed as whole-stage-codegen column algebra so the
+hot path never leaves the JVM, and each replayed verbatim by the DuckDB
+oracle:
+
+- contamination_ngram: benchmark-contamination check — word-3-gram
+  overlap between a held-out eval slice and the training slice, the
+  standard n-gram decontamination pass (cf. GPT-3 appendix C / PaLM
+  contamination analysis, done with 8-13-grams on real corpora; the
+  synthetic fixture's short docs use the same 3-gram shingles as
+  dedup_minhash so the two passes share one shingle stage).
+- pack_sequences:      token-budget sequence packing — assign documents
+  to fixed-budget training sequences by running token count, the
+  deterministic contract of the greedy packer.
+- mixture_sample:      deterministic domain-mixture sampling — keep a
+  per-language target fraction of documents via a content-hash
+  threshold, so the sample is reproducible row-by-row with no RNG
+  state and no shuffle.
+- eval_split:          exact stratified train/val/test split (80/10/10
+  per (lang, source) stratum) by hashed rank — integer arithmetic
+  only, so stratum boundaries are bit-stable across engines.
+
+Scale shapes (100 TB honest): contamination joins the corpus against a
+benchmark-sized eval set — the eval shingle list is tiny and broadcast,
+so the corpus never shuffles; packing is one range-partitioned window
+per language; mixture sampling and splitting are scan-local except for
+the split's per-stratum window (strata are (lang, source) — thousands
+of groups, no skew).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.operators.dedup import _SHINGLES_ORACLE, _shingles
+from curatorhadoopinterface_spark.session import load_table
+
+EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+
+# deterministic per-language keep percentages (domain-mixture targets)
+MIX_PCT: dict[str, int] = {"en": 80, "de": 50, "es": 40, "fr": 30, "zh": 20}
+MIX_DEFAULT = 10
+
+# content-hash uniform in [0, 100): first 28 bits of md5(doc_id), mod 100.
+# Same md5->bigint idiom as the minhash chain (dedup.py) so DuckDB
+# replays it bit-identically.
+_SPARK_U100 = (
+    "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+    " as bigint), 100)"
+)
+_ORACLE_U100 = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+    WITH {_SHINGLES_ORACLE},
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0),
+    train AS (
+        SELECT doc_id, shingle FROM shingles WHERE doc_id % {EVAL_MOD} <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    hit AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM train WHERE shingle IN (SELECT shingle FROM eval_sh)
+        GROUP BY doc_id)
+    SELECT h.doc_id,
+           t.n_shingles,
+           h.n_contaminated,
+           h.n_contaminated * 1.0 / t.n_shingles AS contamination
+    FROM hit h JOIN tot t ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: for every training document that
+    shares at least one word-3-gram with the held-out eval slice
+    (doc_id % 10 == 0), the count and fraction of its shingles that are
+    contaminated.
+
+    Plan: one shingle stage (shared shape with dedup_minhash), the eval
+    side reduced to DISTINCT shingles — benchmark-sized, so Spark
+    broadcasts it and the training corpus is scanned exactly once with a
+    map-side semi join; the only shuffle is the per-doc count. Ratio is
+    int/int division (bit-identical across engines, same note as
+    dedup_minhash's jaccard).
+    """
+    sh = _shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        train.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+        FROM toks)
+    SELECT lang, seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_tokens) * 1.0 / {SEQ_BUDGET} AS fill
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream in doc_id order
+    within each language and land in the training sequence whose running
+    token count they start in (seq_id = floor(tokens-before / budget)) —
+    the deterministic contract of a greedy first-fit packer. Output is
+    the per-sequence fill report.
+
+    Plan: one scan, one range shuffle for the per-lang window, then the
+    group-by reuses the same partitioning (no second exchange for the
+    agg's lang grouping prefix). fill divides by a power of two, so the
+    double is exact and needs no rounding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / SEQ_BUDGET),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.lit(SEQ_BUDGET)).alias("fill"),
+    )
+
+
+def _mix_pct_spark():
+    expr = F.lit(MIX_DEFAULT)
+    for lang, pct in MIX_PCT.items():
+        expr = F.when(F.col("lang") == lang, pct).otherwise(expr)
+    return expr
+
+
+_MIX_PCT_ORACLE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_PCT.items())
+    + f" ELSE {MIX_DEFAULT} END"
+)
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_ORACLE_U100} < {_MIX_PCT_ORACLE}
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each document iff a
+    uniform-in-[0,100) content hash of its id falls under its language's
+    target percentage (en 80 / de 50 / es 40 / fr 30 / zh 20). No RNG
+    state, no shuffle, reproducible row-by-row — re-running the pipeline
+    on a grown corpus keeps exactly the rows it kept before, which is
+    what makes incremental 100 TB ingestion possible (a seeded
+    df.sample() re-draws on every added file).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.expr(_SPARK_U100) < _mix_pct_spark()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "eval_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM documents),
+    tagged AS (
+        SELECT lang, source,
+               CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                    WHEN rk * 10 <= n * 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked)
+    SELECT lang, source, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, source, split
+    """,
+)
+def eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test split: within every (lang, source)
+    stratum, order documents by a content hash (shuffle-proof, not
+    arrival order) and cut at 80%/90% with integer arithmetic
+    (rk*10 <= n*8), so the boundary is bit-stable — no float ratio, no
+    engine-dependent rounding. Output is the per-stratum split census a
+    pipeline asserts before training.
+
+    Plan: one shuffle on (lang, source) serves the rank window, the
+    count window, and the final group-by (same partitioning prefix).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wtag = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang", "source")
+    tagged = d.select(
+        "lang",
+        "source",
+        F.row_number().over(wtag).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "lang",
+        "source",
+        F.when(F.col("rk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("lang", "source", "split").agg(
+        F.count("*").alias("n_docs")
+    )

@@ -1,0 +1,107 @@
+"""Semantics of the training-data curation operators (operators/curation.py).
+
+The oracle sweep proves Spark==DuckDB; these pytests prove the
+operators mean what they claim (packing conservation, exact stratum
+cuts, hash-sample determinism, contamination bounds) — invariants a
+value-hash can't express.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from curatorhadoopinterface_spark.operators.curation import (
+    EVAL_MOD,
+    MIX_DEFAULT,
+    MIX_PCT,
+    SEQ_BUDGET,
+    contamination_ngram,
+    eval_split,
+    mixture_sample,
+    pack_sequences,
+)
+from curatorhadoopinterface_spark.session import load_table
+
+
+def test_pack_sequences_conserves_tokens_and_is_contiguous(spark, sf_dir):
+    out = pack_sequences(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["lang"]: (r["n"], r["toks"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("text", " "))).alias("toks"),
+        )
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(truth)
+    for lang, rows in by_lang.items():
+        # conservation: every document lands in exactly one sequence
+        assert sum(r["n_docs"] for r in rows) == truth[lang][0]
+        assert sum(r["total_tokens"] for r in rows) == truth[lang][1]
+        # sequence ids are the contiguous prefix 0..max (greedy packer
+        # never skips a bin: a doc starting in bin k fills it past k)
+        ids = sorted(r["seq_id"] for r in rows)
+        assert ids == list(range(len(ids)))
+        # every sequence that is not the last one is filled to at least
+        # the budget boundary by construction of the running sum
+        for r in rows:
+            if r["seq_id"] < ids[-1]:
+                assert r["fill"] > 0
+
+
+def test_eval_split_exact_stratum_cuts(spark, sf_dir):
+    out = eval_split(spark, sf_dir).collect()
+    strata: dict[tuple, dict] = {}
+    for r in out:
+        strata.setdefault((r["lang"], r["source"]), {})[r["split"]] = r["n_docs"]
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(strata) == set(truth)
+    for key, counts in strata.items():
+        n = truth[key]
+        # the integer cut: rk*10 <= n*8 keeps exactly floor(0.8n) rows
+        assert counts.get("train", 0) == (8 * n) // 10
+        assert counts.get("val", 0) == (9 * n) // 10 - (8 * n) // 10
+        assert counts.get("test", 0) == n - (9 * n) // 10
+        assert sum(counts.values()) == n
+
+
+def test_mixture_sample_deterministic_and_subset(spark, sf_dir):
+    a = {r["doc_id"] for r in mixture_sample(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in mixture_sample(spark, sf_dir).collect()}
+    assert a == b  # no RNG state: re-run keeps exactly the same rows
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {
+        r["lang"]: r["kept"] / r["n"]
+        for r in docs.join(
+            mixture_sample(spark, sf_dir).select("doc_id").withColumn("k", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("kept"))
+        .collect()
+    }
+    for lang, rate in rates.items():
+        target = MIX_PCT.get(lang, MIX_DEFAULT) / 100
+        # hash-uniform: observed rate within a loose binomial envelope
+        assert abs(rate - target) < 0.35
+
+
+def test_contamination_bounds_and_eval_exclusion(spark, sf_dir):
+    rows = contamination_ngram(spark, sf_dir).collect()
+    assert rows, "synthetic fixture shares vocabulary; expect hits"
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != 0  # eval docs never self-report
+        assert 1 <= r["n_contaminated"] <= r["n_shingles"]
+        assert 0 < r["contamination"] <= 1.0
+        assert abs(r["contamination"] - r["n_contaminated"] / r["n_shingles"]) < 1e-12
+    assert SEQ_BUDGET > 0  # imported constants stay wired

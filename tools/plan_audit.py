@@ -106,6 +106,18 @@ AUDITS: dict[str, dict] = {
     # stats side broadcasts back onto the fact scan
     "agg_zscore_outlier": {"broadcast": True, "partial": True,
                            "prune": ["props", "user_id"]},
+    # curation batch: the benchmark-sized eval shingle set broadcasts —
+    # the training corpus never shuffles against it
+    "contamination_ngram": {"broadcast": True, "partial": True,
+                            "prune": ["lang", "source", "n_chars"]},
+    # one lang range-exchange serves the packing window AND the final agg
+    "pack_sequences": {"partial": True, "max_exchange": 1,
+                       "prune": ["source", "n_chars"]},
+    # hash-threshold sampling is scan-local: ZERO exchanges
+    "mixture_sample": {"max_exchange": 0, "prune": ["text"]},
+    # one (lang, source) exchange serves rank window + count window + agg
+    "eval_split": {"partial": True, "max_exchange": 1,
+                   "prune": ["text", "n_chars"]},
 }
 
 
