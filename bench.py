@@ -73,6 +73,10 @@ OPTIONAL = [
     "pack_sequences",
     "mixture_sample",
     "eval_split",
+    "kmeans_lloyd",
+    "emb_quantize",
+    "sim_ivf_nprobe",
+    "stream_upsert_store",
 ]
 
 N_RUNS = 3

@@ -37,6 +37,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.sources",
     "curatorhadoopinterface_spark.operators.incremental_q",
     "curatorhadoopinterface_spark.operators.curation",
+    "curatorhadoopinterface_spark.operators.mlops",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

@@ -1,0 +1,353 @@
+"""Embedding-space ML operators over the ``embeddings`` table
+(LLM-pipeline extension list: the vector-index side of a training-data
+platform).
+
+- kmeans_lloyd:   one exact Lloyd iteration — assign every vector to its
+  nearest coarse centroid (squared-L2), recompute the means, report
+  per-cluster size and centroid drift. The deterministic inner loop of
+  the IVF index builder (sim_ivf_topk consumes exactly these centroids).
+- emb_quantize:   int8 scalar quantization — per-dimension global
+  min/max, affine code mapping, reconstruction-error report. The
+  index-compression pass that turns a 256-byte float64 vector into 64
+  bytes before ANN serving.
+- sim_ivf_nprobe: IVF search with nprobe=2 — each query probes its TWO
+  nearest inverted lists, fixing nprobe=1's recall cliff for queries
+  that land near a Voronoi boundary (sim_ann_recall measures the gap).
+
+Determinism contract (same as similarity.py): every reduction over a
+vector is a sequential left fold in double precision — Spark
+``aggregate(zip_with(...))`` vs DuckDB ``list_reduce(list_transform(...))``
+(both left-to-right, and a 0-init fold equals a first-element-init fold
+exactly because 0.0 + x == x); distances are rounded to 6 decimals
+before any argmin/ranking with explicit tie-breaks; quantization codes
+use the floor(x + 0.5) half-up form (functions/numeric.py's
+round_pos_double idiom — both engines' double-native path, non-negative
+domain); per-group outputs are exact integers or order-independent
+max/min, never raw double sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _with_norm,
+)
+from curatorhadoopinterface_spark.session import load_table
+
+DIM = 64
+NPROBE = 2
+QBITS_MAX = 255  # int8-range code book (0..255)
+
+# ---- shared Spark/oracle fragments ----------------------------------------
+
+_SPARK_D2 = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, v) -> acc + v), 6)"
+)
+
+
+def _d2(a: str, b: str):
+    """Rounded squared-L2 distance between two double arrays."""
+    return F.expr(_SPARK_D2.format(a=a, b=b))
+
+
+def _o_d2(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_reduce(list_transform(GENERATE_SERIES(1, {DIM}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y), 6)"
+    )
+
+
+_O_BASE = """
+    base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings)
+"""
+
+_O_CENT = f"""
+    cent AS (
+        SELECT label,
+               LIST(ROUND(s, 4) ORDER BY i) AS ce
+        FROM (
+            SELECT label, i, SUM(e[i]) / COUNT(*) AS s
+            FROM base, UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+            GROUP BY label, i)
+        GROUP BY label)
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        "norm",
+    )
+
+
+def _centroids(base: DataFrame) -> DataFrame:
+    """Per-label mean vectors rounded to 4 decimals (the IVF coarse
+    centroids; rounding makes the mean independent of summation order)."""
+    return (
+        base.select("label", F.posexplode("e").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg((F.sum("v") / F.count("*")).alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> round(p.s, 4))"
+            ).alias("ce")
+        )
+    )
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_CENT},
+    assign AS (
+        SELECT b.vec_id, b.e, c.label AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY {_o_d2('b.e', 'c.ce')} ASC, c.label) AS rk
+        FROM base b CROSS JOIN cent c),
+    members AS (SELECT vec_id, e, cluster FROM assign WHERE rk = 1),
+    newc AS (
+        SELECT cluster,
+               LIST(ROUND(s, 4) ORDER BY i) AS ne,
+               MAX(n) AS n_points
+        FROM (
+            SELECT cluster, i, SUM(e[i]) / COUNT(*) AS s, COUNT(*) AS n
+            FROM members, UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+            GROUP BY cluster, i)
+        GROUP BY cluster)
+    SELECT n.cluster, n.n_points,
+           ROUND(SQRT({_o_d2('n.ne', 'c.ce')}), 6) AS drift
+    FROM newc n JOIN cent c ON c.label = n.cluster
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration from the per-label centroids: nearest-
+    centroid assignment (squared-L2, rounded, label tie-break), mean
+    recomputation, per-cluster drift report.
+
+    Plan: centroids are k rows — broadcast into a map-side nearest-
+    centroid pass (the corpus is scanned once, no shuffle for the
+    assignment); the recompute is one partial-aggregated (cluster, dim)
+    shuffle of k*64 cells, not vectors. At 100 TB every further
+    iteration is the same shape — the classic broadcast-Lloyd loop.
+    """
+    base = _base(spark, sf_dir)
+    cent = _centroids(base)
+    w = Window.partitionBy("vec_id").orderBy(
+        _d2("e", "ce").asc(), F.col("label").asc()
+    )
+    members = (
+        # drop base's own label before the cross join: assignment must
+        # not see it, and it would shadow the centroid's label column
+        base.select("vec_id", "e").crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("label").alias("cluster"))
+    )
+    newc = (
+        members.select("cluster", F.posexplode("e").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg((F.sum("v") / F.count("*")).alias("s"), F.count("*").alias("n"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> round(p.s, 4))"
+            ).alias("ne"),
+            F.max("n").alias("n_points"),
+        )
+    )
+    return (
+        newc.join(F.broadcast(cent), newc["cluster"] == cent["label"])
+        .select(
+            "cluster",
+            "n_points",
+            F.round(F.sqrt(_d2("ne", "ce")), 6).alias("drift"),
+        )
+    )
+
+
+_O_QSPAN = f"""
+    span AS (
+        SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+        FROM base, UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+        GROUP BY i)
+"""
+
+
+@query(
+    "emb_quantize",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_QSPAN},
+    codes AS (
+        SELECT b.vec_id, b.label, s.i,
+               CAST(FLOOR((b.e[s.i] - s.mn) / (s.mx - s.mn) * {QBITS_MAX} + 0.5)
+                    AS BIGINT) AS q,
+               s.mn, s.mx, b.e[s.i] AS x
+        FROM base b JOIN span s ON s.mx > s.mn),
+    errs AS (
+        SELECT vec_id, label,
+               SUM(q) AS code_sum,
+               MAX(ROUND(ABS(mn + q * (mx - mn) / {QBITS_MAX} - x), 6)) AS max_abs_err
+        FROM codes GROUP BY vec_id, label)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           SUM(code_sum) AS total_code,
+           MAX(max_abs_err) AS max_abs_err
+    FROM errs GROUP BY label
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization: global per-dimension min/max spans,
+    affine codes q = floor((x-mn)/(mx-mn)*255 + 0.5), and the
+    reconstruction-error report per label (exact integer code totals +
+    order-independent max error — no raw double sums cross the group
+    boundary, so the hash can't wobble).
+
+    Plan: the span table is 64 rows (partial-agged per-dim min/max —
+    one tiny shuffle) and broadcasts back onto a single corpus scan; the
+    per-vector fold is array-local. At 100 TB this is the one-pass +
+    map-side-join shape every vector-index compressor wants; constant
+    dims (mx == mn) are dropped from the code book by the join predicate.
+    """
+    base = _base(spark, sf_dir)
+    span = (
+        base.select(F.posexplode("e").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .filter(F.col("mx") > F.col("mn"))
+    )
+    codes = (
+        base.crossJoin(F.broadcast(span.groupBy().agg(
+            F.expr("transform(array_sort(collect_list(struct(i, mn, mx))),"
+                   " p -> struct(p.i as i, p.mn as mn, p.mx as mx))").alias("sp")
+        )))
+        .select(
+            "vec_id",
+            "label",
+            F.explode("sp").alias("s"),
+            F.col("e"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            # span's i is posexplode's 0-based position; Spark e[i] is
+            # 0-based too (the oracle's 1-based lists line up by dim)
+            F.expr(
+                f"cast(floor((e[s.i] - s.mn) / (s.mx - s.mn) * {QBITS_MAX}"
+                " + cast(0.5 as double)) as bigint)"
+            ).alias("q"),
+            F.col("s.mn").alias("mn"),
+            F.col("s.mx").alias("mx"),
+            F.expr("e[s.i]").alias("x"),
+        )
+    )
+    errs = codes.groupBy("vec_id", "label").agg(
+        F.sum("q").alias("code_sum"),
+        F.max(
+            F.round(
+                F.abs(
+                    F.col("mn")
+                    + F.col("q") * (F.col("mx") - F.col("mn")) / QBITS_MAX
+                    - F.col("x")
+                ),
+                6,
+            )
+        ).alias("max_abs_err"),
+    )
+    return errs.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("code_sum").alias("total_code"),
+        F.max("max_abs_err").alias("max_abs_err"),
+    )
+
+
+@query(
+    "sim_ivf_nprobe",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_CENT},
+    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
+    assign AS (
+        SELECT q.vec_id, q.e, q.norm, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.e, c.ce), 6) DESC, c.label) AS rk
+        FROM q CROSS JOIN cent c),
+    probed AS (SELECT * FROM assign WHERE rk <= {NPROBE}),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(p.e, c.e) / (p.norm * c.norm), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY ROUND(list_dot_product(p.e, c.e) / (p.norm * c.norm), 6) DESC,
+                            c.vec_id) AS rk
+        FROM probed p JOIN base c
+          ON c.label = p.label AND c.vec_id <> p.vec_id)
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+)
+def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: each query scores against its two
+    nearest centroids' inverted lists (disjoint by construction, so the
+    union needs no dedup) and takes top-k over the merged candidates.
+    Same broadcast-centroid assignment and equi probe join as
+    sim_ivf_topk — the extra probe doubles candidates, not shuffles.
+    sim_ann_recall quantifies what the second probe buys near Voronoi
+    boundaries.
+    """
+    base = _base(spark, sf_dir)
+    cent = _centroids(base)
+    qdot = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as double),"
+            " (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e", "norm")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("qc"), F.asc("label"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qc", qdot)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= NPROBE)
+        .select("vec_id", "e", "norm", "label")
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(p.e, c.e, (x, y) -> x * y), cast(0 as double),"
+            " (acc, v) -> acc + v)"
+        )
+        / (F.col("p.norm") * F.col("c.norm")),
+        6,
+    )
+    scored = (
+        F.broadcast(probed).alias("p")
+        .join(
+            base.alias("c"),
+            (F.col("c.label") == F.col("p.label"))
+            & (F.col("c.vec_id") != F.col("p.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)

@@ -43,7 +43,7 @@ from __future__ import annotations
 import itertools
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
 
@@ -388,4 +388,104 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "stream_upsert_store",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events)
+    SELECT user_id,
+           n AS n_events,
+           event_id AS last_event_id,
+           ROUND(value, 2) AS last_value
+    FROM ranked WHERE rk = 1
+    """,
+)
+def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a record store via ``foreachBatch`` — the
+    streaming twin of the incremental layer's A18/A21 semantics
+    (CuratorClient.java:581-651 upsert-by-view-count, made continuous).
+
+    Log-structured merge-on-read, the only upsert that scales without a
+    transactional store: each micro-batch APPENDS a per-user partial
+    (latest event by (ts, event_id) via one max_by struct + a count) —
+    never read-modify-write, so batches cannot corrupt each other under
+    retries — and the read side compacts deltas with a latest-wins
+    window. The result is invariant to how the stream was chopped into
+    batches: per-user latest is a global max and the count is a sum of
+    partials (the oracle is plain batch SQL over events).
+
+    Multi-batch is forced for real: the source is staged into 4 parquet
+    files and read with maxFilesPerTrigger=1, so 4 separate foreachBatch
+    deltas land in the store before compaction.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_upsert"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    staged = os.path.join(base, "staged")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    # stage the batch table as 4 files so availableNow yields 4 batches
+    from curatorhadoopinterface_spark.session import load_table
+
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("last"),
+            F.count("*").alias("n"),
+        )
+        delta.select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.value").alias("last_value"),
+            "n",
+        ).write.mode("append").parquet(store)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+
+    deltas = spark.read.parquet(store)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+    return (
+        deltas.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_events", F.sum("n").over(Window.partitionBy("user_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "last_event_id",
+            F.round("last_value", 2).alias("last_value"),
+        )
     )

@@ -118,6 +118,13 @@ AUDITS: dict[str, dict] = {
     # one (lang, source) exchange serves rank window + count window + agg
     "eval_split": {"partial": True, "max_exchange": 1,
                    "prune": ["text", "n_chars"]},
+    # mlops batch: nearest-centroid assignment is a BNLJ against the
+    # broadcast-tiny centroid table by design (sim_topk precedent)
+    "kmeans_lloyd": {"no_bnlj": False, "broadcast": True, "partial": True},
+    "emb_quantize": {"no_bnlj": False, "partial": True, "prune": []},
+    # centroid assignment is the same deliberate BNLJ; the probe join is
+    # a broadcast HASH join on label
+    "sim_ivf_nprobe": {"no_bnlj": False, "broadcast": True},
 }
 
 
