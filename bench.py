@@ -77,6 +77,9 @@ OPTIONAL = [
     "emb_quantize",
     "sim_ivf_nprobe",
     "stream_upsert_store",
+    "scan_jsonl_corrupt",
+    "bpe_pair_stats",
+    "flagship_shipping_priority",
 ]
 
 N_RUNS = 3

@@ -253,3 +253,56 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "scan_jsonl_corrupt",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS total_chars
+    FROM documents
+    GROUP BY CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
+    """,
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingestion of a JSONL corpus with corrupt lines — the
+    failure-budget ingest path (A7's best-effort error column,
+    CuratorReducer.java:74-202 "up to 40% may fail" policy, applied to
+    the source): every 7th document's JSON line is truncated before the
+    read-back, the PERMISSIVE parser nulls its fields and quarantines
+    the raw line in ``_corrupt_record``, and the census groups corrupt
+    rows under ``lang IS NULL`` instead of failing the job.
+
+    At 100 TB malformed lines are a certainty, and FAILFAST means one
+    bad record kills a 6-hour ingest; the scalable contract is exactly
+    this: parse what parses, count and quarantine what doesn't. The
+    oracle replays the corruption rule (doc_id % 7) relationally.
+    """
+    import os
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_jsonl_corrupt"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    j = "to_json(struct(doc_id, lang, n_chars))"
+    corrupted = F.expr(
+        f"CASE WHEN doc_id % 7 = 0 THEN substring({j}, 1, length({j}) - 2)"
+        f" ELSE {j} END"
+    )
+    d.select(corrupted.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )

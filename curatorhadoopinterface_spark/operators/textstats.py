@@ -768,3 +768,53 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    pairs AS (
+        SELECT UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 1),
+                   i -> SUBSTRING(w, i, 2))) AS pair
+        FROM words WHERE LEN(w) >= 2),
+    counted AS (
+        SELECT pair, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rk
+        FROM pairs GROUP BY pair)
+    SELECT pair, n, rk FROM counted WHERE rk <= 20
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-candidate table: the 20 most frequent adjacent
+    character pairs inside words across the corpus — exactly the
+    statistic a byte-pair-encoding tokenizer trainer computes to pick
+    its next merge (Sennrich et al. 2016's inner loop, one round).
+
+    Plan: pair extraction is array-local (explode of substrings — no
+    per-word shuffle); the count partial-aggregates map-side before the
+    single pair exchange. The rank window's single-partition sort runs
+    over the COUNTED table only — the pair alphabet is bounded
+    (|charset|^2), so that table stays thousands of rows at any corpus
+    size and raw pairs never leave their scan partitions un-aggregated.
+    That bounded-alphabet property is the shape that makes repeated BPE
+    rounds tractable as Spark jobs.
+    Determinism: count ties break on the pair string itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(split(text, ' '), w -> length(w) >= 2),"
+                " w -> transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return counted.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 20
+    )

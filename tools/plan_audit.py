@@ -125,6 +125,14 @@ AUDITS: dict[str, dict] = {
     # centroid assignment is the same deliberate BNLJ; the probe join is
     # a broadcast HASH join on label
     "sim_ivf_nprobe": {"no_bnlj": False, "broadcast": True},
+    # Q3: both date predicates reach the scans; revenue partials on
+    # l_orderkey before its exchange
+    "flagship_shipping_priority": {"pushed": True, "partial": True,
+                                   "prune": ["l_quantity", "l_tax",
+                                             "c_name", "c_address"]},
+    # raw pairs partial-aggregate before the bounded-alphabet exchange
+    "bpe_pair_stats": {"partial": True,
+                       "prune": ["doc_id", "lang", "source", "n_chars"]},
 }
 
 
