@@ -80,6 +80,7 @@ OPTIONAL = [
     "scan_jsonl_corrupt",
     "bpe_pair_stats",
     "flagship_shipping_priority",
+    "stream_annotate",
 ]
 
 N_RUNS = 3

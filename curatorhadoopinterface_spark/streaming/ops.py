@@ -489,3 +489,79 @@ def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last_value", 2).alias("last_value"),
         )
     )
+
+
+@query(
+    "stream_annotate",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+           SUM(LENGTH(REGEXP_REPLACE(text, '[^.!?]', '', 'g'))) AS total_sentence_marks
+    FROM documents GROUP BY lang
+    """,
+)
+def stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's top-level loop made continuous: documents arrive
+    as a stream and flow through the annotation fast path into an
+    append-only record store (SURVEY §1.4 "document stream" row — the
+    JobHandler's poll-for-new-batches loop, JobHandler.java:149-194,
+    replaced by a Structured Streaming source).
+
+    The per-document annotation uses the A25 whitespace fast path
+    (CuratorHandler.java:1054-1075 wsprovide semantics) expressed as
+    pure SQL — token count from the whitespace split, sentence-terminator
+    marks from a char-class count — so the streaming stage is map-only
+    JVM column algebra: no Python worker, no state, and an append-mode
+    parquet sink needs no watermark. Store rows land per micro-batch (4
+    forced batches); the census is a batch read-back over the store.
+    At 100 TB/day this is the ingest-side annotate: stateless per-doc
+    work scales with input rate alone, and the store is the same
+    identifier-keyed parquet the incremental layer anti-joins (A21).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_annotate"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    staged = os.path.join(base, "staged")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    from curatorhadoopinterface_spark.session import load_table
+
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    annotated = src.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^.!?]", "")).alias("n_sentence_marks"),
+    )
+    q = (
+        annotated.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    back = spark.read.parquet(store)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_sentence_marks").alias("total_sentence_marks"),
+    )
