@@ -81,6 +81,7 @@ OPTIONAL = [
     "bpe_pair_stats",
     "flagship_shipping_priority",
     "stream_annotate",
+    "graph_bfs_hops",
 ]
 
 N_RUNS = 3

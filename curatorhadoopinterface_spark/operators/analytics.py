@@ -670,3 +670,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
     deg_o.unpersist()
     deg_p.unpersist()
     return out
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH edges AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    h0_p AS (SELECT DISTINCT e.p FROM edges e
+             JOIN part ON p_partkey = e.p WHERE p_size <= 2),
+    h1_o AS (SELECT DISTINCT e.o FROM edges e JOIN h0_p ON e.p = h0_p.p),
+    h2_p AS (SELECT DISTINCT e.p FROM edges e JOIN h1_o ON e.o = h1_o.o
+             WHERE e.p NOT IN (SELECT p FROM h0_p)),
+    h3_o AS (SELECT DISTINCT e.o FROM edges e JOIN h2_p ON e.p = h2_p.p
+             WHERE e.o NOT IN (SELECT o FROM h1_o))
+    SELECT 'part' AS node_type, p AS node_id, 0 AS hop FROM h0_p
+    UNION ALL SELECT 'order', o, 1 FROM h1_o
+    UNION ALL SELECT 'part', p, 2 FROM h2_p
+    UNION ALL SELECT 'order', o, 3 FROM h3_o
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the bipartite order<->part graph: minimum
+    hop distance (0-3) from the seed set (parts with p_size <= 2) —
+    the third member of the iterative-graph family next to
+    graph_pagerank (power iteration) and dedup_clusters (label
+    propagation). The reference analogue is the dependency-closure walk
+    (JobHandler.determineDependencies / CuratorHandler's recursive
+    provide) lifted from the static mode DAG to a data-scale graph.
+
+    Scale shape: each hop is ONE semi join of the edge table against the
+    current frontier plus an anti join against the visited set — the
+    frontier-expansion Pregel step. The edge list is the loop-invariant
+    operand (persist bucketed by join key at scale, as graph_pagerank
+    notes); visited sets stay per-side (order/part namespaces never
+    mix, so no tagged-union key is needed). Hops are exact set algebra
+    — no FP anywhere — so the oracle unrolls the same three expansions
+    with NOT IN.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    part = load_table(spark, sf_dir, "part")
+    h0_p = (
+        edges.select("p")
+        .distinct()
+        .join(
+            part.filter(F.col("p_size") <= 2).select(F.col("p_partkey").alias("p")),
+            "p",
+            "left_semi",
+        )
+    )
+    h1_o = edges.join(h0_p, "p", "left_semi").select("o").distinct()
+    h2_p = (
+        edges.join(h1_o, "o", "left_semi")
+        .select("p")
+        .distinct()
+        .join(h0_p, "p", "left_anti")
+    )
+    h3_o = (
+        edges.join(h2_p, "p", "left_semi")
+        .select("o")
+        .distinct()
+        .join(h1_o, "o", "left_anti")
+    )
+    def lvl(df, col, typ, hop):
+        return df.select(
+            F.lit(typ).alias("node_type"),
+            F.col(col).alias("node_id"),
+            F.lit(hop).cast("int").alias("hop"),
+        )
+    return (
+        lvl(h0_p, "p", "part", 0)
+        .unionAll(lvl(h1_o, "o", "order", 1))
+        .unionAll(lvl(h2_p, "p", "part", 2))
+        .unionAll(lvl(h3_o, "o", "order", 3))
+    )

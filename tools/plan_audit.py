@@ -133,6 +133,13 @@ AUDITS: dict[str, dict] = {
     # raw pairs partial-aggregate before the bounded-alphabet exchange
     "bpe_pair_stats": {"partial": True,
                        "prune": ["doc_id", "lang", "source", "n_chars"]},
+    # frontier expansion: seed filter pushed to the part scan; edges read
+    # only (l_orderkey, l_partkey)
+    # (pure set algebra — distincts compile to aggregate-less
+    # shuffle/dedup under AQE, so no "partial_" marker to assert)
+    "graph_bfs_hops": {"pushed": True,
+                       "prune": ["l_extendedprice", "l_shipdate", "p_name",
+                                 "p_brand", "p_retailprice"]},
 }
 
 
