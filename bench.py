@@ -82,6 +82,10 @@ OPTIONAL = [
     "flagship_shipping_priority",
     "stream_annotate",
     "graph_bfs_hops",
+    "query_bm25",
+    "dedup_semantic",
+    "flagship_volume_shipping",
+    "stream_static_join",
 ]
 
 N_RUNS = 3

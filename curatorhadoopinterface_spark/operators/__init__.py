@@ -38,6 +38,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.incremental_q",
     "curatorhadoopinterface_spark.operators.curation",
     "curatorhadoopinterface_spark.operators.mlops",
+    "curatorhadoopinterface_spark.operators.retrieval",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

@@ -746,3 +746,43 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lvl(h2_p, "p", "part", 2))
         .unionAll(lvl(h3_o, "o", "order", 3))
     )
+
+
+@query(
+    "lateral_explode_outer",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, lang, regexp_extract_all(text, 'vector') AS ms
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN LEN(ms) = 0 THEN NULL ELSE i - 1 END AS pos,
+           CASE WHEN LEN(ms) = 0 THEN NULL ELSE ms[i] END AS hit,
+           LEN(ms) AS n_hits
+    FROM ex, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ms), 1))) AS t(i)
+    """,
+)
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral explode (LATERAL VIEW OUTER posexplode):
+    every pattern occurrence becomes a row, and documents with ZERO
+    occurrences survive as a single null row — the generator variant a
+    plain explode silently drops (the classic silent-data-loss bug in
+    extraction pipelines; A3's empty-text filter is the reference's
+    batch-side guard, CuratorClient.java:527-536).
+
+    Scale shape: a pure narrow expand — regexp_extract_all + posexplode
+    are array-local, the scan never shuffles, and the match-count column
+    is computed before the explode so it costs one size(), not a window
+    over exploded rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.expr("regexp_extract_all(text, 'vector', 0)").alias("ms"),
+    )
+    return ex.select(
+        "doc_id",
+        "lang",
+        F.posexplode_outer("ms").alias("pos", "hit"),
+        F.size("ms").alias("n_hits"),
+    )

@@ -1,0 +1,258 @@
+"""Retrieval-side operators for a training-data platform (LLM-pipeline
+extension list: the ranking/curation ops that sit on top of the
+index_inverted / similarity.py families).
+
+- query_bm25:     Okapi BM25 ranking of the ``documents`` corpus for a
+  fixed term query — the retrieval scorer every dataset-search /
+  decontamination tool runs over the corpus index. Expressed as pure
+  column algebra: per-document term frequencies come from array-local
+  ``filter()`` counts (no explode), corpus statistics (N, avgdl, per-term
+  document frequency) are ONE tiny aggregate row broadcast back over the
+  scan, and the score is a fixed-order sum of per-term contributions.
+- dedup_semantic: SemDedup (Abbas et al., 2023, arXiv:2303.09540) —
+  within-cluster pairwise cosine over embeddings; a vector is dropped
+  when a lower-id member of the SAME cluster is more similar than the
+  threshold. The cluster key makes the join equi (shuffle moves
+  clusters, never the corpus cross product); the ``label`` column is the
+  coarse k-means assignment (kmeans_lloyd builds exactly these
+  centroids/assignments at index time).
+
+Determinism contract (same as similarity.py / mlops.py): dot products
+are sequential left folds after exact float->double widening; cosines
+and score terms are rounded to 6 decimals BEFORE any threshold compare
+or ranking; ranking ties break on doc_id/vec_id; cross-group sums are
+fixed-order sums of pre-rounded terms, never order-dependent double
+reductions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from curatorhadoopinterface_spark.operators import query
+from curatorhadoopinterface_spark.session import load_table
+
+# BM25 constants (the canonical Robertson/Sparck-Jones parameterization).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "filter")  # fixed query, present in the fixture
+BM25_TOP = 10
+
+SEMDEDUP_COS = 0.3  # calibrated to the synthetic fixture (real corpora: ~0.95+)
+
+
+def _tf_cols_spark(df: DataFrame) -> DataFrame:
+    """Per-document length + one tf column per query term, all array-local
+    (filter+size over the split words — no explode, stays in codegen)."""
+    words = F.split(F.col("text"), " ")
+
+    def matcher(term: str):
+        # one-arg closure: a two-parameter lambda would make PySpark pass
+        # the (element, index) pair and bind the term to the index column
+        return lambda w: w == F.lit(term)
+
+    return df.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[
+            F.size(F.filter(words, matcher(t))).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+
+_O_TF = (
+    "SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,\n"
+    + ",\n".join(
+        f"           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w = '{t}'))"
+        f" AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n    FROM documents"
+)
+
+_O_STATS = (
+    "SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,\n"
+    + ",\n".join(
+        f"           SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n    FROM tf"
+)
+
+
+def _o_contrib(t: str) -> str:
+    """One term's BM25 contribution, rounded to 6 before the fixed-order
+    sum. idf uses the +1 form (always positive)."""
+    idf = f"LN((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1)"
+    tfn = (
+        f"tf.tf_{t} * ({BM25_K1} + 1) / (tf.tf_{t} + {BM25_K1} *"
+        f" (1 - {BM25_B} + {BM25_B} * tf.dl / (s.sum_dl * 1.0 / s.n_docs)))"
+    )
+    return f"ROUND({idf} * {tfn}, 6)"
+
+
+@query(
+    "query_bm25",
+    oracle=f"""
+    WITH tf AS (
+    {_O_TF}),
+    s AS (
+    {_O_STATS})
+    SELECT tf.doc_id, tf.dl,
+           {', '.join(f'tf.tf_{t}' for t in BM25_TERMS)},
+           ROUND({' + '.join(_o_contrib(t) for t in BM25_TERMS)}, 6) AS score
+    FROM tf CROSS JOIN s
+    WHERE {' + '.join(f'tf.tf_{t}' for t in BM25_TERMS)} > 0
+    ORDER BY score DESC, tf.doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def query_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} for the fixed query over ``documents``.
+
+    Plan shape (the 100 TB one): pass 1 computes the corpus statistics —
+    N, total doc length, per-term document frequency — as one
+    partial-aggregated row over a narrow projection (tf columns are
+    array-local ``size(filter(...))``, so nothing explodes and the agg is
+    map-side-combined down to one row per partition). That single row is
+    broadcast back over pass 2's scan; the per-document score is a
+    fixed-order sum of per-term contributions each rounded to 6 decimals
+    (cross-libm ``ln`` ulp dust can't flip the ranking), and the top-10
+    is a TakeOrdered — no global sort materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = _tf_cols_spark(d)
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def contrib(t: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1
+        )
+        avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+        tfn = (
+            F.col(f"tf_{t}")
+            * (BM25_K1 + 1)
+            / (
+                F.col(f"tf_{t}")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        return F.round(idf * tfn, 6)
+
+    score = F.round(
+        sum((contrib(t) for t in BM25_TERMS[1:]), contrib(BM25_TERMS[0])), 6
+    )
+    hits = F.col(f"tf_{BM25_TERMS[0]}")
+    for t in BM25_TERMS[1:]:
+        hits = hits + F.col(f"tf_{t}")
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .filter(hits > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+# ---- SemDedup --------------------------------------------------------------
+
+_O_BASE = """
+    base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings)
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_O_BASE},
+    pairs AS (
+        SELECT a.label AS label, b.vec_id AS dup_id
+        FROM base a JOIN base b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+              >= {SEMDEDUP_COS}),
+    dropped AS (
+        SELECT label, COUNT(DISTINCT dup_id) AS n_dropped
+        FROM pairs GROUP BY label),
+    counts AS (SELECT label, COUNT(*) AS n_vecs FROM base GROUP BY label)
+    SELECT c.label, c.n_vecs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           c.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM counts c LEFT JOIN dropped d ON d.label = c.label
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: drop a vector when a lower-id member of the SAME coarse
+    cluster exceeds the cosine threshold; report per-cluster kept/dropped.
+
+    Plan shape: the pair join is EQUI on the cluster key — the shuffle
+    moves each cluster to one partition and the quadratic work is
+    per-cluster-local, exactly the SemDedup contract (at 100 TB the
+    k-means k is chosen so clusters hold ~1e3-1e4 vectors, keeping the
+    local pair loop bounded; kmeans_lloyd is that assignment pass).
+    Dropped-set dedup (COUNT DISTINCT dup_id) and the per-cluster counts
+    are both partial-aggregated on the same key, so the whole query is
+    one cluster-keyed exchange plus a tiny summary join.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (x, y) -> cast(x as double) * cast(y as double)),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            )
+        ).alias("norm"),
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding,"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    pairs = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_COS)
+        .select(F.col("a.label").alias("label"), F.col("b.vec_id").alias("dup_id"))
+    )
+    dropped = pairs.groupBy("label").agg(
+        F.countDistinct("dup_id").alias("n_dropped")
+    )
+    counts = base.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        counts.join(dropped, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -565,3 +565,46 @@ def stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_sentence_marks").alias("total_sentence_marks"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value,
+           ROUND(MAX(e.value), 4) AS max_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY segment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    ``customer`` dimension (re-read fresh each micro-batch — the standard
+    slowly-changing-dim pattern), then a complete-mode aggregate rolls up
+    per market segment.
+
+    Scale shape: the static side is a DIMENSION — Spark plans the
+    per-batch join as a broadcast hash join, so the stream never
+    shuffles for the join; the only stateful exchange is the tiny
+    per-segment aggregate. This is the reference's A18 "DB copy beside
+    the new batch" lookup (CuratorClient.java:581-651) run continuously:
+    the archive/dimension stays a batch table, the arriving corpus is
+    the stream. At 100 TB/day the dim re-read per micro-batch is the
+    knob that picks up dimension updates without restarting the query.
+    """
+    from curatorhadoopinterface_spark.session import load_table
+
+    src = events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = src.join(cust, src["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        # streaming state cannot hold a distinct set — max is the
+        # order-independent stand-in (exact distincts belong batch-side)
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    return run_to_sink(agg, "complete")

@@ -140,6 +140,25 @@ AUDITS: dict[str, dict] = {
     "graph_bfs_hops": {"pushed": True,
                        "prune": ["l_extendedprice", "l_shipdate", "p_name",
                                  "p_brand", "p_retailprice"]},
+    # retrieval batch: the one-row stats table broadcasts back over the
+    # scoring scan (a deliberate broadcast cross join — BNLJ by design);
+    # the stats aggregate itself partials map-side
+    "query_bm25": {"no_bnlj": False, "partial": True,
+                   "prune": ["lang", "source", "n_chars"]},
+    # SemDedup: pair join is EQUI on the cluster key (never a cartesian);
+    # drop-set distinct + member counts both partial-aggregate, and the
+    # tiny summary join broadcasts
+    "dedup_semantic": {"broadcast": True, "partial": True},
+    # Q7: shipdate range pushes to the lineitem scan; the 25-row nation
+    # dims broadcast; revenue partials before the group-by exchange
+    "flagship_volume_shipping": {"pushed": True, "broadcast": True,
+                                 "partial": True,
+                                 "prune": ["l_quantity", "l_tax", "c_name",
+                                           "s_name", "o_orderpriority"]},
+    # null-preserving lateral explode is a pure narrow expand: no
+    # exchange at all, and the unused doc columns never leave the scan
+    "lateral_explode_outer": {"max_exchange": 0,
+                              "prune": ["source", "n_chars"]},
 }
 
 
