@@ -86,6 +86,7 @@ OPTIONAL = [
     "dedup_semantic",
     "flagship_volume_shipping",
     "stream_static_join",
+    "flagship_market_share",
 ]
 
 N_RUNS = 3

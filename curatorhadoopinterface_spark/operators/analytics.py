@@ -613,9 +613,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
     exactly. The oracle unrolls the same two rounds as CTEs — exact
     value check, not rows-only.
 
-    Cache layout: the narrow distinct edge list plus the two per-vertex
-    degree aggregates are persisted (each re-read by every push round);
-    per-edge contributions are computed SCORE-side (s/d on the small
+    Cache layout: the distinct edge list is persisted TWICE, once
+    hash-partitioned by each endpoint (the bucketed-by-join-key layout
+    join_bucketed demonstrates, held in memory) — so every push round's
+    edge join is exchange-free on the edge side and each iteration pays
+    exactly ONE shuffle (its group-by); the degree aggregates fall out
+    of the pre-partitioned copies without an exchange of their own.
+    Per-edge contributions are computed SCORE-side (s/d on the small
     vertex table) before touching edges, so no widened edges⋈degrees
     operand is ever built or cached. Vertex counts come off the narrow
     degree aggregates. The final result is eagerly localCheckpoint-ed
@@ -627,8 +631,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
         .distinct()
         .persist()
     )
-    deg_o = edges.groupBy("o").agg(F.count(F.lit(1)).alias("d_o")).persist()
-    deg_p = edges.groupBy("p").agg(F.count(F.lit(1)).alias("d_p")).persist()
+    edges_o = edges.repartition("o").persist()
+    edges_p = edges.repartition("p").persist()
+    deg_o = edges_o.groupBy("o").agg(F.count(F.lit(1)).alias("d_o")).persist()
+    deg_p = edges_p.groupBy("p").agg(F.count(F.lit(1)).alias("d_p")).persist()
     # ONE action yields both vertex counts off the narrow aggregates and
     # materializes all three caches (no lineitem re-scan afterwards)
     n_o, n_p = (
@@ -640,12 +646,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
 
     def push(scores: DataFrame, deg: DataFrame, src: str, dst: str, n_dst: int) -> DataFrame:
         # divide by out-degree on the small per-vertex table FIRST, then
-        # join edges — the wide side never carries degree columns
+        # join edges — the wide side never carries degree columns; the
+        # edge copy partitioned on the source key makes the join
+        # exchange-free (scores/deg are both group-by outputs on src,
+        # so they arrive pre-partitioned too)
+        ek = edges_o if src == "o" else edges_p
         contrib = scores.join(deg, src).select(
             src, (F.col("s") / F.col(deg.columns[1])).alias("c")
         )
         return (
-            edges.join(contrib, src)
+            ek.join(contrib, src)
             .groupBy(dst)
             .agg(
                 F.round(F.lit(0.15 / n_dst) + F.lit(0.85) * F.sum("c"), 9).alias("s")
@@ -666,9 +676,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
         # caller must not unpersist-race a concurrent execution
         return out
     out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    deg_o.unpersist()
-    deg_p.unpersist()
+    for cached in (edges, edges_o, edges_p, deg_o, deg_p):
+        cached.unpersist()
     return out
 
 

@@ -985,3 +985,89 @@ def flagship_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "flagship_market_share",
+    oracle="""
+    WITH all_nations AS (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE'
+          AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END), 2)
+               AS nation_volume,
+           ROUND(SUM(volume), 2) AS total_volume,
+           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END), 2)
+                 / ROUND(SUM(volume), 2), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def flagship_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of PROMO-part revenue sold into EUROPE customers, per order
+    year.
+
+    Scale shape: the p_type predicate pushes to the part scan and the
+    order-date range to the orders scan — both join inputs shrink before
+    the fact joins; region (5 rows) and both nation copies (25 rows)
+    broadcast; the conditional share is a single-pass pivot-free
+    CASE aggregate, so one group-by exchange on o_year carries two
+    partial sums. Determinism: numerator and denominator round to 2dp
+    in-query before the share division rounds to 6dp, matching the
+    corpus-wide rounding discipline.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_regionkey").alias("n1_region"),
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0)), 2
+    )
+    total_vol = F.round(F.sum(vol), 2)
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            nation_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+            F.round(nation_vol / total_vol, 6).alias("mkt_share"),
+        )
+    )

@@ -159,6 +159,12 @@ AUDITS: dict[str, dict] = {
     # exchange at all, and the unused doc columns never leave the scan
     "lateral_explode_outer": {"max_exchange": 0,
                               "prune": ["source", "n_chars"]},
+    # Q8: p_type + order-date predicates push; nation/region broadcast;
+    # the conditional share is one partial-agged group-by
+    "flagship_market_share": {"pushed": True, "broadcast": True,
+                              "partial": True,
+                              "prune": ["l_quantity", "l_tax", "p_name",
+                                        "p_brand", "c_name", "s_name"]},
 }
 
 
