@@ -87,6 +87,8 @@ OPTIONAL = [
     "flagship_volume_shipping",
     "stream_static_join",
     "flagship_market_share",
+    "flagship_returned_items",
+    "flagship_customer_distribution",
 ]
 
 N_RUNS = 3

@@ -165,6 +165,18 @@ AUDITS: dict[str, dict] = {
                               "partial": True,
                               "prune": ["l_quantity", "l_tax", "p_name",
                                         "p_brand", "c_name", "s_name"]},
+    # Q10: quarter + returnflag predicates push; nation broadcasts;
+    # the revenue agg partials before its exchange
+    "flagship_returned_items": {"pushed": True, "broadcast": True,
+                                "partial": True,
+                                "prune": ["l_quantity", "l_tax",
+                                          "o_totalprice", "c_mktsegment"]},
+    # Q13: outer join keeps the zero bucket; both aggregates partial;
+    # unused wide columns never leave the scans
+    "flagship_customer_distribution": {"partial": True,
+                                       "prune": ["c_name", "c_acctbal",
+                                                 "o_totalprice",
+                                                 "o_orderdate"]},
 }
 
 
