@@ -384,3 +384,59 @@ def agg_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH freq AS (
+        SELECT l_partkey AS key, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (
+        SELECT SUM(cnt) AS total, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+        FROM freq)
+    SELECT f.key, f.cnt,
+           ROUND(f.cnt * 1.0 / t.total, 6) AS share,
+           ROUND(f.cnt * t.n_keys * 1.0 / t.total, 4) AS skew_vs_mean,
+           (f.cnt = t.max_cnt) AS is_heaviest
+    FROM freq f CROSS JOIN tot t
+    ORDER BY f.cnt DESC, f.key
+    LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top-10 heavy hitters of a join key
+    with their share of all rows and their multiple of the mean key
+    frequency — the report you run BEFORE deciding between AQE skew
+    splitting and explicit salting (join_salted_skew is the cure this
+    tool prescribes; at 100 TB a key with skew_vs_mean in the thousands
+    is the straggler that pins one reducer for hours).
+
+    Scale shape: one partial-aggregated group-by on the key, a one-row
+    totals aggregate broadcast back over the frequency table, and a
+    TakeOrdered top-10 — the frequency table never sorts globally and
+    the raw rows are touched exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") * 1.0 / F.col("total"), 4).alias(
+                "skew_vs_mean"
+            ),
+            (F.col("cnt") == F.col("max_cnt")).alias("is_heaviest"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )

@@ -1171,3 +1171,65 @@ def flagship_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH matched AS (
+        SELECT e.event_id, e.ts, MAX(o.o_orderdate) AS last_order_ts
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.ts)
+    SELECT event_id,
+           CASE WHEN last_order_ts >= ts - INTERVAL 30 DAY
+                THEN last_order_ts END AS last_order_ts,
+           (last_order_ts IS NOT NULL
+            AND last_order_ts >= ts - INTERVAL 30 DAY) AS within_tolerance
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance: the latest order at or
+    before each event counts only if it is within 30 days — older
+    matches null out (the time-series join contract: a stale quote is
+    no quote).
+
+    Scale shape: identical to join_asof — ONE shuffle per side via the
+    union+sort trick, running last() over the merged per-user timeline —
+    the tolerance is a post-window column predicate, so it adds zero
+    exchanges (a naive bounded-range join would be |events| x |orders|
+    per key before filtering).
+    """
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    order_side = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    event_side = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("order_ts"),
+    )
+    merged = order_side.unionByName(event_side)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "kind", "order_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ok = F.col("raw_last") >= F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    return (
+        merged.withColumn("raw_last", F.last("order_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.when(ok, F.col("raw_last")).alias("last_order_ts"),
+            (F.col("raw_last").isNotNull() & ok).alias("within_tolerance"),
+        )
+    )

@@ -177,6 +177,15 @@ AUDITS: dict[str, dict] = {
                                        "prune": ["c_name", "c_acctbal",
                                                  "o_totalprice",
                                                  "o_orderdate"]},
+    # as-of with tolerance: same union+sort plan as join_asof — the
+    # tolerance adds zero exchanges (post-window column predicate)
+    "join_asof_tolerance": {"prune": ["value", "props", "o_totalprice"]},
+    # skew diagnostic: key frequencies partial-agg; the one-row totals
+    # table joins back as a broadcast (BNLJ cross against 1 row is the
+    # intended strategy); raw rows are scanned once
+    "diag_key_skew": {"no_bnlj": False, "partial": True,
+                      "prune": ["l_extendedprice", "l_comment",
+                                "l_shipdate"]},
 }
 
 
