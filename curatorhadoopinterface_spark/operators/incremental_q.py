@@ -113,3 +113,66 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("pv"), 4).alias("total")
     )
+
+
+@query(
+    "store_compaction",
+    oracle="""
+    WITH store AS (
+        SELECT sha256('FLAG:false:' || text) AS identifier,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents)
+    SELECT SUBSTRING(identifier, 1, 1) AS bucket,
+           COUNT(*) AS n_records,
+           SUM(n_tokens) AS total_tokens
+    FROM store GROUP BY bucket
+    """,
+)
+def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-store small-file compaction: eight incremental appends
+    leave each hash bucket littered with per-batch files (exactly what
+    streaming upserts produce — the 100 TB small-file problem: NameNode
+    pressure + one task per tiny file); the compaction pass rewrites
+    every bucket to ONE size-packed file without changing a byte of
+    content. The census the oracle checks is computed from the COMPACTED
+    read-back, so content preservation IS the value check
+    (file-count reduction is pinned by tests/test_incremental.py).
+
+    Scale shape: compaction is one shuffle keyed by the partition column
+    (each bucket collapses into exactly one task's output via hash
+    placement), dynamic partition overwrite rewrites only data files —
+    at production scale you run it bucket-subset at a time, bounded by
+    the same partition pruning write_partitioned demonstrates.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_store_compact"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    store = d.select(
+        F.sha2(F.concat(F.lit("FLAG:false:"), F.col("text")), 256).alias(
+            "identifier"
+        ),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.substring("identifier", 1, 1).alias("bucket"),
+    ).withColumn("bucket", F.substring("identifier", 1, 1))
+    # eight incremental appends -> many small files per bucket
+    for i in range(8):
+        store.filter(F.crc32(F.col("identifier")) % 8 == i).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(out)
+    # compaction: hash-place each bucket into exactly one task
+    compacted_dir = out + "_compacted"
+    shutil.rmtree(compacted_dir, ignore_errors=True)
+    spark.read.parquet(out).repartition(16, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(compacted_dir)
+    back = spark.read.parquet(compacted_dir)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -1233,3 +1233,46 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_last").isNotNull() & ok).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "flagship_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def flagship_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure-pushdown
+    flagship — three conjunctive predicates on one table collapsing to a
+    single global aggregate.
+
+    Scale shape: ALL three predicates reach the parquet reader
+    (PushedFilters carries the date range, the discount band, and the
+    quantity bound — row groups outside any band never decompress), the
+    scan reads only the four referenced columns, and the aggregate is a
+    map-side partial folded to one row. At 100 TB this query is pure
+    scan bandwidth; anything beyond one exchange of 32 partial rows is
+    a plan bug.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -306,3 +306,63 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN generation = 2 THEN 1 ELSE 0 END) AS n_v2,
+           SUM(CASE WHEN quality_bucket IS NULL THEN 1 ELSE 0 END) AS n_missing_col,
+           SUM(COALESCE(quality_bucket, 0)) AS sum_bucket
+    FROM (
+        SELECT lang, 1 AS generation, NULL::BIGINT AS quality_bucket
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT lang, 2 AS generation, n_chars % 5 AS quality_bucket
+        FROM documents WHERE doc_id % 2 = 1)
+    GROUP BY lang
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: generation-1 parquet lacks a column that
+    generation-2 files carry; a ``mergeSchema`` read reconciles the two
+    layouts and old rows surface the new column as NULL — the append-new-
+    columns contract every long-lived 100 TB dataset depends on (the
+    reference's analogue is open-keyed view maps growing new view names,
+    SURVEY §1.3).
+
+    Scale note: mergeSchema=true footer-merges EVERY file's schema — at
+    production scale you pin the merged schema in a metastore and pass
+    it explicitly (spark.read.schema(...)), which this query's read-back
+    demonstrates is equivalent for the old files; the per-file merge
+    here is the discovery path, priced at one footer read per file, no
+    data scan.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_schema_evo"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.lit(1).alias("generation")
+    )
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "lang",
+        F.lit(2).alias("generation"),
+        (F.col("n_chars") % 5).alias("quality_bucket"),
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/g1")
+    v2.write.mode("overwrite").parquet(f"{out}/g2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/g1", f"{out}/g2"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("generation") == 2, 1).otherwise(0)).alias("n_v2"),
+        F.sum(F.when(F.col("quality_bucket").isNull(), 1).otherwise(0)).alias(
+            "n_missing_col"
+        ),
+        F.sum(F.coalesce(F.col("quality_bucket"), F.lit(0))).alias("sum_bucket"),
+    )

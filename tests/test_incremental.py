@@ -88,3 +88,37 @@ def test_view_count(spark, corpus):
     ann = provide(corpus, "POS")
     counts = ann.select(view_count_col(ann).alias("n")).collect()
     assert all(r.n == 2 for r in counts)  # tokens + pos
+
+
+def test_store_compaction_reduces_files_and_preserves_content(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from curatorhadoopinterface_spark.operators.incremental_q import (
+        store_compaction,
+    )
+
+    out = store_compaction(spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_store_compact"
+    )
+    before = glob.glob(f"{base}/bucket=*/part-*.parquet")
+    after = glob.glob(f"{base}_compacted/bucket=*/part-*.parquet")
+    buckets = {os.path.basename(os.path.dirname(p)) for p in after}
+    # every bucket compacts to exactly ONE file
+    assert len(after) == len(buckets)
+    # the appends left strictly more files than buckets
+    assert len(before) > len(after)
+    # content preserved: compacted census equals the pre-compaction one
+    import pyspark.sql.functions as F
+
+    pre = {
+        (r["bucket"], r["n_records"], r["total_tokens"])
+        for r in spark.read.parquet(base)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_records"), F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    }
+    post = {(r["bucket"], r["n_records"], r["total_tokens"]) for r in out}
+    assert pre == post

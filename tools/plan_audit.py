@@ -186,6 +186,10 @@ AUDITS: dict[str, dict] = {
     "diag_key_skew": {"no_bnlj": False, "partial": True,
                       "prune": ["l_extendedprice", "l_comment",
                                 "l_shipdate"]},
+    # Q6: all three predicates must reach the reader; one global agg
+    "flagship_forecast_revenue": {"pushed": True, "partial": True,
+                                  "prune": ["l_orderkey", "l_partkey",
+                                            "l_returnflag", "l_tax"]},
 }
 
 
