@@ -238,3 +238,69 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.concat(F.lit("FLAG:false:"), F.col("text"))).alias("identifier_md5"),
     )
+
+
+@query(
+    "map_transform_funcs",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type,
+               COUNT(*) AS c, ROUND(SUM(value), 4) AS s
+        FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN c * 10 END) AS click_x10,
+           BOOL_OR(event_type = 'view') AS has_view,
+           MAX(CASE WHEN event_type = 'purchase'
+                    THEN FLOOR(s / c * 10000 + 0.5) / 10000 END)
+               AS avg_purchase
+    FROM per GROUP BY user_id
+    """,
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-lambda algebra (the open-keyed view-map manipulation layer the
+    Record model leans on, SURVEY §1.3): build per-user MAP columns with
+    map_from_entries, then exercise transform_values (rescale),
+    transform_keys (canonicalize), and map_zip_with (join two maps
+    key-wise — counts vs sums → per-type average). Results project to
+    scalars via element_at so the oracle states the identical lookups as
+    conditional aggregates.
+
+    Scale shape: ONE (user_id, event_type) partial-agged exchange feeds
+    the map construction; all map lambdas are row-local JVM expressions
+    (no second shuffle, no UDF) — at 100 TB this is how per-document
+    view maps are rewritten in place without exploding them.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("s")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "c"))).alias(
+            "m_cnt"
+        ),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "s"))).alias(
+            "m_sum"
+        ),
+    )
+    return maps.select(
+        "user_id",
+        F.size("m_cnt").alias("n_types"),
+        F.element_at(
+            F.transform_values("m_cnt", lambda k, v: v * 10), F.lit("click")
+        ).alias("click_x10"),
+        F.map_contains_key(
+            F.transform_keys("m_cnt", lambda k, v: F.upper(k)), F.lit("VIEW")
+        ).alias("has_view"),
+        F.element_at(
+            # floor(x*1e4+0.5)/1e4: both engines' identical double-native
+            # half-up (a ROUND here can flip at a .00005 boundary because
+            # the two engines' dividends differ by an ulp)
+            F.map_zip_with(
+                "m_cnt",
+                "m_sum",
+                lambda k, a, b: F.floor(b / a * 10000 + F.lit(0.5)) / 10000,
+            ),
+            F.lit("purchase"),
+        ).alias("avg_purchase"),
+    )

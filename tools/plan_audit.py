@@ -190,6 +190,10 @@ AUDITS: dict[str, dict] = {
     "flagship_forecast_revenue": {"pushed": True, "partial": True,
                                   "prune": ["l_orderkey", "l_partkey",
                                             "l_returnflag", "l_tax"]},
+    # map lambdas are row-local: one partial-agged exchange feeds the
+    # map build, nothing else shuffles
+    "map_transform_funcs": {"partial": True,
+                            "prune": ["event_id", "props", "ts"]},
 }
 
 
