@@ -795,3 +795,38 @@ def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode_outer("ms").alias("pos", "hit"),
         F.size("ms").alias("n_hits"),
     )
+
+
+@query(
+    "agg_modern",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 50) AS n_big,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           BOOL_OR(value > 99)  AS any_huge,
+           MIN(event_id)        AS stable_any_id,
+           ROUND(SUM(value) FILTER (WHERE user_id % 2 = 0), 4) AS even_user_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate surface: count_if, bool_and/bool_or, a
+    DETERMINISTIC any-value (min — any_value() is nondeterministic under
+    retries/partial ordering, so a value-hash contract demands an
+    order-independent pick), and filtered aggregation (sum FILTER) — all
+    in one partial-aggregated pass.
+
+    Scale shape: every one of these folds map-side; FILTER clauses are
+    per-row predicates inside the aggregate, not pre-shuffles — one
+    exchange of five partial cells per group.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_huge"),
+        F.min("event_id").alias("stable_any_id"),
+        F.round(
+            F.sum(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 4
+        ).alias("even_user_sum"),
+    )

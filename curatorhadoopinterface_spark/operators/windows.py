@@ -301,3 +301,48 @@ def ts_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_hours",
         F.coalesce("longest", F.lit(0).cast("long")).alias("longest_gap_hours"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+               AS hour_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS hour_events
+    FROM events
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-INTERVAL range frame: each event's trailing-hour sum and
+    count per user — the moving-window metric expressed on the event
+    clock itself (win_range_frame's epoch-seconds cast is the portable
+    fallback; this is the native interval-frame form, same physical
+    plan: one user_id exchange + one in-partition sort serving both
+    window functions).
+
+    Frames are value-based, so ties in ts fall in the same frame for
+    every peer row — deterministic regardless of sort stability, which
+    is why no tiebreak column is needed (a ROWS frame would need one).
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__events_wtr")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+                   AS hour_sum,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS hour_events
+        FROM __events_wtr
+        """
+    )

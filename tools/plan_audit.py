@@ -194,6 +194,10 @@ AUDITS: dict[str, dict] = {
     # map build, nothing else shuffles
     "map_transform_funcs": {"partial": True,
                             "prune": ["event_id", "props", "ts"]},
+    # one user_id exchange + one sort serves both interval-frame windows
+    "win_time_range": {"max_exchange": 1, "prune": ["event_type", "props"]},
+    # every modern aggregate folds map-side in one pass
+    "agg_modern": {"partial": True, "prune": ["ts", "props"]},
 }
 
 
