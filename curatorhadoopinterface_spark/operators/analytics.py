@@ -830,3 +830,125 @@ def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 4
         ).alias("even_user_sum"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM s), 6) AS conversion
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): users counted at each
+    stage only if the stage event happens AT OR AFTER their previous
+    stage's first event — the sequencing constraint that separates a
+    funnel from three independent counts.
+
+    Scale shape: each stage is a partial-aggregated MIN keyed on
+    user_id, and every stage join is user_id-equi against the
+    already-aggregated (small) previous stage — the event table is
+    scanned once per stage with the stage's type predicate pushed into
+    the scan. The final counts are three one-row aggregates. At 100 TB
+    the stage tables are |users|-sized, typically broadcastable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(
+            F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(DATE_DIFF('day', f.cohort_week,
+                          DATE_TRUNC('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in every later week they return — the (cohort, offset)
+    triangle every growth dashboard draws.
+
+    Scale shape: first_seen is one partial-aggregated MIN per user; the
+    join back is user_id-equi (at 100 TB: broadcast if users fit, else
+    the one co-partitioned shuffle both sides already need); the final
+    distinct-count shuffles (cohort_week, offset, user_id) once —
+    Spark's two-phase distinct aggregate, partials before the exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        # cast to DATE: week truncation is a calendar value, and the
+        # oracle's DATE_TRUNC yields DATE (timestamp would hash-mismatch)
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

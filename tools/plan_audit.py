@@ -198,6 +198,14 @@ AUDITS: dict[str, dict] = {
     "win_time_range": {"max_exchange": 1, "prune": ["event_type", "props"]},
     # every modern aggregate folds map-side in one pass
     "agg_modern": {"partial": True, "prune": ["ts", "props"]},
+    # funnel: each stage's type predicate pushes into its scan; stage
+    # MINs partial-aggregate; the broadcast of prior-stage tables is
+    # AQE's call (small), so only partial/pushed are asserted
+    "funnel_conversion": {"pushed": True, "partial": True,
+                          "prune": ["value", "props"]},
+    # cohort matrix: first-seen MIN partials; two-phase distinct agg
+    "retention_cohort": {"partial": True,
+                         "prune": ["event_type", "value", "props"]},
 }
 
 
