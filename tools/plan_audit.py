@@ -201,7 +201,9 @@ AUDITS: dict[str, dict] = {
     # funnel: each stage's type predicate pushes into its scan; stage
     # MINs partial-aggregate; the broadcast of prior-stage tables is
     # AQE's call (small), so only partial/pushed are asserted
-    "funnel_conversion": {"pushed": True, "partial": True,
+    # (the final three one-row count tables cross via broadcast BNLJ —
+    # deliberate, 1-row sides)
+    "funnel_conversion": {"pushed": True, "partial": True, "no_bnlj": False,
                           "prune": ["value", "props"]},
     # cohort matrix: first-seen MIN partials; two-phase distinct agg
     "retention_cohort": {"partial": True,
