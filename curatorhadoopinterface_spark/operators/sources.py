@@ -366,3 +366,75 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("quality_bucket"), F.lit(0))).alias("sum_bucket"),
     )
+
+
+@query(
+    "scan_dynamic_pruning",
+    oracle="""
+    WITH day AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               ROUND(SUM(value), 2) AS day_total
+        FROM events GROUP BY event_date),
+    hot AS (
+        SELECT event_date FROM (
+            SELECT event_date,
+                   ROW_NUMBER() OVER (ORDER BY day_total DESC, event_date) AS rk
+            FROM day)
+        WHERE rk <= 10)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN hot ON CAST(e.ts AS DATE) = hot.event_date
+    GROUP BY e.event_type
+    """,
+)
+def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is date-partitioned on
+    disk, and the partition filter is NOT a literal — it is the top-10
+    hottest days, known only after the dim subquery runs. Spark injects
+    the dim's date set into the fact scan as a runtime partition filter
+    (``dynamicpruning`` subquery in the plan), so 20 of 30 day
+    directories are never opened even though no static predicate exists.
+    At 100 TB this is THE mechanism that makes star-schema joins over
+    partitioned facts affordable — static pruning (write_partitioned)
+    only covers literal predicates.
+
+    Rank-based hot-day selection (row_number over 30 aggregate rows)
+    keeps the dim deterministic — no threshold on a float sum, no
+    boundary flips.
+    """
+    # dir keyed by sf so a run at another scale factor can't read a
+    # stale layout; rewritten every call (the write IS part of the op)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), f"curatorhadoopinterface_spark_dpp{tag}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    fact = spark.read.parquet(out)
+    from pyspark.sql.window import Window as W
+
+    day = fact.groupBy("event_date").agg(
+        F.round(F.sum("value"), 2).alias("day_total")
+    )
+    hot = (
+        day.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("day_total"), F.asc("event_date"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("event_date")
+    )
+    return (
+        fact.join(hot, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

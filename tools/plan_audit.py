@@ -208,6 +208,10 @@ AUDITS: dict[str, dict] = {
     # cohort matrix: first-seen MIN partials; two-phase distinct agg
     "retention_cohort": {"partial": True,
                          "prune": ["event_type", "value", "props"]},
+    # runtime partition pruning: the hot-day dim must inject a
+    # dynamicpruning expression into the fact scan's PartitionFilters
+    "scan_dynamic_pruning": {"dpp": True, "partial": True,
+                             "broadcast": True},
 }
 
 
@@ -230,6 +234,8 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
         problems.append("CartesianProduct in plan")
     if spec.get("no_bnlj", True) and "BroadcastNestedLoopJoin" in plan:
         problems.append("unexpected BroadcastNestedLoopJoin")
+    if spec.get("dpp") and "dynamicpruning" not in plan:
+        problems.append("no dynamicpruning partition filter in plan")
     if spec.get("partial") and not re.search(r"partial_\w+", plan):
         problems.append("no partial_ (map-side) aggregation in plan")
     if "max_exchange" in spec:
