@@ -304,3 +304,45 @@ def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("purchase"),
         ).alias("avg_purchase"),
     )
+
+
+@query(
+    "safe_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ROUND(value / NULLIF(user_id % 3, 0), 4) AS third_rate,
+           (user_id % 3 = 0) AS div_by_zero,
+           TRY_CAST(event_type AS INTEGER) AS bad_cast,
+           TRY_CAST(props->>'$.k' AS INTEGER) AS good_cast,
+           COALESCE(TRY_CAST(event_type AS INTEGER),
+                    TRY_CAST(props->>'$.k' AS INTEGER), -1) AS first_valid
+    FROM events
+    """,
+)
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL instead of a
+    divide-by-zero job failure), try_cast on non-numeric and numeric
+    strings, and the coalesce-over-try fallback chain — the per-row
+    failure budget (the reference tolerates 40% reduce failures,
+    CuratorJob.java:280-285; the engine degrades per VALUE, not per
+    task). Under ANSI mode plain ``/`` and ``CAST`` would abort the
+    whole 100 TB job on one bad row; the try_* forms are the contract
+    that keeps ingest running.
+
+    Pure row-local column algebra: fuses into the scan, zero exchanges.
+    """
+    e = load_table(spark, sf_dir, "events")
+    third = F.try_divide(F.col("value"), F.col("user_id") % 3)
+    good = F.try_to_number(
+        F.get_json_object("props", "$.k"), F.lit("999999")
+    ).cast("int")
+    return e.select(
+        "event_id",
+        F.round(third, 4).alias("third_rate"),
+        (F.col("user_id") % 3 == 0).alias("div_by_zero"),
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        good.alias("good_cast"),
+        F.coalesce(
+            F.col("event_type").try_cast("int"), good, F.lit(-1)
+        ).alias("first_valid"),
+    )

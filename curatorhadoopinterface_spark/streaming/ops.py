@@ -608,3 +608,112 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_value"),
     )
     return run_to_sink(agg, "complete")
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax,
+           ROUND(SUM(value), 4) AS vsum
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (the successor API to
+    applyInPandasWithState): an object-oriented StatefulProcessor holding
+    a typed ValueState per user, tracking (count, min, max, sum) across
+    micro-batches. This is the engine's forward-looking custom-state
+    surface — composable named state variables, timers, and TTL live on
+    the handle (stream_stateful_count shows the legacy function API).
+    With the stream drained, each key's final emission equals the batch
+    aggregate — the oracle. State partitions by the grouping key across
+    executors; at 100 TB/day the RocksDB state store + changelog
+    checkpointing carry exactly this layout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import StructType
+
+    out_t = StructType.fromDDL(
+        "user_id bigint, n_events bigint, vmin double, vmax double, vsum double"
+    )
+    st_t = StructType.fromDDL("cnt bigint, mn double, mx double, tot double")
+
+    class ExtremesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", st_t)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                cnt, mn, mx, tot = self._agg.get()
+            else:
+                cnt, mn, mx, tot = 0, float("inf"), float("-inf"), 0.0
+            for pdf in rows:
+                cnt += len(pdf)
+                mn = min(mn, float(pdf["value"].min()))
+                mx = max(mx, float(pdf["value"].max()))
+                tot += float(pdf["value"].sum())
+            self._agg.update((cnt, mn, mx, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "vmin": [round(mn, 4)],
+                    "vmax": [round(mx, 4)],
+                    "vsum": [round(tot, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState's Python worker needs google.protobuf for its
+    # state-server protocol; probe it DRIVER-side (the worker-side
+    # failure costs a whole streaming-query timeout) and fall back to
+    # the legacy applyInPandasWithState API computing the SAME state
+    # machine (import-try gating per the environment contract)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    src = events_stream(spark, sf_dir)
+    if has_protobuf:
+        res = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ExtremesProcessor(),
+            outputStructType=out_t,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_sink(res, "update")
+    else:
+        def track(key, pdfs, state):
+            if state.exists:
+                cnt, mn, mx, tot = state.get
+            else:
+                cnt, mn, mx, tot = 0, float("inf"), float("-inf"), 0.0
+            for pdf in pdfs:
+                cnt += len(pdf)
+                mn = min(mn, float(pdf["value"].min()))
+                mx = max(mx, float(pdf["value"].max()))
+                tot += float(pdf["value"].sum())
+            state.update((cnt, mn, mx, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "vmin": [round(mn, 4)],
+                    "vmax": [round(mx, 4)],
+                    "vsum": [round(tot, 4)],
+                }
+            )
+
+        res = events_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
+            track, out_t, st_t, "update", "NoTimeout"
+        )
+        return run_to_sink(res, "update")

@@ -212,6 +212,8 @@ AUDITS: dict[str, dict] = {
     # dynamicpruning expression into the fact scan's PartitionFilters
     "scan_dynamic_pruning": {"dpp": True, "partial": True,
                              "broadcast": True},
+    # try_* surface is row-local: fuses into the scan, zero exchanges
+    "safe_arithmetic": {"max_exchange": 0, "prune": ["ts"]},
 }
 
 
