@@ -16,8 +16,15 @@ from __future__ import annotations
 
 import re
 
-TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
-SENT_END_RE = re.compile(r"[.!?]+(?:\s+|$)")
+# Parity with illinoistokenizer-0.4 on the samplejob corpus (golden test
+# asserts EXACT token+sentence counts on all 4 docs): ellipsis and
+# em-dash are single tokens, intra-word hyphens keep compounds together
+# (mast-head), an apostrophe glues to the following letters ('s), and a
+# sentence terminator may be followed by closing quotes/brackets.
+TOKEN_RE = re.compile(
+    r"\.\.\.|--|[A-Za-z0-9]+(?:-[A-Za-z0-9]+)*|'[A-Za-z]+|[^A-Za-z0-9\s]"
+)
+SENT_END_RE = re.compile(r"[.!?]+[\"')\]]*(?:\s+|$)")
 
 DT_WORDS = frozenset({"the", "a", "an"})
 CC_WORDS = frozenset({"and", "or", "but"})
@@ -53,8 +60,11 @@ def _span(start: int, ending: int, label: str, source: str, score: float = 1.0, 
 
 
 def tokenize(text: str, source: str = "enginetok-1.0") -> list[dict]:
-    """TOKEN: maximal alnum runs or single punctuation chars, with
-    half-open char offsets (Span semantics, curator.thrift Span)."""
+    """TOKEN: alnum runs (hyphen-joined compounds stay whole), ellipsis/
+    em-dash/apostrophe-clitic tokens, else single punctuation chars —
+    half-open char offsets (Span semantics, curator.thrift Span);
+    token-for-token equal to illinoistokenizer-0.4 on the samplejob
+    golden corpus (tests/test_thrift_interop.py)."""
     return [_span(m.start(), m.end(), m.group(0), source) for m in TOKEN_RE.finditer(text)]
 
 

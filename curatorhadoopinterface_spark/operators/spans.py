@@ -170,7 +170,7 @@ _POS_CASE = """
 _RE_TOKS_CTE = """
     retoks AS (
         SELECT doc_id,
-               UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token
+               UNNEST(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.|--|[A-Za-z0-9]+(-[A-Za-z0-9]+)*|''[A-Za-z]+|[^A-Za-z0-9\\s]')) AS token
         FROM documents)
 """
 
@@ -315,9 +315,9 @@ def annotate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORD_TAGS_CTE = f"""
     retoks_ord AS (
         SELECT doc_id,
-               UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token,
+               UNNEST(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.|--|[A-Za-z0-9]+(-[A-Za-z0-9]+)*|''[A-Za-z]+|[^A-Za-z0-9\\s]')) AS token,
                GENERATE_SUBSCRIPTS(
-                   REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'), 1) AS token_idx
+                   REGEXP_EXTRACT_ALL(text, '\\.\\.\\.|--|[A-Za-z0-9]+(-[A-Za-z0-9]+)*|''[A-Za-z]+|[^A-Za-z0-9\\s]'), 1) AS token_idx
         FROM documents),
     tagged AS (
         SELECT doc_id, token_idx, token, {_POS_CASE} AS tag
@@ -496,10 +496,10 @@ def annotate_srl_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT doc_id,
-               LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+(\\s+|$)'))
-               + CASE WHEN TRIM(REGEXP_REPLACE(text, '^.*[.!?]+(\\s+|$)', '', 's'))
+               LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+[\"'')\\]]*(\\s+|$)'))
+               + CASE WHEN TRIM(REGEXP_REPLACE(text, '^.*[.!?]+[\"'')\\]]*(\\s+|$)', '', 's'))
                            <> '' THEN 1 ELSE 0 END AS n_sents,
-               LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+               LEN(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.|--|[A-Za-z0-9]+(-[A-Za-z0-9]+)*|''[A-Za-z]+|[^A-Za-z0-9\\s]'))
                    AS n_toks
         FROM documents)
     SELECT doc_id,

@@ -142,10 +142,10 @@ def test_golden_pipeline_vs_reference_output(spark):
 
     Exact parity asserted: identifiers (so the memoization layer keys
     interoperate), view presence, dependency closure, span
-    well-formedness, |pos| == |tokens|. Counts: sentence/token counts
-    match the reference exactly on 2 of 4 docs and within 10% on all
-    (the lightweight tokenizer differs from illinoistokenizer-0.4 on
-    directed quotes and ellipses — doc3/doc4)."""
+    well-formedness, |pos| == |tokens|, and EXACT sentence/token counts
+    on all 4 docs (the tokenizer reproduces illinoistokenizer-0.4 on
+    this corpus: ellipsis/em-dash tokens, hyphenated compounds,
+    apostrophe clitics, terminator+closing-quote sentence ends)."""
     from curatorhadoopinterface_spark.io import read_text_corpus
     from curatorhadoopinterface_spark.plans.provide import provide
 
@@ -170,11 +170,9 @@ def test_golden_pipeline_vs_reference_output(spark):
         rl = ref[ident]["label_views"]
         t_ours, t_ref = len(lv["tokens"]["labels"]), len(rl["tokens"]["labels"])
         s_ours, s_ref = len(lv["sentences"]["labels"]), len(rl["sentences"]["labels"])
-        assert abs(t_ours - t_ref) / t_ref < 0.10
-        assert abs(s_ours - s_ref) <= max(1, 0.10 * s_ref)
-        if (t_ours, s_ours) == (t_ref, s_ref):
-            exact += 1
-    assert exact >= 2, "expected exact token+sentence parity on >=2 docs"
+        assert (t_ours, s_ours) == (t_ref, s_ref)
+        exact += 1
+    assert exact == 4, "expected exact token+sentence parity on all 4 docs"
 
 
 def test_multirecord_codec_roundtrip():
