@@ -1276,3 +1276,102 @@ def flagship_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "flagship_promo_effect",
+    oracle="""
+    SELECT ROUND(100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END), 2)
+                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), 4)
+               AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def flagship_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promotional revenue share of
+    one month's shipments — the conditional-share-of-total aggregate.
+
+    Scale shape: the month predicate pushes to the lineitem scan, the
+    part side joins on its key (a dimension that scales with SF — no
+    broadcast hint, AQE decides; only p_partkey and p_type are read),
+    and both the conditional and total revenue fold as partials in ONE
+    aggregation pass — no self-join, no pivot. Share determinism:
+    numerator and denominator round to 2dp before the division rounds
+    to 4dp (the flagship_market_share discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2
+    )
+    total = F.round(F.sum(vol), 2)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * promo / total, 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "flagship_bracket_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def flagship_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue brackets): revenue matching a
+    DISJUNCTION of (brand, size, quantity) bracket conjunctions — the
+    OR-of-ANDs predicate that stresses an optimizer's disjunctive
+    pushdown.
+
+    Scale shape: Catalyst factors the common columns — each side of the
+    join gets the UNION of its bracket ranges pushed to its scan
+    (lineitem: quantity 1-50, part: the brand/size envelope) so rows
+    outside every bracket never leave the readers; the exact bracket
+    pairing evaluates post-join. One partial-agged global row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    b = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return joined.filter(b).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

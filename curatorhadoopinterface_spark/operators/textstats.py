@@ -818,3 +818,68 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 20
     )
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT COUNT(*) AS t FROM words),
+    scored AS (
+        SELECT doc_id,
+               ROUND(AVG(-LN(cnt * 1.0 / (SELECT t FROM tot))), 4) AS nll,
+               ROUND(EXP(AVG(-LN(cnt * 1.0 / (SELECT t FROM tot)))), 2) AS ppl
+        FROM words JOIN vocab USING (w)
+        GROUP BY doc_id),
+    bucketed AS (
+        SELECT d.lang, s.ppl,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.nll, s.doc_id) AS bucket
+        FROM scored s JOIN documents d USING (doc_id))
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           MIN(ppl) AS min_ppl,
+           MAX(ppl) AS max_ppl
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., 2020): rank every
+    document by its LM score WITHIN its language and cut head/middle/tail
+    thirds — the standard quality-stratification step before mixing
+    training data (head = fluent, tail = gibberish candidates).
+
+    Scale shape: the scoring pass is text_unigram_logprob's two-pass
+    broadcast-vocabulary plan; bucketing adds one per-language window
+    (NTILE over the compact per-doc score table, not the token rows) and
+    a tiny summary aggregate. Ties order by doc_id so the cut points
+    are deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = (
+        vocab.agg(F.sum("cnt").alias("t"))
+    )
+    lp = -F.log(F.col("cnt") * 1.0 / F.col("t"))
+    scored = (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(lp), 4).alias("nll"),
+            F.round(F.exp(F.avg(lp)), 2).alias("ppl"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    bucketed = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )

@@ -214,6 +214,21 @@ AUDITS: dict[str, dict] = {
                              "broadcast": True},
     # try_* surface is row-local: fuses into the scan, zero exchanges
     "safe_arithmetic": {"max_exchange": 0, "prune": ["ts"]},
+    # CCNet buckets: broadcast-vocab scoring; NTILE runs on the compact
+    # per-doc table (token rows never hit the window)
+    # (the one-row corpus-total table crosses via broadcast BNLJ)
+    "text_perplexity_buckets": {"broadcast": True, "partial": True,
+                                "no_bnlj": False,
+                                "prune": ["source", "n_chars"]},
+    # Q14: month predicate pushes; conditional + total fold in ONE pass
+    "flagship_promo_effect": {"pushed": True, "partial": True,
+                              "prune": ["p_name", "p_brand", "p_size",
+                                        "l_returnflag", "l_tax"]},
+    # Q19: the OR-of-ANDs must factor — each scan carries its bracket
+    # envelope as a pushed filter
+    "flagship_bracket_revenue": {"pushed": True, "partial": True,
+                                 "prune": ["p_name", "p_retailprice",
+                                           "l_shipdate", "l_tax"]},
 }
 
 
