@@ -952,3 +952,72 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "graph_copurchase_topk",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, COUNT(*) AS d FROM basket GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS together
+        FROM basket a JOIN basket b
+          ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+    scored AS (
+        SELECT p1, p2, together,
+               ROUND(together * 1.0 / (d1.d + d2.d - together), 6) AS jaccard
+        FROM pairs JOIN deg d1 ON d1.p = p1 JOIN deg d2 ON d2.p = p2)
+    SELECT p1, p2, together, jaccard
+    FROM scored
+    ORDER BY together DESC, jaccard DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (market-basket similarity): the top-20
+    part pairs by shared-order count, scored with Jaccard over their
+    order sets — the classic collaborative-filtering co-occurrence
+    matrix, computed sparsely.
+
+    Scale shape: the pair join is EQUI on the order key, so the blowup
+    is per-basket-local (sum of |basket| choose 2, NOT |parts|^2 — at
+    100 TB the guard is capping basket size, since one 10k-item basket
+    contributes 50M pairs); pair counts partial-aggregate before their
+    exchange; the degree table joins back broadcast-sized. Top-20 is a
+    TakeOrdered with full deterministic tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = basket.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    d1 = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "p1")
+        .join(F.broadcast(d2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "together",
+            F.round(
+                F.col("together")
+                * 1.0
+                / (F.col("d1") + F.col("d2") - F.col("together")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("together"), F.desc("jaccard"), "p1", "p2")
+        .limit(20)
+    )

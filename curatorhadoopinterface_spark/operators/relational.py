@@ -1375,3 +1375,61 @@ def flagship_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 10 END
+                   AS bucket_key,
+               value
+        FROM events)
+    SELECT a.bucket_key,
+           COUNT(*) AS n_pairs,
+           ROUND(SUM(a.value + b.value), 2) AS pair_value
+    FROM keyed a JOIN keyed b
+      ON a.bucket_key IS NOT DISTINCT FROM b.bucket_key
+     AND a.event_id + 1 = b.event_id
+    GROUP BY a.bucket_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics an equality
+    join gets wrong when the key is a nullable derived column (here a
+    bucket where one residue class is nulled out). The second conjunct
+    (adjacent event ids) keeps the null bucket from going quadratic.
+
+    Scale shape: Spark plans <=> as a HASH join (null hashes like any
+    value), so this stays a normal shuffled equi join — but every NULL
+    row lands in ONE partition: at 100 TB a large null population is
+    the canonical skew key, and the fix is the same salting
+    join_salted_skew demonstrates (or filtering nulls into a separate
+    union branch).
+    """
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 10)
+        .alias("bucket_key"),
+        "value",
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.bucket_key").eqNullSafe(F.col("b.bucket_key"))
+            & (F.col("a.event_id") + 1 == F.col("b.event_id")),
+        )
+        .groupBy(F.col("a.bucket_key").alias("bucket_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("a.value") + F.col("b.value")), 2).alias(
+                "pair_value"
+            ),
+        )
+    )

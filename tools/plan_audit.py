@@ -229,6 +229,13 @@ AUDITS: dict[str, dict] = {
     "flagship_bracket_revenue": {"pushed": True, "partial": True,
                                  "prune": ["p_name", "p_retailprice",
                                            "l_shipdate", "l_tax"]},
+    # co-occurrence: basket-local pair blowup, pair counts partial;
+    # degree tables broadcast back
+    "graph_copurchase_topk": {"broadcast": True, "partial": True,
+                              "prune": ["l_extendedprice", "l_shipdate",
+                                        "l_comment"]},
+    # null-safe key compiles to a hash join, never a cartesian
+    "join_null_safe": {"partial": True, "prune": ["event_type", "props"]},
 }
 
 
