@@ -99,6 +99,42 @@ def cmd_verify(args: argparse.Namespace) -> None:
     sys.exit(1 if bad else 0)
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Record-store maintenance: rewrite every hash bucket to one
+    size-packed file (the store_compaction op as a CLI — streaming
+    upserts and incremental runs leave per-batch small files behind)."""
+    import glob
+    import os
+
+    from curatorhadoopinterface_spark.session import get_spark
+
+    spark = get_spark("cli-compact")
+    before = len(glob.glob(os.path.join(args.store, "*", "part-*")))
+    df = spark.read.parquet(args.store)
+    part_cols = [c for c in df.columns if c.startswith("__")] or (
+        ["__bucket"] if "__bucket" in df.columns else []
+    )
+    # the store layout partitions by the leading-hex bucket column; fall
+    # back to a plain single-dir rewrite when the layout is unpartitioned
+    key = part_cols[0] if part_cols else None
+    staged = args.store.rstrip("/") + ".compacting"
+    w = df.repartition(args.target_files, key) if key else df.coalesce(
+        args.target_files
+    )
+    writer = w.write.mode("overwrite")
+    if key:
+        writer = writer.partitionBy(key)
+    writer.parquet(staged)
+    import shutil
+
+    shutil.rmtree(args.store)
+    os.rename(staged, args.store)
+    after = len(glob.glob(os.path.join(args.store, "*", "part-*"))) or len(
+        glob.glob(os.path.join(args.store, "part-*"))
+    )
+    print(f"compacted {args.store}: {before} -> {after} files")
+
+
 def cmd_queries(_: argparse.Namespace) -> None:
     import __spark_entry__ as entrymod
 
@@ -133,6 +169,13 @@ def main(argv: list[str] | None = None) -> None:
 
     pq = sub.add_parser("queries", help="list declared queries")
     pq.set_defaults(fn=cmd_queries)
+
+    pc = sub.add_parser(
+        "compact", help="rewrite record-store buckets to size-packed files"
+    )
+    pc.add_argument("--store", required=True, help="record-store parquet dir")
+    pc.add_argument("--target-files", type=int, default=16)
+    pc.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     if args.cmd == "annotate" and not args.output and not args.store:

@@ -66,3 +66,34 @@ def test_cli_annotate_thrift_corpus(spark, tmp_path, capsys):
     for rec in rows.values():
         # pre-existing reference views retained + the new chunk view
         assert {"sentences", "tokens", "pos", "chunk"} <= set(rec["label_views"])
+
+
+def test_cli_compact_store(spark, tmp_path, capsys):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.__main__ import main
+
+    store = str(tmp_path / "store")
+    df = spark.range(200).select(
+        F.md5(F.col("id").cast("string")).alias("identifier"),
+        F.col("id").alias("payload"),
+    ).withColumn("__bucket", F.substring("identifier", 1, 1))
+    # four appends -> many small files per bucket
+    for i in range(4):
+        df.filter(F.col("payload") % 4 == i).write.mode("append").partitionBy(
+            "__bucket"
+        ).parquet(store)
+    before_files = glob.glob(f"{store}/__bucket=*/part-*")
+    before_rows = spark.read.parquet(store).count()
+    main(["compact", "--store", store, "--target-files", "16"])
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    after_files = glob.glob(f"{store}/__bucket=*/part-*")
+    assert len(after_files) < len(before_files)
+    back = spark.read.parquet(store)
+    assert back.count() == before_rows
+    # one file per bucket directory
+    dirs = {f.rsplit("/", 2)[1] for f in after_files}
+    assert len(after_files) == len(dirs)
