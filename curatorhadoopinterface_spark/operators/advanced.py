@@ -440,3 +440,80 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
+
+
+@query(
+    "agg_sketch_theta",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS exact_click,
+           (SELECT COUNT(*) FROM p) AS exact_purchase,
+           (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+               AS exact_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+               AS exact_both,
+           TRUE AS union_within_5pct,
+           TRUE AS inter_within_5pct
+    """,
+)
+def agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches Theta sketches: mergeable SET ALGEBRA on distinct
+    sets — union AND intersection estimated from two constant-size
+    sketches without ever co-shuffling the raw sets (the 100 TB answer
+    to "how many users clicked AND purchased" across partitioned,
+    separately-aggregated data; HLL can union but cannot intersect).
+    Self-verifying contract (agg_sketch_hll pattern): the Spark side
+    computes sketch estimates AND the exact set sizes, emitting
+    within-5% booleans; the oracle pins the exact values and expects
+    TRUE, so sketch drift fails the value hash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sk = e.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_c"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    both = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            e.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    est_u = F.theta_sketch_estimate(F.theta_union(F.col("sk_c"), F.col("sk_p")))
+    est_i = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_c"), F.col("sk_p"))
+    )
+    return (
+        sk.crossJoin(F.broadcast(both))
+        .select(
+            "exact_click",
+            "exact_purchase",
+            "exact_union",
+            "exact_both",
+            (
+                F.abs(est_u - F.col("exact_union"))
+                <= 0.05 * F.col("exact_union")
+            ).alias("union_within_5pct"),
+            (
+                F.abs(est_i - F.col("exact_both"))
+                <= 0.05 * F.greatest(F.col("exact_both"), F.lit(1))
+            ).alias("inter_within_5pct"),
+        )
+    )

@@ -236,6 +236,10 @@ AUDITS: dict[str, dict] = {
                                         "l_comment"]},
     # null-safe key compiles to a hash join, never a cartesian
     "join_null_safe": {"partial": True, "prune": ["event_type", "props"]},
+    # theta sketches fold map-side; the one-row exact-both table crosses
+    # via broadcast BNLJ (deliberate)
+    "agg_sketch_theta": {"no_bnlj": False, "partial": True,
+                         "prune": ["value", "props", "ts"]},
 }
 
 
