@@ -176,3 +176,64 @@ def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax,
+           ROUND(ROUND(SUM(value), 4) / COUNT(*), 6) AS vavg
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by PARTIAL-AGGREGATE MERGE: the
+    materialized summary of yesterday's data plus today's delta summary
+    combine into exactly the full-recompute answer — provided every
+    statistic is stored in its mergeable form (count+sum, min, max;
+    avg is DERIVED at read time, never stored, because averages don't
+    merge). The oracle IS the full recompute, so the merge identity is
+    value-checked.
+
+    Scale shape: the whole point at 100 TB — the delta scan touches only
+    new data; the stored summary is group-cardinality-sized. Each side
+    partial-aggregates independently (map-side combine) and the merge is
+    a tiny group-keyed union+re-aggregate, the same algebra Spark's own
+    partial/final hash aggregation uses between stages (SURVEY §2C
+    "agg: partial+final").
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 10 != 0)  # "yesterday's" store
+    delta = e.filter(F.col("event_id") % 10 == 0)  # today's arrivals
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    merged = (
+        summarize(base)
+        .unionByName(summarize(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("s"), 4).alias("total"),
+            F.round(F.min("mn"), 4).alias("vmin"),
+            F.round(F.max("mx"), 4).alias("vmax"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+        F.round(F.col("total") / F.col("n"), 6).alias("vavg"),
+    )

@@ -240,6 +240,9 @@ AUDITS: dict[str, dict] = {
     # via broadcast BNLJ (deliberate)
     "agg_sketch_theta": {"no_bnlj": False, "partial": True,
                          "prune": ["value", "props", "ts"]},
+    # both summaries partial-aggregate; the merge is a tiny re-agg
+    "incremental_agg_maintenance": {"partial": True,
+                                    "prune": ["user_id", "props", "ts"]},
 }
 
 
