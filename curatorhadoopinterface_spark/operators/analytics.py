@@ -1021,3 +1021,93 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("together"), F.desc("jaccard"), "p1", "p2")
         .limit(20)
     )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events)
+    SELECT bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets of equal row count) — the
+    complement of agg_histogram's fixed-width buckets, and what an
+    optimizer's column statistics actually store (bounds adapt to the
+    distribution, so skewed data still gets informative buckets).
+
+    Scale shape: NTILE needs a global order — at this size one sort
+    exchange; at 100 TB the production form samples quantile boundaries
+    (approx_percentile partials) and buckets by range comparison in one
+    scan, trading exact equal-depth for a sort-free plan. Ties order by
+    event_id so bucket assignment is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ranked = e.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("value", "event_id"))
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@query(
+    "agg_mad_outlier",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS m
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - med.m) AS ad, med.m
+        FROM events e JOIN med USING (event_type)),
+    mad AS (
+        SELECT event_type, MAX(m) AS m, MEDIAN(ad) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(mad.mad, 4) AS mad
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.mad
+    """,
+)
+def agg_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen — the ROBUST twin of
+    agg_zscore_outlier: a handful of extreme values can drag a mean and
+    inflate a stddev until the screen misses everything (masking), but
+    medians don't move, so MAD keeps flagging. The telemetry gate to
+    prefer when the data is the thing being checked.
+
+    Scale shape: two median passes (per-group sort-based aggregates,
+    partial-merged like any TypedImperativeAggregate) with the tiny
+    per-group tables broadcast back onto the fact scan — the
+    agg_zscore_outlier two-pass-broadcast plan, one extra pass for the
+    deviation median. Exact medians keep the oracle exact; at 100 TB
+    swap in approx_percentile partials for a single-pass sketch.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", F.abs(F.col("value") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", F.round("mad", 4).alias("mad"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", "mad")
+    )

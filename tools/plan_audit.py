@@ -243,6 +243,12 @@ AUDITS: dict[str, dict] = {
     # both summaries partial-aggregate; the merge is a tiny re-agg
     "incremental_agg_maintenance": {"partial": True,
                                     "prune": ["user_id", "props", "ts"]},
+    # robust stats: both median passes partial-merge; per-group tables
+    # broadcast back onto the fact scan
+    "agg_mad_outlier": {"broadcast": True, "partial": True,
+                        "prune": ["user_id", "props", "event_id"]},
+    "agg_histogram_equidepth": {"partial": True,
+                                "prune": ["user_id", "props", "event_type"]},
 }
 
 
