@@ -351,3 +351,166 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+# ---- product quantization ---------------------------------------------------
+
+M_SUB = 4  # subspaces
+SUBDIM = DIM // M_SUB  # 16 dims each
+
+_O_SUB = f"""
+    sub AS (
+        SELECT vec_id, label, m,
+               e[m * {SUBDIM} + 1 : (m + 1) * {SUBDIM}] AS sv
+        FROM base, UNNEST(GENERATE_SERIES(0, {M_SUB - 1})) AS t(m))
+"""
+
+_O_CB = f"""
+    cb AS (
+        SELECT m, label,
+               LIST(ROUND(s, 4) ORDER BY i) AS ce
+        FROM (
+            SELECT m, label, i, SUM(sv[i]) / COUNT(*) AS s
+            FROM sub, UNNEST(GENERATE_SERIES(1, {SUBDIM})) AS t(i)
+            GROUP BY m, label, i)
+        GROUP BY m, label)
+"""
+
+
+def _o_d2i(a: str, b: str) -> str:
+    """Integer-scaled squared-L2 over a subvector: exact bigint, so sums
+    across subspaces are order-independent."""
+    return (
+        f"CAST(FLOOR(list_reduce(list_transform(GENERATE_SERIES(1, {SUBDIM}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        f" * 1000000 + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "sim_pq_adc",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_SUB},
+    {_O_CB},
+    codes AS (
+        SELECT vec_id, m, label AS code FROM (
+            SELECT s.vec_id, s.m, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_o_d2i('s.sv', 'c.ce')} ASC, c.label) AS rk
+            FROM sub s JOIN cb c ON c.m = s.m)
+        WHERE rk = 1),
+    q AS (SELECT vec_id, m, sv FROM sub WHERE vec_id < {N_QUERIES}),
+    qd AS (
+        SELECT q.vec_id AS query_id, q.m, c.label,
+               {_o_d2i('q.sv', 'c.ce')} AS d2i
+        FROM q JOIN cb c ON c.m = q.m),
+    adc AS (
+        SELECT qd.query_id, codes.vec_id AS neighbor_id,
+               SUM(qd.d2i) AS adc_i
+        FROM codes JOIN qd ON qd.m = codes.m AND qd.label = codes.code
+        WHERE codes.vec_id <> qd.query_id
+        GROUP BY qd.query_id, codes.vec_id)
+    SELECT query_id, neighbor_id,
+           ROUND(adc_i / 1000000.0, 6) AS adc_dist, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_i ASC, neighbor_id) AS rk
+        FROM adc)
+    WHERE rk <= {TOP_K}
+    """,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance (ADC) search: vectors
+    compress to {M_SUB} one-byte codes (nearest per-subspace centroid);
+    a query scores the WHOLE corpus from a tiny per-query lookup table
+    (query-to-centroid distances per subspace) — sum of {M_SUB} table
+    entries per candidate instead of a 64-dim fold. The memory-bound ANN
+    serving layer: at 100 TB the codes table is ~256x smaller than the
+    float corpus and the scoring join moves codes, never vectors.
+
+    Determinism: subspace distances are floor(d2*1e6+0.5) BIGINTs, so
+    the cross-subspace sum is exact integer arithmetic — immune to
+    summation order (the double-sum would wobble in the last ulp);
+    argmin/rank ties break on label/neighbor_id. Codebooks are the
+    per-label subvector means rounded to 4 (the kmeans_lloyd /
+    sim_ivf_topk centroid discipline).
+    """
+    base = _base(spark, sf_dir)
+    sub = base.select(
+        "vec_id",
+        "label",
+        F.explode(F.array(*[F.lit(m) for m in range(M_SUB)])).alias("m"),
+        "e",
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.expr(f"slice(e, m * {SUBDIM} + 1, {SUBDIM})").alias("sv"),
+    )
+    cb = (
+        sub.select("m", "label", F.posexplode("sv").alias("i", "v"))
+        .groupBy("m", "label", "i")
+        .agg((F.sum("v") / F.count("*")).alias("s"))
+        .groupBy("m", "label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> round(p.s, 4))"
+            ).alias("ce")
+        )
+    )
+
+    def d2i(a: str, b: str):
+        return F.expr(
+            f"cast(floor(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as double), (acc, v) -> acc + v) * 1000000"
+            " + cast(0.5 as double)) as bigint)"
+        )
+
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("di"), F.asc("label")
+    )
+    codes = (
+        # drop the vector's own label first: the codebook's label is the
+        # candidate code, and keeping both makes the join ambiguous
+        sub.select("vec_id", "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "label",
+            d2i("sv", "ce").alias("di"),
+        )
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("label").alias("code"))
+    )
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    qd = q.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "label", d2i("sv", "ce").alias("d2i")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (qd["m"] == codes["m"])
+            & (qd["label"] == codes["code"])
+            & (codes["vec_id"] != qd["query_id"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2i").alias("adc_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc_i") / 1000000.0, 6).alias("adc_dist"),
+            "rk",
+        )
+    )

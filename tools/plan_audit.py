@@ -249,6 +249,9 @@ AUDITS: dict[str, dict] = {
                         "prune": ["user_id", "props", "event_id"]},
     "agg_histogram_equidepth": {"partial": True,
                                 "prune": ["user_id", "props", "event_type"]},
+    # PQ: codebooks + query lookup tables broadcast; the scoring join
+    # moves CODES, never vectors; per-subspace means partial-aggregate
+    "sim_pq_adc": {"broadcast": True, "partial": True},
 }
 
 
