@@ -514,3 +514,105 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "sim_pq_recall",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_SUB},
+    {_O_CB},
+    codes AS (
+        SELECT vec_id, m, label AS code FROM (
+            SELECT s.vec_id, s.m, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_o_d2i('s.sv', 'c.ce')} ASC, c.label) AS rk
+            FROM sub s JOIN cb c ON c.m = s.m)
+        WHERE rk = 1),
+    q AS (SELECT vec_id, m, sv FROM sub WHERE vec_id < {N_QUERIES}),
+    qd AS (
+        SELECT q.vec_id AS query_id, q.m, c.label,
+               {_o_d2i('q.sv', 'c.ce')} AS d2i
+        FROM q JOIN cb c ON c.m = q.m),
+    pq_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qd.query_id
+                       ORDER BY SUM(qd.d2i) ASC, codes.vec_id) AS rk
+            FROM codes JOIN qd ON qd.m = codes.m AND qd.label = codes.code
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY qd.query_id, codes.vec_id)
+        WHERE rk <= {TOP_K}),
+    qfull AS (SELECT vec_id, e FROM base WHERE vec_id < {N_QUERIES}),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qf.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qf.vec_id
+                       ORDER BY {_o_d2('qf.e', 'b.e')} ASC, b.vec_id) AS rk
+            FROM qfull qf JOIN base b ON b.vec_id <> qf.vec_id)
+        WHERE rk <= {TOP_K})
+    SELECT e.query_id,
+           COUNT(p.neighbor_id) AS n_hit,
+           {TOP_K} AS k,
+           ROUND(COUNT(p.neighbor_id) * 1.0 / {TOP_K}, 2) AS recall
+    FROM exact_top e
+    LEFT JOIN pq_top p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC search against the exact squared-L2 baseline —
+    the honesty metric every quantized index ships with (sim_ann_recall
+    is the LSH twin): compression trades recall for memory, and the
+    trade must be MEASURED, not assumed. Full value check: per-query
+    hit counts, not just an average.
+
+    Plan: the PQ side is sim_pq_adc's broadcast-lookup pipeline; the
+    exact side is one brute-force pass over the corpus for the tiny
+    query set (broadcast, map-side); the comparison is a per-query
+    left join of two k-row lists.
+    """
+    pq_top = sim_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
+    base = _base(spark, sf_dir)
+    qfull = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact_top = (
+        F.broadcast(qfull)
+        .join(base, base["vec_id"] != qfull["query_id"])
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact_top.alias("e")
+        .join(
+            pq_top.alias("p"),
+            (F.col("p.query_id") == F.col("e.query_id"))
+            & (F.col("p.neighbor_id") == F.col("e.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("p.neighbor_id")).alias("n_hit"),
+            F.lit(TOP_K).alias("k"),
+            F.round(F.count(F.col("p.neighbor_id")) * 1.0 / TOP_K, 2).alias(
+                "recall"
+            ),
+        )
+    )

@@ -252,6 +252,9 @@ AUDITS: dict[str, dict] = {
     # PQ: codebooks + query lookup tables broadcast; the scoring join
     # moves CODES, never vectors; per-subspace means partial-aggregate
     "sim_pq_adc": {"broadcast": True, "partial": True},
+    # recall metric: exact side is a deliberate broadcast BNLJ over the
+    # tiny query set (sim_topk precedent)
+    "sim_pq_recall": {"no_bnlj": False, "broadcast": True, "partial": True},
 }
 
 
