@@ -550,3 +550,137 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+# ---- LSH band tuning report ------------------------------------------------
+
+TUNE_CONFIGS = ((2, 6), (4, 3), (6, 2))  # (bands, rows/band), b*r = 12
+
+
+def _o_band_cfg(n_bands: int, r: int) -> str:
+    keys = ", ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"h{r * b + j}" for j in range(r))
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+        SELECT {n_bands} AS bands, {r} AS rows_per_band,
+               doc_id,
+               UNNEST([{keys}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {n_bands - 1})) AS band_id
+        FROM sigs"""
+
+
+_O_TUNE_BANDS = " UNION ALL ".join(_o_band_cfg(b, r) for b, r in TUNE_CONFIGS)
+
+
+@query(
+    "dedup_minhash_tuning",
+    oracle=f"""
+    WITH {_SHINGLES_ORACLE},
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    allbands AS ({_O_TUNE_BANDS}),
+    cands AS (
+        SELECT DISTINCT a.bands, a.rows_per_band,
+               a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM allbands a JOIN allbands b
+          ON a.bands = b.bands AND a.band_id = b.band_id
+         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+                     LEN(LIST_DISTINCT(sa.s || sb.s)) AS j
+        FROM cands c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b)
+    SELECT bands, rows_per_band,
+           COUNT(*) AS n_candidates,
+           SUM(CASE WHEN j >= {VERIFY_J} THEN 1 ELSE 0 END) AS n_verified,
+           ROUND(SUM(CASE WHEN j >= {VERIFY_J} THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(*), 0), 4) AS precision
+    FROM verified GROUP BY bands, rows_per_band
+    """,
+)
+def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning report: the SAME 12 minhashes regrouped as
+    (2 bands x 6 rows), (4 x 3), (6 x 2), with candidate volume,
+    verified-duplicate count, and precision per configuration — the
+    b/r sweep every production LSH deployment runs before fixing its
+    S-curve (more bands = higher recall AND more candidates to verify;
+    P(candidate) = 1-(1-J^r)^b). Measured from the live pipeline, not
+    the formula.
+
+    Plan: ONE signature aggregation (scan + doc_id shuffle) serves all
+    three configurations — the band explode is array-local per config
+    and each LSH self-join shuffles only its (band_id, band_key)
+    collisions; the verify stage re-reads the same shingle-set exchange
+    (ReusedExchange) three times. At 100 TB you run exactly this on a
+    sample to pick b/r before committing the full corpus pass.
+    """
+    sh = _shingles(spark, sf_dir).withColumn(
+        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    )
+    doc_agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i])) % MINHASH_P
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+        F.collect_list("shingle").alias("s"),
+    )
+    sets = doc_agg.select("doc_id", "s")
+    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
+        F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    out = None
+    for n_bands, r in TUNE_CONFIGS:
+        band_keys = F.array(
+            *[
+                F.concat_ws("_", *[F.col(f"h{r * b + j}") for j in range(r)])
+                for b in range(n_bands)
+            ]
+        )
+        bands = doc_agg.select(
+            "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        summary = (
+            cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+            .select(F.when(jac >= VERIFY_J, 1).otherwise(0).alias("ok"))
+            .agg(
+                F.lit(n_bands).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum("ok").alias("n_verified"),
+                F.round(
+                    F.sum("ok") * 1.0
+                    / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                    4,
+                ).alias("precision"),
+            )
+            .select(
+                "bands", "rows_per_band", "n_candidates", "n_verified", "precision"
+            )
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out

@@ -255,6 +255,10 @@ AUDITS: dict[str, dict] = {
     # recall metric: exact side is a deliberate broadcast BNLJ over the
     # tiny query set (sim_topk precedent)
     "sim_pq_recall": {"no_bnlj": False, "broadcast": True, "partial": True},
+    # one signature aggregation serves all three band configs; each LSH
+    # self-join is equi on (band_id, band_key)
+    "dedup_minhash_tuning": {"partial": True,
+                             "prune": ["lang", "source", "n_chars"]},
 }
 
 
