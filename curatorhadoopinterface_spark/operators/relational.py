@@ -1433,3 +1433,104 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "flagship_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def flagship_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose quarterly
+    revenue equals the maximum — the view-plus-scalar-subquery pattern
+    (the revenue "view" is computed once and consumed twice: per-supplier
+    rows AND its max).
+
+    Scale shape: the quarter predicate pushes to the lineitem scan; the
+    revenue aggregate partials on l_suppkey; the MAX is a one-row
+    aggregate over the already-small revenue table joined back as a
+    broadcast filter (Spark de-duplicates the shared subplan via
+    ReusedExchange rather than re-scanning lineitem). Revenue ties both
+    round to 2dp before the equality compare, so the max-match set is
+    deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "flagship_sales_opportunity",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)),
+    inactive AS (
+        SELECT r.* FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = r.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01'))
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM inactive
+    GROUP BY c_nationkey
+    """,
+)
+def flagship_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and NO orders, rolled up per nation
+    — the scalar-aggregate-subquery + anti-join pattern (the reference's
+    cache-miss semantics, A21, inverted: who is NOT in the store).
+
+    Scale shape: the average is a one-row aggregate broadcast into the
+    customer filter (no re-scan per row — the decorrelated form); the
+    no-orders test is a LEFT ANTI join on o_custkey (orders side reads
+    ONE column); the surviving set partial-aggregates per nation.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cust.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    inactive = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )

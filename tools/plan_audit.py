@@ -259,6 +259,18 @@ AUDITS: dict[str, dict] = {
     # self-join is equi on (band_id, band_key)
     "dedup_minhash_tuning": {"partial": True,
                              "prune": ["lang", "source", "n_chars"]},
+    # Q15: quarter predicate pushes; revenue partials; max joins back
+    # as a broadcast filter
+    "flagship_top_supplier": {"pushed": True, "broadcast": True,
+                              "partial": True,
+                              "prune": ["l_quantity", "l_tax", "s_acctbal"]},
+    # Q22: scalar avg broadcasts into the filter; anti join on a
+    # recency-pushed one-column orders projection
+    "flagship_sales_opportunity": {"pushed": True, "partial": True,
+                                   "no_bnlj": False,
+                                   "prune": ["c_name", "c_mktsegment",
+                                             "o_totalprice",
+                                             "o_orderpriority"]},
 }
 
 
