@@ -684,3 +684,51 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = summary if out is None else out.unionByName(summary)
     return out
+
+
+@query(
+    "dedup_bow_signature",
+    oracle="""
+    WITH sigs AS (
+        SELECT doc_id,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                   STRING_SPLIT(text, ' '))), ' ')) AS bow_sig
+        FROM documents),
+    clusters AS (
+        SELECT bow_sig, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        FROM sigs GROUP BY bow_sig)
+    SELECT n_docs AS cluster_size,
+           COUNT(*) AS n_clusters,
+           SUM(n_docs) AS n_docs_total
+    FROM clusters GROUP BY n_docs
+    """,
+)
+def dedup_bow_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words signature dedup: md5 of the SORTED distinct word
+    set — catches reordered/shuffled near-duplicates that positional
+    shingles (dedup_minhash) structurally miss, and template pages that
+    differ only in word order. The cluster-size histogram is the
+    corpus-health report.
+
+    Scale shape: the signature is array-local (split -> distinct ->
+    sort -> hash inside the row, no explode), so the only exchanges are
+    the two tiny group-bys on the 16-byte signature — the cheapest
+    member of the dedup family, run FIRST in a real pipeline to shrink
+    the corpus before minhash/SemDedup pay their pair joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("bow_sig"),
+    )
+    clusters = sigs.groupBy("bow_sig").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id")
+    )
+    return clusters.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_docs").alias("n_docs_total"),
+    )

@@ -346,3 +346,51 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __events_wtr
         """
     )
+
+
+@query(
+    "win_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        FROM days),
+    streaks AS (
+        SELECT user_id, COUNT(*) AS len, MIN(d) AS streak_start
+        FROM grouped GROUP BY user_id, grp)
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           MIN(streak_start) AS first_active
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the date-minus-
+    row_number trick: consecutive dates share (d - rank), so streaks
+    fall out of a plain group-by with no self-join and no iteration
+    (the gaps-and-islands identity sessionize_events applies to time
+    gaps, here applied to the calendar).
+
+    Scale shape: one distinct pass collapses events to (user, day) —
+    partial-aggregated, typically 100-1000x smaller than the event
+    stream — then ONE user_id sort exchange serves the ranking window
+    and both group-bys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_active"),
+    )

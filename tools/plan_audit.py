@@ -271,6 +271,13 @@ AUDITS: dict[str, dict] = {
                                    "prune": ["c_name", "c_mktsegment",
                                              "o_totalprice",
                                              "o_orderpriority"]},
+    # streaks: distinct day pass partials; one user_id exchange serves
+    # window + both group-bys
+    "win_activity_streaks": {"partial": True,
+                             "prune": ["event_type", "value", "props"]},
+    # bow signature is array-local; only the tiny sig group-bys shuffle
+    "dedup_bow_signature": {"partial": True,
+                            "prune": ["lang", "source", "n_chars"]},
 }
 
 
