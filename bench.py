@@ -89,6 +89,14 @@ OPTIONAL = [
     "flagship_market_share",
     "flagship_returned_items",
     "flagship_customer_distribution",
+    "funnel_conversion",
+    "retention_cohort",
+    "scan_dynamic_pruning",
+    "agg_sketch_theta",
+    "sim_pq_adc",
+    "dedup_minhash_tuning",
+    "graph_copurchase_topk",
+    "text_perplexity_buckets",
 ]
 
 N_RUNS = 3
