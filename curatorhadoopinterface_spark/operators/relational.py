@@ -1534,3 +1534,65 @@ def flagship_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT a.user_id AS user_id, COUNT(*) AS n_overlaps
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND a.ts < b.ts + INTERVAL 5 MINUTES
+     AND b.ts < a.ts + INTERVAL 5 MINUTES
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME interval-overlap semantics as join_interval, executed as
+    a BINNED equi join — the production plan for interval joins at
+    scale: each event lands in its 5-minute bin plus the next one, the
+    join is equi on (user_id, bin), and the exact overlap predicate
+    evaluates only on bin-collisions. A |A|x|B|-per-key non-equi join
+    becomes hash-partitionable; at 100 TB this is the difference
+    between a shuffled hash join and a per-key nested loop. Identical
+    oracle to join_interval — the value hash PROVES plan equivalence.
+
+    Dedup subtlety: a pair can collide in at most min(2,2) shared bins;
+    emitting (pair, bin) would double-count, so each pair is attributed
+    to ONE bin — the bin containing the LATER event's start (which both
+    sides' bin sets always contain when they overlap within one bin
+    width).
+    """
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 300).alias("bin0"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
+        "bin0",
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    five = F.expr("INTERVAL 5 MINUTES")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.ts") < F.col("b.ts") + five)
+            & (F.col("b.ts") < F.col("a.ts") + five)
+            # attribute the pair to exactly ONE shared bin: the bin that
+            # holds the later start (always in both explode sets here)
+            & (F.col("a.bin") == F.greatest(F.col("a.bin0"), F.col("b.bin0"))),
+        )
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

@@ -278,6 +278,10 @@ AUDITS: dict[str, dict] = {
     # bow signature is array-local; only the tiny sig group-bys shuffle
     "dedup_bow_signature": {"partial": True,
                             "prune": ["lang", "source", "n_chars"]},
+    # binned interval join MUST be a hash-partitionable equi join (the
+    # whole point); overlap predicate is the residual
+    "join_interval_binned": {"partial": True,
+                             "prune": ["event_type", "value", "props"]},
 }
 
 
