@@ -343,18 +343,24 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.g. 2·ln(5) vs ln(25) — and an unrounded rank key could flip the
     winner), with ties broken by term."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size as a broadcast one-row table, not a driver .count():
+    # the whole query stays ONE lazy plan / one job
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     words = d.select("doc_id", F.explode(_words()).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
     df_docs = words.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_docs")
     )
-    scored = tf.join(F.broadcast(df_docs), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df_docs")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_docs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("cnt") * F.log(F.col("n_docs") / F.col("df_docs")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -685,10 +691,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_words()).alias("w"))
     vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = words.count()
-    lp = -F.log(F.col("cnt") / F.lit(float(total)))
+    # corpus token total off the vocabulary aggregate as a broadcast
+    # one-row table (no driver .count(), no second corpus scan)
+    total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    lp = -F.log(F.col("cnt") / F.col("t"))
     return (
         words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

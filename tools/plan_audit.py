@@ -45,8 +45,10 @@ AUDITS: dict[str, dict] = {
     "annotate_pipeline": {},
     # one user_id exchange feeds both window passes AND the final agg
     "sessionize_events": {"max_exchange": 1, "prune": ["event_type", "props"]},
-    # vocabulary-sized df side broadcasts into the tf side
-    "text_tfidf": {"broadcast": True},
+    # vocabulary-sized df side broadcasts into the tf side; the one-row
+    # corpus-count table crosses via broadcast BNLJ (deliberate — it
+    # replaced a driver-side .count() action)
+    "text_tfidf": {"broadcast": True, "no_bnlj": False},
     # part dim broadcasts; per-part avg joins co-partitioned
     "subquery_correlated": {"broadcast": True, "partial": True},
     # explode blowup collapses map-side before the exchange
