@@ -732,3 +732,155 @@ def dedup_bow_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n_docs").alias("n_docs_total"),
     )
+
+
+@query(
+    "dedup_cascade",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT doc_id, text,
+               MD5(text) AS exact_sig,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                   STRING_SPLIT(text, ' '))), ' ')) AS bow_sig
+        FROM documents),
+    exact_kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY exact_sig ORDER BY doc_id) AS rk
+            FROM s0) WHERE rk = 1),
+    bow_kept AS (
+        SELECT * FROM (
+            SELECT doc_id, text, ROW_NUMBER() OVER (
+                PARTITION BY bow_sig ORDER BY doc_id) AS rk
+            FROM exact_kept) WHERE rk = 1),
+    {_SHINGLES_ORACLE.replace('FROM documents', 'FROM documents')},
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles
+        WHERE doc_id IN (SELECT doc_id FROM bow_kept)
+        GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles
+        WHERE doc_id IN (SELECT doc_id FROM bow_kept) GROUP BY doc_id),
+    mh_dropped AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM cands c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+              LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J})
+    SELECT (SELECT COUNT(*) FROM s0) AS n_input,
+           (SELECT COUNT(*) FROM exact_kept) AS after_exact,
+           (SELECT COUNT(*) FROM bow_kept) AS after_bow,
+           (SELECT COUNT(*) FROM bow_kept)
+               - (SELECT COUNT(*) FROM mh_dropped) AS after_minhash
+    """,
+)
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE, cheapest stage first: exact md5 →
+    bag-of-words signature → MinHash-LSH near-dup, each stage seeing
+    only the previous stage's survivors. The per-stage census is the
+    report a 100 TB ingest runs to budget the expensive stages — the
+    pair-join minhash pass prices per SURVIVOR, so the array-local
+    signature stages in front directly shrink its bill (economics
+    ordering: O(row) -> O(row) -> O(collisions)).
+
+    Within each signature stage the keeper is the lowest doc_id; the
+    minhash stage drops the higher id of each verified pair (the
+    lower-id-wins rule dedup_semantic uses) — slight over-keep on
+    chains, exactly the trade the single-pass form makes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s0 = d.select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("exact_sig"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("bow_sig"),
+    )
+
+    def keep_first(df: DataFrame, sig: str) -> DataFrame:
+        w = Window.partitionBy(sig).orderBy("doc_id")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    exact_kept = keep_first(s0, "exact_sig")
+    bow_kept = keep_first(exact_kept, "bow_sig").select("doc_id", "text")
+
+    # minhash stage over the survivors only (the same signature chain as
+    # dedup_minhash, restricted via a semi join)
+    sh = _shingles(spark, sf_dir).join(
+        bow_kept.select("doc_id"), "doc_id", "left_semi"
+    ).withColumn(
+        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    )
+    doc_agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i])) % MINHASH_P
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+        F.collect_list("shingle").alias("s"),
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
+            for b in range(n_bands)
+        ]
+    )
+    bands = doc_agg.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = doc_agg.select("doc_id", "s")
+    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
+        F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    mh_dropped = (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= VERIFY_J)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    counts = (
+        s0.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(F.broadcast(exact_kept.agg(F.count(F.lit(1)).alias("after_exact"))))
+        .crossJoin(F.broadcast(bow_kept.agg(F.count(F.lit(1)).alias("after_bow"))))
+        .crossJoin(F.broadcast(mh_dropped.agg(F.count(F.lit(1)).alias("n_mh_dropped"))))
+    )
+    return counts.select(
+        "n_input",
+        "after_exact",
+        "after_bow",
+        (F.col("after_bow") - F.col("n_mh_dropped")).alias("after_minhash"),
+    )

@@ -93,3 +93,23 @@ def test_semdedup_drop_rule_membership(spark, sf_dir):
         assert r["n_vecs"] == n_vecs
         assert r["n_dropped"] == n_dropped
         assert r["n_kept"] == n_vecs - n_dropped
+
+
+def test_bow_signature_word_order_invariant(spark):
+    """Shuffling a document's words must not change its bag-of-words
+    signature (the property that lets it catch reordered templates)."""
+    import pyspark.sql.functions as F
+
+    texts = [
+        (0, "alpha beta gamma delta"),
+        (1, "delta gamma beta alpha"),          # same set, reordered
+        (2, "alpha alpha beta gamma delta"),    # same distinct set, dup word
+        (3, "alpha beta gamma epsilon"),        # different set
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sig = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", sig.alias("s")).collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[3] != rows[0]

@@ -284,6 +284,10 @@ AUDITS: dict[str, dict] = {
     # whole point); overlap predicate is the residual
     "join_interval_binned": {"partial": True,
                              "prune": ["event_type", "value", "props"]},
+    # cascade: one-row stage counts cross via broadcast BNLJ; signature
+    # stages partial-aggregate; the minhash pair join only sees survivors
+    "dedup_cascade": {"no_bnlj": False, "partial": True,
+                      "prune": ["lang", "source", "n_chars"]},
 }
 
 
