@@ -1111,3 +1111,108 @@ def agg_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "n_outliers", "mad")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type),
+    tot AS (
+        SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           ROUND(p.n * 1.0 / t.row_total, 6) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind next-action prediction and anomalous-session detection
+    (a transition that is rare in the matrix is the anomaly signal).
+
+    Scale shape: one user_id sort exchange produces the LEAD pairs;
+    pair counts partial-aggregate into a |types|^2-sized matrix; the
+    row-normalizing totals join back broadcast-sized. Ties in ts order
+    by event_id so the successor is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias("prob"),
+        )
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rfm)
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           (r_score = 1 AND f_score = 1 AND m_score = 1) AS is_champion
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles): the
+    classic customer-value grid — champions are top-quartile on all
+    three axes. Per-customer aggregates first (partial-agged, one
+    o_custkey exchange), then three NTILE windows over the compact
+    customer-level table (NOT the order rows), then the segment census.
+    Quartile ties break on o_custkey so the cuts are deterministic.
+
+    At 100 TB the windows run over |customers| rows, and the production
+    variant replaces exact NTILE with approx_percentile boundaries to
+    avoid the global sorts — same trade agg_histogram_equidepth
+    documents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1)
+        ).alias("is_champion"),
+    ).select("r_score", "f_score", "m_score", "n_customers", "is_champion")

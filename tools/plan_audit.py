@@ -288,6 +288,14 @@ AUDITS: dict[str, dict] = {
     # stages partial-aggregate; the minhash pair join only sees survivors
     "dedup_cascade": {"no_bnlj": False, "partial": True,
                       "prune": ["lang", "source", "n_chars"]},
+    # markov matrix: one user_id sort exchange; pair counts partial;
+    # row totals broadcast back
+    "events_transition_matrix": {"broadcast": True, "partial": True,
+                                 "prune": ["value", "props"]},
+    # rfm: per-customer aggregate partials; windows run on the compact
+    # customer table
+    "customer_rfm": {"partial": True,
+                     "prune": ["o_orderpriority", "o_orderstatus"]},
 }
 
 
