@@ -892,3 +892,78 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ppl").alias("min_ppl"),
         F.max("ppl").alias("max_ppl"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    bigrams AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM words WHERE LEN(w) >= 2),
+    bg_counts AS (SELECT bg, COUNT(*) AS c_bg FROM bigrams GROUP BY bg),
+    uni AS (
+        SELECT UNNEST(w[1:LEN(w)-1]) AS u, doc_id FROM words WHERE LEN(w) >= 2),
+    u_counts AS (SELECT u, COUNT(*) AS c_u FROM uni GROUP BY u)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN(bc.c_bg * 1.0 / uc.c_u)), 4) AS avg_neg_logprob,
+           ROUND(EXP(AVG(-LN(bc.c_bg * 1.0 / uc.c_u))), 2) AS bigram_ppl
+    FROM bigrams b
+    JOIN bg_counts bc ON bc.bg = b.bg
+    JOIN u_counts uc ON uc.u = SPLIT_PART(b.bg, ' ', 1)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram conditional log-likelihood under the corpus's
+    own bigram MLE — one rung up the LM ladder from
+    text_unigram_logprob (P(w_i | w_{i-1}) instead of P(w_i)): a much
+    sharper gibberish/boilerplate signal because word ORDER now counts.
+    Every scored bigram is in-vocabulary by construction, so the MLE
+    needs no smoothing and both engines compute bit-comparable ratio
+    logs; per-doc averages round in-query.
+
+    Scale shape (the text_tfidf/unigram broadcast family): bigram and
+    prefix-unigram count tables are vocabulary-sized after their
+    partial-agged group-bys and BROADCAST into the scoring join — the
+    exploded corpus is scanned once and never shuffles on a token key.
+    At 100 TB the bigram table outgrows a broadcast first: co-partition
+    on the prefix word (head-word skew salts like any hot key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat_ws(' ', w[i], w[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = w.select(
+        F.explode(F.expr("slice(w, 1, size(w) - 1)")).alias("u")
+    )
+    u_counts = uni.groupBy("u").agg(F.count(F.lit(1)).alias("c_u"))
+    lp = -F.log(F.col("c_bg") * 1.0 / F.col("c_u"))
+    return (
+        bigrams.join(F.broadcast(bg_counts), "bg")
+        .join(
+            F.broadcast(u_counts),
+            F.split(F.col("bg"), " ").getItem(0) == F.col("u"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_neg_logprob"),
+            F.round(F.exp(F.avg(lp)), 2).alias("bigram_ppl"),
+        )
+    )

@@ -296,6 +296,9 @@ AUDITS: dict[str, dict] = {
     # customer table
     "customer_rfm": {"partial": True,
                      "prune": ["o_orderpriority", "o_orderstatus"]},
+    # bigram LM: both count tables broadcast into the scoring join
+    "text_bigram_logprob": {"broadcast": True, "partial": True,
+                            "prune": ["lang", "source", "n_chars"]},
 }
 
 
