@@ -1216,3 +1216,76 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1)
         ).alias("is_champion"),
     ).select("r_score", "f_score", "m_score", "n_customers", "is_champion")
+
+
+@query(
+    "events_sequence_anomaly",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+    steps AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM steps GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY from_type),
+    probs AS (
+        SELECT p.from_type, p.to_type, p.n * 1.0 / t.row_total AS prob
+        FROM pairs p JOIN tot t USING (from_type)),
+    scored AS (
+        SELECT s.user_id,
+               COUNT(*) AS n_steps,
+               ROUND(AVG(-LN(pr.prob)), 4) AS avg_surprise
+        FROM steps s
+        JOIN probs pr ON pr.from_type = s.event_type
+                     AND pr.to_type = s.next_type
+        GROUP BY s.user_id)
+    SELECT user_id, n_steps, avg_surprise
+    FROM scored
+    ORDER BY avg_surprise DESC, user_id
+    LIMIT 10
+    """,
+)
+def events_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-anomaly scoring: each user's mean transition surprise
+    (-ln P(next|current) under the corpus transition matrix,
+    events_transition_matrix) — users whose behavior the population
+    model finds most improbable. The unsupervised fraud/bot screen that
+    needs no labels: the model IS the corpus.
+
+    Scale shape: the matrix is |types|^2 rows and broadcasts onto the
+    same LEAD pass that built it (one user_id sort exchange total);
+    the top-10 is a TakeOrdered with (surprise, user_id) tie-break and
+    the surprise average rounds in-query.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    probs = pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", (F.col("n") * 1.0 / F.col("row_total")).alias("prob")
+    )
+    return (
+        steps.join(
+            F.broadcast(probs),
+            (F.col("event_type") == F.col("from_type"))
+            & (F.col("next_type") == F.col("to_type")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_surprise"),
+        )
+        .orderBy(F.desc("avg_surprise"), "user_id")
+        .limit(10)
+    )

@@ -299,6 +299,9 @@ AUDITS: dict[str, dict] = {
     # bigram LM: both count tables broadcast into the scoring join
     "text_bigram_logprob": {"broadcast": True, "partial": True,
                             "prune": ["lang", "source", "n_chars"]},
+    # anomaly scoring: matrix broadcasts onto the LEAD pass
+    "events_sequence_anomaly": {"broadcast": True, "partial": True,
+                                "prune": ["value", "props"]},
 }
 
 
