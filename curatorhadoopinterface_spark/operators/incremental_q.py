@@ -237,3 +237,78 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         F.round(F.col("total") / F.col("n"), 6).alias("vavg"),
     )
+
+
+@query(
+    "incremental_provide_run",
+    oracle="""
+    WITH retoks AS (
+        SELECT doc_id,
+               UNNEST(REGEXP_EXTRACT_ALL(text,
+                   '\\.\\.\\.|--|[A-Za-z0-9]+(-[A-Za-z0-9]+)*|''[A-Za-z]+|[^A-Za-z0-9\\s]'))
+                   AS token
+        FROM documents),
+    toks AS (SELECT doc_id, COUNT(*) AS n_tokens FROM retoks GROUP BY doc_id)
+    SELECT d.lang,
+           COUNT(*) AS n_records,
+           SUM(t.n_tokens) AS total_tokens,
+           COUNT(*) * 2 AS total_views
+    FROM documents d JOIN toks t USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def incremental_provide_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE memoized loop (A18-A21) as one checked run:
+    batch 1 annotates half the corpus into a fresh record store; batch 2
+    submits the FULL corpus — the first half anti-joins into cache hits
+    (their stored views are reused, per CuratorHandler.getRecord
+    :468-527 semantics), only the new half pays the annotation UDF; the
+    enriched records upsert back by view count (A18). The census the
+    oracle checks is read BACK from the store, so hit reuse, miss
+    annotation, and the upsert all had to compose correctly for the
+    token totals to match the SQL twin.
+
+    Scale shape: the cache path is an identifier-keyed anti/semi join
+    against the bucketed store (SURVEY §1.4 record-store row); only
+    misses enter the fused mapInPandas stage, so incremental cost
+    tracks NEW data — the entire point of the reference's architecture.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from curatorhadoopinterface_spark.plans.incremental import (
+        RecordStore,
+        view_count_col,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"curatorhadoopinterface_spark_provide_run{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("doc_id").cast("string").alias("identifier"),
+        F.col("text").alias("raw_text"),
+    )
+    store = RecordStore(spark, path)
+    # batch 1: half the corpus
+    store.provide_incremental(d.filter(F.col("doc_id") % 2 == 0), "POS")
+    # batch 2: the full corpus — the first half must be cache hits
+    store.provide_incremental(d, "POS")
+    back = store.load()
+    return (
+        back.select(
+            "lang",
+            F.size(F.col("label_views")["tokens"]["labels"]).alias("n_tokens"),
+            view_count_col(back).alias("n_views"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_views").alias("total_views"),
+        )
+    )
