@@ -1289,3 +1289,49 @@ def events_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_surprise"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "orders_seasonality",
+    oracle="""
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY month)
+    SELECT CAST(month AS DATE) AS month, n_orders, revenue,
+           LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prev_year,
+           ROUND((revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / LAG(revenue, 12) OVER (ORDER BY month) * 100, 4)
+               AS yoy_pct
+    FROM monthly
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year deltas: the LAG-12 seasonal
+    comparison every revenue dashboard draws (the month series is dense
+    in this fixture; a production variant joins a generated month spine
+    first — ts_spine_fill's densification — so missing months surface
+    as NULL rows instead of silently mis-lagging).
+
+    Scale shape: one partial-aggregated month rollup shrinks the order
+    stream to a few dozen rows BEFORE the single-partition window — the
+    window sort is over months, never orders, so the global ordering
+    costs nothing at any corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        F.col("month").cast("date").alias("month"),
+        "n_orders",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+    )

@@ -302,6 +302,10 @@ AUDITS: dict[str, dict] = {
     # anomaly scoring: matrix broadcasts onto the LEAD pass
     "events_sequence_anomaly": {"broadcast": True, "partial": True,
                                 "prune": ["value", "props"]},
+    # month rollup partials before the tiny global window
+    "orders_seasonality": {"partial": True,
+                           "prune": ["o_custkey", "o_orderpriority",
+                                     "o_orderstatus"]},
 }
 
 
