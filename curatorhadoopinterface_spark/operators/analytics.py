@@ -1335,3 +1335,68 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("revenue_prev_year"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
     )
+
+
+@query(
+    "events_pareto_share",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT user_id, n,
+               SUM(n) OVER (ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER () AS total,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM per_user)
+    SELECT MAX(total) AS total_events,
+           COUNT(*) AS n_users,
+           MIN(CASE WHEN cum * 2 >= total THEN rk END) AS users_for_50pct,
+           MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS users_for_80pct,
+           ROUND(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) * 100.0
+                 / COUNT(*), 4) AS pct_users_for_80pct
+    FROM ranked
+    """,
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: how many of the heaviest users
+    account for 50% / 80% of all events — the skew census that decides
+    whether a per-user workload needs salting at all (a flat corpus
+    doesn't; a head-heavy one pins reducers). Threshold tests use
+    integer cross-multiplication (cum*2 >= total), never a float share,
+    so the cut ranks are exact in both engines.
+
+    Scale shape: the per-user rollup partial-aggregates the stream down
+    to |users| rows; the cumulative window sorts THAT compact table
+    (single partition, deliberate — it's the report's global order),
+    and the final reduction is one row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w_order = Window.orderBy(F.desc("n"), "user_id")
+    ranked = per_user.select(
+        "n",
+        F.sum("n").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+        F.row_number().over(w_order).alias("rk"),
+    )
+    return ranked.agg(
+        F.max("total").alias("total_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("rk"))).alias(
+            "users_for_50pct"
+        ),
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rk"))
+        ).alias("users_for_80pct"),
+        F.round(
+            F.min(F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rk")))
+            * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_users_for_80pct"),
+    )

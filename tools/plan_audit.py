@@ -306,6 +306,9 @@ AUDITS: dict[str, dict] = {
     "orders_seasonality": {"partial": True,
                            "prune": ["o_custkey", "o_orderpriority",
                                      "o_orderstatus"]},
+    # per-user rollup partials; windows run on the compact user table
+    "events_pareto_share": {"partial": True,
+                            "prune": ["event_type", "value", "props", "ts"]},
 }
 
 
