@@ -884,3 +884,61 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "after_bow",
         (F.col("after_bow") - F.col("n_mh_dropped")).alias("after_minhash"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH sigs AS (
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                   AS norm_sig,
+               MD5(text) AS raw_sig
+        FROM documents),
+    norm_c AS (SELECT COUNT(DISTINCT norm_sig) AS n FROM sigs),
+    raw_c AS (SELECT COUNT(DISTINCT raw_sig) AS n FROM sigs)
+    SELECT (SELECT COUNT(*) FROM sigs) AS n_docs,
+           (SELECT n FROM raw_c) AS distinct_raw,
+           (SELECT n FROM norm_c) AS distinct_normalized,
+           (SELECT n FROM raw_c) - (SELECT n FROM norm_c)
+               AS extra_dups_found
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup — the rung between byte-exact md5 and
+    bag-of-words: lowercase, strip punctuation, collapse whitespace,
+    THEN hash. Catches the re-encoded/re-capitalized/trailing-space
+    duplicates that byte-exact misses while staying order-sensitive
+    (unlike dedup_bow_signature). The raw-vs-normalized distinct delta
+    is the report: how many duplicates normalization alone surfaces.
+
+    Scale shape: the normalization chain is row-local string algebra
+    fused into the scan; both distinct counts are partial-aggregated
+    16-byte-key group-bys — same O(row) economics as the other
+    signature stages of dedup_cascade.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    sigs = d.select(
+        F.md5(norm).alias("norm_sig"), F.md5("text").alias("raw_sig")
+    )
+    return (
+        sigs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_sig").alias("distinct_raw"),
+            F.countDistinct("norm_sig").alias("distinct_normalized"),
+        )
+        .select(
+            "n_docs",
+            "distinct_raw",
+            "distinct_normalized",
+            (F.col("distinct_raw") - F.col("distinct_normalized")).alias(
+                "extra_dups_found"
+            ),
+        )
+    )

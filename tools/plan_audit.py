@@ -309,6 +309,9 @@ AUDITS: dict[str, dict] = {
     # per-user rollup partials; windows run on the compact user table
     "events_pareto_share": {"partial": True,
                             "prune": ["event_type", "value", "props", "ts"]},
+    # normalization fuses into the scan; two 16-byte-key distinct aggs
+    "dedup_exact_normalized": {"partial": True,
+                               "prune": ["lang", "source", "n_chars"]},
 }
 
 
