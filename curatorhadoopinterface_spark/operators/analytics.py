@@ -1400,3 +1400,67 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_users_for_80pct"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+        GROUP BY e.user_id),
+    deltas AS (
+        SELECT s.user_id,
+               CAST(DATE_DIFF('second', s.t_signup, p.t_purchase) AS BIGINT)
+                   / 60.0 AS minutes
+        FROM s JOIN p ON p.user_id = s.user_id)
+    SELECT COUNT(*) AS n_converted,
+           ROUND(MEDIAN(minutes), 4) AS median_minutes,
+           ROUND(MIN(minutes), 4) AS min_minutes,
+           ROUND(MAX(minutes), 4) AS max_minutes
+    FROM deltas
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from first signup to first
+    at-or-after purchase, summarized as exact median/min/max — the
+    latency half of the funnel story (funnel_conversion counts WHO
+    converts; this measures HOW FAST). Seconds are integer datediffs
+    divided by 60, so both engines produce identical doubles.
+
+    Scale shape: two partial-aggregated per-user MINs (the
+    funnel_conversion stages) joined user-keyed; the distribution
+    reduces over |converted users| rows — median's sort-based aggregate
+    partials merge like any TypedImperativeAggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    deltas = s.join(p, "user_id").select(
+        (
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+            ).cast("bigint")
+            / 60.0
+        ).alias("minutes")
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.median("minutes"), 4).alias("median_minutes"),
+        F.round(F.min("minutes"), 4).alias("min_minutes"),
+        F.round(F.max("minutes"), 4).alias("max_minutes"),
+    )

@@ -312,6 +312,9 @@ AUDITS: dict[str, dict] = {
     # normalization fuses into the scan; two 16-byte-key distinct aggs
     "dedup_exact_normalized": {"partial": True,
                                "prune": ["lang", "source", "n_chars"]},
+    # stage MINs partial; median partials merge map-side
+    "funnel_time_to_convert": {"pushed": True, "partial": True,
+                               "prune": ["value", "props"]},
 }
 
 
