@@ -1464,3 +1464,49 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("minutes"), 4).alias("min_minutes"),
         F.round(F.max("minutes"), 4).alias("max_minutes"),
     )
+
+
+@query(
+    "agg_gini_activity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT n,
+               ROW_NUMBER() OVER (ORDER BY n ASC, user_id) AS i
+        FROM per_user)
+    SELECT COUNT(*) AS n_users,
+           SUM(n) AS total_events,
+           ROUND((2.0 * SUM(i * n) - (COUNT(*) + 1) * SUM(n))
+                 / (COUNT(*) * SUM(n)), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the one-number inequality
+    summary beside events_pareto_share's threshold table (0 = uniform
+    load, →1 = one user is the workload). Every term before the final
+    division is exact integer arithmetic (rank-weighted sums of counts),
+    so the coefficient is deterministic to the last rounded digit.
+
+    Scale shape: the stream partial-aggregates to |users| rows; one
+    compact-table sort window assigns ranks; one more one-row reduction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.asc("n"), "user_id")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total_events"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("n"))
+                - (F.count(F.lit(1)) + 1) * F.sum("n")
+            )
+            / (F.count(F.lit(1)) * F.sum("n")),
+            6,
+        ).alias("gini"),
+    )

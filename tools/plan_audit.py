@@ -315,6 +315,9 @@ AUDITS: dict[str, dict] = {
     # stage MINs partial; median partials merge map-side
     "funnel_time_to_convert": {"pushed": True, "partial": True,
                                "prune": ["value", "props"]},
+    # per-user rollup partials; rank window on the compact table
+    "agg_gini_activity": {"partial": True,
+                          "prune": ["event_type", "value", "props", "ts"]},
 }
 
 
