@@ -73,7 +73,13 @@ def cmd_annotate(args: argparse.Namespace) -> None:
         store = RecordStore(spark, args.store)
         out = store.provide_incremental(df, modes)
     else:
-        out = provide(df, modes, best_effort=args.best_effort)
+        out = provide(
+            df,
+            modes,
+            best_effort=args.best_effort,
+            force=args.force,
+            force_start=resolve_mode(args.force_start) if args.force_start else None,
+        )
         out.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
     n = out.count()
@@ -111,9 +117,8 @@ def cmd_compact(args: argparse.Namespace) -> None:
     spark = get_spark("cli-compact")
     before = len(glob.glob(os.path.join(args.store, "*", "part-*")))
     df = spark.read.parquet(args.store)
-    part_cols = [c for c in df.columns if c.startswith("__")] or (
-        ["__bucket"] if "__bucket" in df.columns else []
-    )
+    n_source = df.count()
+    part_cols = [c for c in df.columns if c.startswith("__")]
     # the store layout partitions by the leading-hex bucket column; fall
     # back to a plain single-dir rewrite when the layout is unpartitioned
     key = part_cols[0] if part_cols else None
@@ -125,10 +130,22 @@ def cmd_compact(args: argparse.Namespace) -> None:
     if key:
         writer = writer.partitionBy(key)
     writer.parquet(staged)
+    # safety: never install a short staged write as truth, and never have
+    # a moment where the canonical path is missing — validate row count,
+    # swap via rename-aside, delete the old copy only after the swap.
+    n_staged = spark.read.parquet(staged).count()
+    if n_staged != n_source:
+        raise SystemExit(
+            f"compaction aborted: staged store has {n_staged} rows, "
+            f"source has {n_source}; staged copy left at {staged}"
+        )
     import shutil
 
-    shutil.rmtree(args.store)
+    old = args.store.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(args.store, old)
     os.rename(staged, args.store)
+    shutil.rmtree(old)
     after = len(glob.glob(os.path.join(args.store, "*", "part-*"))) or len(
         glob.glob(os.path.join(args.store, "part-*"))
     )
@@ -160,6 +177,18 @@ def main(argv: list[str] | None = None) -> None:
         help="carry per-doc failures in annotation_error instead of failing",
     )
     pa.add_argument("--store", default=None, help="record-store dir (incremental A21)")
+    pa.add_argument(
+        "--force",
+        action="store_true",
+        help="recompute the target view(s) even if present "
+        "(provide forceUpdate, curator.thrift:66)",
+    )
+    pa.add_argument(
+        "--force-start",
+        default=None,
+        help="re-run the pipeline from this dependency stage onward "
+        "(JobHandler [START] override)",
+    )
     pa.set_defaults(fn=cmd_annotate)
 
     pv = sub.add_parser("verify", help="re-annotate + compare every view (A19)")

@@ -10,10 +10,27 @@ rows with reproducible SHA-1 identifiers (Identifier.java:63-70).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from curatorhadoopinterface_spark.functions.hashing import record_identifier
+
+
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """Scale-factor-tagged scratch path for write-then-read operators.
+
+    Keying the dir on sf_dir means two concurrent runs at different
+    scale factors (e.g. bench at sf0.1 while pytest runs sf0.001) never
+    rmtree each other's layout mid-read — the same discipline
+    scan_dynamic_pruning established. The dir is NOT auto-deleted: the
+    operator owns its lifecycle (rmtree before rewrite)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(), f"curatorhadoopinterface_spark_{name}{tag}"
+    )
 
 
 def read_text_corpus(spark: SparkSession, path: str, whitespaced: bool = False) -> DataFrame:

@@ -186,7 +186,9 @@ def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     n_bands = N_HASHES // BAND_SIZE
     band_keys = F.array(
         *[
-            F.concat_ws("_", *[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
+            F.concat_ws(
+                "_", *[F.col(f"h{BAND_SIZE * b + j}") for j in range(BAND_SIZE)]
+            )
             for b in range(n_bands)
         ]
     )
@@ -683,7 +685,11 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = summary if out is None else out.unionByName(summary)
-    return out
+    # A config with zero LSH collisions yields no oracle GROUP BY row at
+    # all; the global .agg() above always emits one (n_candidates=0,
+    # NULLs) — drop those so Spark and oracle agree on any corpus,
+    # including ones where a selective banding (e.g. 2x6) collides nothing.
+    return out.filter(F.col("n_candidates") > 0)
 
 
 @query(
@@ -843,7 +849,9 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = N_HASHES // BAND_SIZE
     band_keys = F.array(
         *[
-            F.concat_ws("_", *[F.col(f"h{3 * b + j}") for j in range(BAND_SIZE)])
+            F.concat_ws(
+                "_", *[F.col(f"h{BAND_SIZE * b + j}") for j in range(BAND_SIZE)]
+            )
             for b in range(n_bands)
         ]
     )

@@ -144,13 +144,11 @@ def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     at production scale you run it bucket-subset at a time, bounded by
     the same partition pruning write_partitioned demonstrates.
     """
-    import os
     import shutil
-    import tempfile
 
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_store_compact"
-    )
+    from curatorhadoopinterface_spark.io import scratch_dir
+
+    out = scratch_dir("store_compact", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     store = d.select(

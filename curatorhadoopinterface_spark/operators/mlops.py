@@ -493,15 +493,19 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = q.join(F.broadcast(cb), "m").select(
         "query_id", "m", "label", d2i("sv", "ce").alias("d2i")
     )
+    # codes and qd share lineage through `sub` — explicit aliases keep the
+    # join predicate unambiguous instead of leaning on Spark's dataset-id
+    # self-join disambiguation ("trivially true equals predicate" warning).
     adc = (
-        codes.join(
-            F.broadcast(qd),
-            (qd["m"] == codes["m"])
-            & (qd["label"] == codes["code"])
-            & (codes["vec_id"] != qd["query_id"]),
+        codes.alias("c")
+        .join(
+            F.broadcast(qd.alias("q")),
+            (F.col("q.m") == F.col("c.m"))
+            & (F.col("q.label") == F.col("c.code"))
+            & (F.col("c.vec_id") != F.col("q.query_id")),
         )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2i").alias("adc_i"))
+        .groupBy("q.query_id", F.col("c.vec_id").alias("neighbor_id"))
+        .agg(F.sum("q.d2i").alias("adc_i"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
     return (

@@ -28,6 +28,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from curatorhadoopinterface_spark.io import scratch_dir
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
 
@@ -340,9 +341,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the discovery path, priced at one footer read per file, no
     data scan.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_schema_evo"
-    )
+    out = scratch_dir("schema_evo", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     v1 = d.filter(F.col("doc_id") % 2 == 0).select(
@@ -464,9 +463,7 @@ def write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import glob
 
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_codecs"
-    )
+    out = scratch_dir("codecs", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     d.write.mode("overwrite").option("compression", "snappy").parquet(

@@ -141,10 +141,15 @@ class RecordStore:
     def write_full(self, df: DataFrame) -> None:
         self._bucketed(df).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(self.path)
 
-    def upsert(self, records: DataFrame) -> None:
+    def upsert(self, records: DataFrame, force: bool = False) -> None:
         """A18: replace a stored record only if the new copy has MORE
         views; insert unseen records. Only touched hash buckets rewrite
-        (dynamic partition overwrite)."""
+        (dynamic partition overwrite).
+
+        ``force=True`` (the forceUpdate path): a freshly recomputed record
+        has the SAME view count as its cached copy, so the count rule
+        would keep the stale one — prefer the new copy whenever present.
+        """
         stored = self.load()
         if stored is None:
             self.write_full(records)
@@ -158,7 +163,9 @@ class RecordStore:
         old = old.withColumn("__n_old", view_count_col(stored))
         merged = old.alias("o").join(new.alias("n"), "identifier", "full_outer")
         take_new = F.col("n.__n_new").isNotNull() & (
-            F.col("o.__n_old").isNull() | (F.col("n.__n_new") > F.col("o.__n_old"))
+            F.lit(force)
+            | F.col("o.__n_old").isNull()
+            | (F.col("n.__n_new") > F.col("o.__n_old"))
         )
         cols = [c for c in records.columns if c != "identifier"]
         picked = merged.select(
@@ -176,15 +183,26 @@ class RecordStore:
             self.path
         )
 
-    def provide_incremental(self, new_records: DataFrame, target: str | list[str]) -> DataFrame:
+    def provide_incremental(
+        self,
+        new_records: DataFrame,
+        target: str | list[str],
+        force: bool = False,
+    ) -> DataFrame:
         """The full memoized pipeline (A20+A21): stale-invalidate cached
         copies, reuse them for cache hits, annotate only what's missing
         (per-row), upsert enriched records back. Returns the annotated
-        corpus for ``new_records``."""
+        corpus for ``new_records``.
+
+        ``force=True`` is the per-call forceUpdate of the reference's
+        provide (curator.thrift:66): cached TARGET views are recomputed
+        even on cache hits (dependencies still reused), and the refreshed
+        records are upserted back over the stale cached copies.
+        """
         stored = self.load()
         if stored is None:
-            annotated = provide(new_records, target)
-            self.upsert(annotated)
+            annotated = provide(new_records, target, force=force)
+            self.upsert(annotated, force=force)
             return annotated
         stored = remove_stale_views(stored)
         ids = new_records.select("identifier").distinct()
@@ -192,10 +210,10 @@ class RecordStore:
         misses = new_records.join(stored, "identifier", "left_anti")
         # provide() is per-row memoized: hits recompute only dropped/missing
         # views, misses compute everything — in ONE fused pass each.
-        annotated = provide(misses, target).unionByName(
-            provide(hits, target), allowMissingColumns=True
+        annotated = provide(misses, target, force=force).unionByName(
+            provide(hits, target, force=force), allowMissingColumns=True
         )
         # materialize before upsert rewrites the store this plan reads
         annotated = annotated.localCheckpoint(eager=True)
-        self.upsert(annotated)
+        self.upsert(annotated, force=force)
         return annotated

@@ -33,6 +33,8 @@ from curatorhadoopinterface_spark.plans.registry import (
     VIEW_TO_MODE,
     ViewType,
     dependency_closure,
+    forced_start_plan,
+    invalidation_closure,
 )
 from curatorhadoopinterface_spark.schema import CLUSTERING, FOREST, LABELING
 from curatorhadoopinterface_spark.session import ensure_min_partitions
@@ -77,9 +79,26 @@ def provide(
     target: str | list[str],
     text_col: str = "raw_text",
     best_effort: bool = False,
+    force: bool = False,
+    force_start: str | None = None,
 ) -> DataFrame:
     """Ensure the view(s) for ``target`` mode(s) (and every dependency)
     exist on each record; compute only what's missing, per row.
+
+    ``force=True`` is the reference's ``provide(view, text,
+    forceUpdate)`` third argument (curator-interfaces/curator.thrift:66,
+    honored at CuratorHandler.java:1029-1052): the TARGET view(s) are
+    recomputed even when already present — the re-annotate-with-a-
+    retrained-same-version-model case — while upstream dependencies are
+    still reused. Views downstream of a recomputed target are dropped
+    too (cascadeRemoveStaleFields, CuratorHandler.java:628-644): a
+    dependent built on the old target would silently disagree with the
+    fresh one.
+
+    ``force_start="POS"`` is JobHandler's ``[START]`` argv override
+    (JobHandler.java:78-109, 264-331): re-run the pipeline from the
+    named dependency stage onward, reusing only views upstream of it.
+    Mutually composable with ``force`` (union of forced view sets).
 
     ``best_effort=True`` is the reference's failure budget
     (CuratorJob.java:280-285 tolerates <=40% reduce-task failures in
@@ -97,6 +116,31 @@ def provide(
         for m in dependency_closure(t):
             if m not in modes:
                 modes.append(m)
+
+    # views to discard per row before the memoized annotate pass: the
+    # forced targets (and their dependents) and/or everything at-or-
+    # after the forced start. Plain Python set baked into the UDF
+    # closure — zero plan-side cost.
+    drop_views: set[str] = set()
+    if force:
+        forced_views = set()
+        for t in targets:
+            forced_views.update({MODES[t].view, *MODES[t].extra_views})
+        drop_views |= invalidation_closure(forced_views)
+    if force_start is not None:
+        hit = False
+        for t in targets:
+            if force_start not in dependency_closure(t):
+                continue  # multi-target: override only the paths through it
+            hit = True
+            _, forced_modes = forced_start_plan(t, force_start)
+            for m in forced_modes:
+                drop_views.update({MODES[m].view, *MODES[m].extra_views})
+        if not hit:
+            raise ValueError(
+                f"forced start {force_start!r} is not in the dependency "
+                f"closure of any target in {targets}"
+            )
 
     fields = [f for f in df.schema.fields if f.name not in VIEW_COLS]
     passthrough = [f.name for f in fields]
@@ -149,6 +193,8 @@ def provide(
                 for col in VIEW_COLS:
                     if col in families:
                         views.update(_parse_views_json(families[col][i], col))
+                for v in drop_views:
+                    views.pop(v, None)
                 if best_effort:
                     try:
                         annotate_record(texts[i], views, modes)

@@ -92,6 +92,33 @@ def dependency_closure(target: str) -> list[str]:
     return order
 
 
+def forced_start_plan(target: str, force_start: str) -> tuple[list[str], set[str]]:
+    """JobHandler's ``[START]`` forced-first-mode override
+    (JobHandler.java:78-109; honored in determineDependencies,
+    :264-331): the user names a dependency stage to start from, and the
+    pipeline RE-RUNS that stage and everything downstream of it within
+    the target's closure, reusing only the modes upstream of the forced
+    start.
+
+    Returns ``(ordered_modes, forced_modes)`` — the same topological
+    order :func:`dependency_closure` yields, plus the subset whose
+    existing views must be discarded (the forced start and its
+    transitive dependents inside the closure).
+    """
+    order = dependency_closure(target)
+    if force_start not in MODES:
+        raise KeyError(f"unknown annotation mode: {force_start}")
+    if force_start not in order:
+        raise ValueError(
+            f"forced start {force_start!r} is not in the dependency "
+            f"closure of {target!r} ({order})"
+        )
+    start = MODES[force_start]
+    stale_views = invalidation_closure({start.view, *start.extra_views})
+    forced = {m for m in order if MODES[m].view in stale_views}
+    return order, forced
+
+
 def inverted_requirements() -> dict[str, set[str]]:
     """view -> set of modes that (directly) require it; the cascade-
     invalidation index (CuratorHandler.java:216-221, 600-644)."""

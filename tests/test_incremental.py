@@ -93,16 +93,14 @@ def test_view_count(spark, corpus):
 def test_store_compaction_reduces_files_and_preserves_content(spark, sf_dir):
     import glob
     import os
-    import tempfile
 
+    from curatorhadoopinterface_spark.io import scratch_dir
     from curatorhadoopinterface_spark.operators.incremental_q import (
         store_compaction,
     )
 
     out = store_compaction(spark, sf_dir).collect()
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_store_compact"
-    )
+    base = scratch_dir("store_compact", sf_dir)
     before = glob.glob(f"{base}/bucket=*/part-*.parquet")
     after = glob.glob(f"{base}_compacted/bucket=*/part-*.parquet")
     buckets = {os.path.basename(os.path.dirname(p)) for p in after}
