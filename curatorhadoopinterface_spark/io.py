@@ -184,7 +184,11 @@ _RECORD_DDL = (
     "parse_views map<string,struct<trees:array<struct<top:int,nodes:array<struct<"
     "label:string,span:struct<start:int,ending:int,label:string,score:double,"
     "source:string,attributes:map<string,string>>,children:map<int,string>>>,"
-    "score:double>>,source:string>>"
+    "score:double>>,source:string>>, "
+    "views map<string,struct<spans:array<struct<start:int,ending:int,"
+    "label:string,score:double,source:string,attributes:map<string,string>>>,"
+    "relations:array<struct<start:int,ending:int,label:string,score:double,"
+    "source:string>>,source:string,score:double>>"
 )
 
 
@@ -239,7 +243,7 @@ def write_thrift_records(df: DataFrame, path: str) -> None:
             with open(os.path.join(path, f"{rec['identifier']}.txt"), "wb") as fh:
                 fh.write(blob)
 
-    keep = [c for c in ("identifier", "raw_text", "whitespaced", "label_views", "cluster_views", "parse_views") if c in cols]
+    keep = [c for c in ("identifier", "raw_text", "whitespaced", "label_views", "cluster_views", "parse_views", "views") if c in cols]
     df.select(*keep).foreachPartition(write_partition)
 
 

@@ -85,6 +85,30 @@ FOREST = StructType(
     ]
 )
 
+# Relation: a labeled edge between two spans of the SAME View, start/ending
+# are indices into View.spans (Relation.java:42-46 TField constants).
+RELATION = StructType(
+    [
+        StructField("start", IntegerType(), False),
+        StructField("ending", IntegerType(), False),
+        StructField("label", StringType(), True),
+        StructField("score", DoubleType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+# View: the general spans+relations graph payload (curator.thrift:41,
+# View.java:42-46: 1 spans, 2 relations, 3 rawText, 4 source, 5 score —
+# per-view rawText duplicates the Record's and is dropped, like Labeling's).
+VIEW = StructType(
+    [
+        StructField("spans", ArrayType(SPAN), True),
+        StructField("relations", ArrayType(RELATION), True),
+        StructField("source", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
 # The Record row: identifier = sha1("FLAG:" + whitespaced + ":" + raw_text),
 # reproducing Identifier.java:63-70 exactly (see functions/hashing.py).
 RECORD = StructType(
@@ -95,5 +119,6 @@ RECORD = StructType(
         StructField("label_views", MapType(StringType(), LABELING), True),
         StructField("cluster_views", MapType(StringType(), CLUSTERING), True),
         StructField("parse_views", MapType(StringType(), FOREST), True),
+        StructField("views", MapType(StringType(), VIEW), True),
     ]
 )

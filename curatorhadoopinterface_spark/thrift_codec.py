@@ -31,9 +31,12 @@ curator.thrift:29-44 for Record itself:
 
 Decoding is GENERIC (the wire format is self-describing up to
 string-vs-binary), then shaped onto the engine's RECORD schema
-(schema.py): general ``views`` (field 6) and the rare ``multiIndex`` /
-per-view ``rawText`` duplicates are parsed but dropped, as documented in
-schema.py (the engine keys everything off the Record-level raw_text).
+(schema.py). All four view families round-trip losslessly, including the
+general ``views`` map (field 6, View = spans + relations graph,
+View.java:42-46 / Relation.java:42-46). Only per-view ``rawText``
+duplicates and Span.multiIndex are parsed-then-dropped (the engine keys
+everything off the Record-level raw_text; multiIndex is a MultiRecord-
+only positional hint the reference itself never sets on single records).
 """
 
 from __future__ import annotations
@@ -155,6 +158,29 @@ def _forest(d: dict) -> dict:
     }
 
 
+def _relation(d: dict) -> dict:
+    # Relation.java:42-46: start/ending are INDICES into View.spans
+    return {
+        "start": d.get(1),
+        "ending": d.get(2),
+        "label": d.get(3),
+        "source": d.get(4),
+        "score": d.get(5),
+    }
+
+
+def _view(d: dict) -> dict:
+    # View.java:42-46 (1 spans, 2 relations, 3 rawText, 4 source,
+    # 5 score); per-view rawText duplicates Record.rawText and is
+    # dropped, matching the Labeling/Forest treatment.
+    return {
+        "spans": [_span(x) for x in d.get(1, [])],
+        "relations": [_relation(x) for x in d.get(2, [])],
+        "source": d.get(4),
+        "score": d.get(5),
+    }
+
+
 def decode_thrift_record(blob: bytes) -> dict:
     """One serialized Record file -> engine RECORD-schema dict."""
     raw = _Reader(blob).struct()
@@ -165,6 +191,7 @@ def decode_thrift_record(blob: bytes) -> dict:
         "label_views": {k: _labeling(v) for k, v in raw.get(3, {}).items()} or None,
         "cluster_views": {k: _clustering(v) for k, v in raw.get(4, {}).items()} or None,
         "parse_views": {k: _forest(v) for k, v in raw.get(5, {}).items()} or None,
+        "views": {k: _view(v) for k, v in raw.get(6, {}).items()} or None,
     }
 
 
@@ -275,6 +302,36 @@ def _w_forest(w: _Writer, fo: dict) -> None:
     w.stop()
 
 
+def _w_relation(w: _Writer, r: dict) -> None:
+    w.field(T_I32, 1); w.v_i32(r.get("start") or 0)
+    w.field(T_I32, 2); w.v_i32(r.get("ending") or 0)
+    if r.get("label") is not None:
+        w.field(T_STRING, 3); w.v_str(r["label"])
+    if r.get("source") is not None:
+        w.field(T_STRING, 4); w.v_str(r["source"])
+    if r.get("score") is not None:
+        w.field(T_DOUBLE, 5); w.v_double(r["score"])
+    w.stop()
+
+
+def _w_view(w: _Writer, v: dict) -> None:
+    w.field(T_LIST, 1)
+    spans = v.get("spans") or []
+    w.list_header(T_STRUCT, len(spans))
+    for s in spans:
+        _w_span(w, s)
+    w.field(T_LIST, 2)
+    rels = v.get("relations") or []
+    w.list_header(T_STRUCT, len(rels))
+    for r in rels:
+        _w_relation(w, r)
+    if v.get("source") is not None:
+        w.field(T_STRING, 4); w.v_str(v["source"])
+    if v.get("score") is not None:
+        w.field(T_DOUBLE, 5); w.v_double(v["score"])
+    w.stop()
+
+
 def decode_thrift_multirecord(blob: bytes) -> dict:
     """One serialized MultiRecord (curator.thrift:46-53: the cross-doc
     annotation unit — member record identifiers + corpus-level views
@@ -343,7 +400,10 @@ def encode_thrift_record(rec: dict) -> bytes:
     for k, v in pv.items():
         w.v_str(k); _w_forest(w, v)
     w.field(T_MAP, 6)
-    w.map_header(T_STRING, T_STRUCT, 0)  # general views: engine keeps none
+    gv = rec.get("views") or {}
+    w.map_header(T_STRING, T_STRUCT, len(gv))
+    for k, v in gv.items():
+        w.v_str(k); _w_view(w, v)
     w.field(T_BOOL, 7); w.v_bool(bool(rec.get("whitespaced", False)))
     w.stop()
     return b"".join(w.parts)

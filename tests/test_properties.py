@@ -127,14 +127,33 @@ _SPANS = st.lists(
 )
 
 
+_RELATIONS = st.lists(
+    st.builds(
+        lambda a, b, label: {
+            "start": a,
+            "ending": b,
+            "label": label,
+            "source": None,
+            "score": None,
+        },
+        st.integers(0, 4),
+        st.integers(0, 4),
+        st.one_of(st.none(), TEXTS),
+    ),
+    max_size=4,
+)
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     ident=st.text(min_size=1, max_size=64),
     raw=TEXTS,
     ws=st.booleans(),
     view=st.one_of(st.none(), _SPANS),
+    gspans=st.one_of(st.none(), _SPANS),
+    grels=_RELATIONS,
 )
-def test_thrift_record_roundtrip_arbitrary(ident, raw, ws, view):
+def test_thrift_record_roundtrip_arbitrary(ident, raw, ws, view, gspans, grels):
     from curatorhadoopinterface_spark.thrift_codec import (
         decode_thrift_record,
         encode_thrift_record,
@@ -151,5 +170,18 @@ def test_thrift_record_roundtrip_arbitrary(ident, raw, ws, view):
         ),
         "cluster_views": None,
         "parse_views": None,
+        # general views map (field 6): spans + relations graph
+        "views": (
+            {
+                "deps": {
+                    "spans": gspans,
+                    "relations": grels,
+                    "source": "g-1.0",
+                    "score": None,
+                }
+            }
+            if gspans is not None
+            else None
+        ),
     }
     assert decode_thrift_record(encode_thrift_record(rec)) == rec

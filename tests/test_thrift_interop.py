@@ -207,3 +207,56 @@ def test_multirecord_codec_roundtrip():
         "parse_views": None,
     }
     assert decode_thrift_multirecord(encode_thrift_multirecord(mr)) == mr
+
+
+def test_general_views_survive_codec_and_spark_roundtrip(spark, tmp_path):
+    """The general ``views`` map (Record field 6, curator.thrift:41;
+    View = spans + relations graph, View.java:42-46) round-trips
+    LOSSLESSLY: synthesized blob -> decode -> Spark RECORD row ->
+    write_thrift_records -> decode == original decode."""
+    from curatorhadoopinterface_spark.io import read_thrift_records, write_thrift_records
+    from curatorhadoopinterface_spark.thrift_codec import (
+        decode_thrift_record,
+        encode_thrift_record,
+    )
+
+    rec = {
+        "identifier": "deadbeef",
+        "raw_text": "Alice pays Bob.",
+        "whitespaced": False,
+        "label_views": None,
+        "cluster_views": None,
+        "parse_views": None,
+        "views": {
+            "semrel": {
+                "spans": [
+                    {"start": 0, "ending": 5, "label": "Alice", "score": 0.5,
+                     "source": None, "attributes": {"type": "PER"}},
+                    {"start": 11, "ending": 14, "label": "Bob", "score": None,
+                     "source": None, "attributes": None},
+                ],
+                # relation endpoints INDEX into spans (Relation.java:42-43)
+                "relations": [
+                    {"start": 0, "ending": 1, "label": "pays",
+                     "source": None, "score": 0.75}
+                ],
+                "source": "enginerel-1.0",
+                "score": 1.0,
+            }
+        },
+    }
+    blob = encode_thrift_record(rec)
+    assert decode_thrift_record(blob) == rec
+
+    # through Spark: binary scan -> RECORD schema -> executor-side write
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "deadbeef.txt").write_bytes(blob)
+    df = read_thrift_records(spark, str(src))
+    row = df.collect()[0].asDict(recursive=True)
+    assert row["views"]["semrel"]["relations"][0]["label"] == "pays"
+    assert row["views"]["semrel"]["spans"][0]["attributes"] == {"type": "PER"}
+    out = tmp_path / "out"
+    write_thrift_records(df, str(out))
+    back = decode_thrift_record((out / "deadbeef.txt").read_bytes())
+    assert back == rec
