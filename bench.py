@@ -97,6 +97,11 @@ OPTIONAL = [
     "dedup_minhash_tuning",
     "graph_copurchase_topk",
     "text_perplexity_buckets",
+    "agg_gini_activity",
+    "funnel_time_to_convert",
+    "events_pareto_share",
+    "orders_seasonality",
+    "dedup_exact_normalized",
 ]
 
 N_RUNS = 3
@@ -190,6 +195,16 @@ def main() -> None:
         detail[name] = d
 
     total = round(sum(times.values()), 3)
+    # stage/shuffle fingerprints go to a side file: BENCH_r03's driver
+    # artifact came back parsed:null because the inline detail blob
+    # overflowed the driver's output tail buffer. The printed line stays
+    # compact (metric + per-query min), the full instrumentation is
+    # versioned in-repo.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump({"detail": detail, "n_runs": N_RUNS, "sf": sf}, fh, indent=1)
     print(
         json.dumps(
             {
@@ -197,7 +212,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "detail": detail,
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
