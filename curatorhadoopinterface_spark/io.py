@@ -64,6 +64,102 @@ def records_from_texts(spark: SparkSession, texts: list[str], whitespaced: bool 
     )
 
 
+#: span-array builder over a sentence/token list column: one pass of the
+#: higher-order ``aggregate`` accumulates (cursor, spans) — each element's
+#: span starts where the cursor is and advances it by len+1 (the single
+#: joining space). Pure JVM Catalyst expression: NO explode, NO shuffle.
+_WS_SPANS_EXPR = """
+    aggregate(
+        {items},
+        struct(cast(0 as int) as pos,
+               cast(array() as array<struct<start:int,ending:int,label:string,
+                    score:double,source:string,attributes:map<string,string>>>)
+                   as spans),
+        (acc, s) -> struct(
+            cast(acc.pos + length(s) + 1 as int) as pos,
+            array_append(acc.spans, struct(
+                acc.pos as start,
+                cast(acc.pos + length(s) as int) as ending,
+                s as label,
+                cast(1.0 as double) as score,
+                '{source}' as source,
+                cast(null as map<string,string>) as attributes))),
+        acc -> acc.spans)
+"""
+
+
+def ws_records(df: DataFrame, sentences_col: str = "sentences") -> DataFrame:
+    """wsgetRecord(list<string>) parity (curator.thrift:73-86, honored at
+    CuratorHandler.java:1054-1076): the CALLER supplies pre-split
+    sentences; each string is one sentence, tokenized on whitespace.
+
+    Reference semantics reproduced exactly: ``rawText = join(sentences,
+    " ")`` (StringUtil.join, CuratorHandler.java:1058), the record is
+    flagged ``whitespaced=true`` (so its identifier differs from the
+    raw-text record of the same string — Identifier.java:63-70), and the
+    ``sentences``/``tokens`` label views come from the PROVIDED
+    segmentation (Whitespacer.sentences/tokenize), never from the
+    engine's own sentence splitter.
+
+    Spark-first shape: span offsets accumulate inside one higher-order
+    ``aggregate`` per view — a narrow per-row JVM expression, no
+    explode/window/shuffle. At 100 TB this is a map-only stage.
+    ``provide(ws_records(df), "POS")`` then reuses the given tokens via
+    the normal per-row memoization (the wsprovide non-ws-view path,
+    CuratorHandler.java:1096-1127)."""
+    sents = F.col(sentences_col)
+    out = (
+        df.withColumn("raw_text", F.array_join(sents, " "))
+        .filter(F.length("raw_text") > 0)
+        .withColumn("whitespaced", F.lit(True))
+        .withColumn(
+            "identifier", record_identifier(F.col("raw_text"), F.col("whitespaced"))
+        )
+        .withColumn(
+            "__sent_spans",
+            F.expr(_WS_SPANS_EXPR.format(items=sentences_col, source="enginews-1.0")),
+        )
+        .withColumn(
+            "__tok_spans",
+            F.expr(
+                _WS_SPANS_EXPR.format(
+                    items="split(raw_text, ' ')", source="enginews-1.0"
+                )
+            ),
+        )
+        .withColumn(
+            "label_views",
+            F.create_map(
+                F.lit("sentences"),
+                F.struct(
+                    F.col("__sent_spans").alias("labels"),
+                    F.lit("enginews-1.0").alias("source"),
+                    F.lit(1.0).alias("score"),
+                ),
+                F.lit("tokens"),
+                F.struct(
+                    F.col("__tok_spans").alias("labels"),
+                    F.lit("enginews-1.0").alias("source"),
+                    F.lit(1.0).alias("score"),
+                ),
+            ),
+        )
+    )
+    keep = [c for c in df.columns if c != sentences_col]
+    return out.select(*keep, "identifier", "raw_text", "whitespaced", "label_views")
+
+
+def records_from_sentence_lists(
+    spark: SparkSession, sentence_lists: list[list[str]]
+) -> DataFrame:
+    """In-memory twin of :func:`ws_records` (the wsgetRecord entry point
+    for driver-side sentence lists, e.g. tests / small corpora)."""
+    df = spark.createDataFrame(
+        [(s,) for s in sentence_lists], "sentences array<string>"
+    )
+    return ws_records(df)
+
+
 def write_corpus(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """A5 sink. ``overwrite`` replaces the reference's output-dir rotation
     (CuratorJob.java:119-142). ``partition_by`` enables partition pruning

@@ -69,6 +69,87 @@ def ws_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wsprovide_sentences",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               STRING_SPLIT(text, '. ') AS sents,
+               ARRAY_TO_STRING(STRING_SPLIT(text, '. '), ' ') AS raw
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               UNNEST(sents) AS sent,
+               GENERATE_SUBSCRIPTS(sents, 1) AS i,
+               raw
+        FROM base),
+    soffs AS (
+        SELECT doc_id,
+               COALESCE(SUM(LENGTH(sent) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS sent_start
+        FROM s),
+    t AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(raw, ' ')) AS token,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(raw, ' '), 1) AS i
+        FROM base),
+    toffs AS (
+        SELECT doc_id,
+               COALESCE(SUM(LENGTH(token) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_start
+        FROM t)
+    SELECT b.doc_id,
+           LEN(b.sents) AS n_sentences,
+           LEN(STRING_SPLIT(b.raw, ' ')) AS n_tokens,
+           LENGTH(b.raw) AS raw_len,
+           (SELECT SUM(sent_start) FROM soffs WHERE soffs.doc_id = b.doc_id)
+               AS sum_sent_starts,
+           (SELECT SUM(tok_start) FROM toffs WHERE toffs.doc_id = b.doc_id)
+               AS sum_tok_starts
+    FROM base b
+    """,
+)
+def wsprovide_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wsprovide with CALLER-SUPPLIED sentence splits (curator.thrift:
+    73-86; CuratorHandler.java:1054-1127): documents arrive pre-split
+    (here: on '. ', standing in for an upstream segmenter), and the
+    record's sentences/tokens views are built from the GIVEN
+    segmentation, never re-derived. The profile columns read the span
+    layout back out of the constructed ``label_views`` payload itself —
+    so the oracle value-checks the actual Record construction (offset
+    accumulation, join-with-space raw text), not a parallel computation.
+
+    Scale shape: io.ws_records builds every span array with one
+    higher-order ``aggregate`` per view — map-only, zero shuffle, zero
+    Python. The whole query's only exchange is the final noop/collect."""
+    from curatorhadoopinterface_spark.io import ws_records
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", "\\. ").alias("sentences")
+    )
+    rec = ws_records(d)
+    sent_labels = F.col("label_views")["sentences"]["labels"]
+    tok_labels = F.col("label_views")["tokens"]["labels"]
+
+    def sum_starts(labels):
+        return F.expr(
+            "aggregate({0}, cast(0 as bigint), (a, l) -> a + l.start)".format(labels)
+        )
+
+    return rec.select(
+        "doc_id",
+        F.size(sent_labels).cast("bigint").alias("n_sentences"),
+        F.size(tok_labels).cast("bigint").alias("n_tokens"),
+        F.length("raw_text").cast("bigint").alias("raw_len"),
+        sum_starts("label_views['sentences'].labels").alias("sum_sent_starts"),
+        sum_starts("label_views['tokens'].labels").alias("sum_tok_starts"),
+    )
+
+
+@query(
     "span_substring",
     oracle=f"""
     WITH {_WS_TOKS_CTE}
