@@ -265,3 +265,74 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
     ids = sorted(r["event_id"] for r in back)
     # 1-3 appear exactly once (no reprocessing), 4 exactly once (no loss)
     assert ids == [1, 2, 3, 4], ids
+
+
+def test_stream_stream_join_state_rows_evicted_metrics(spark, tmp_path):
+    """Direct state-store evidence (not just join results): the progress
+    metrics must show rows REMOVED from the join state once the
+    watermark passes them, and the final resident row count must drop
+    below its peak. This is the observable bounded-memory guarantee —
+    at 100 TB/day the numRowsTotal curve is what you alert on."""
+    base = str(tmp_path / "ssj_metrics")
+    t0 = time.time() - 1000
+    # batch 1: five errors at 00:00-00:04 (enter error-side state)
+    _write_batch(
+        spark,
+        [(i, f"2024-01-01 00:0{i}:00", 1.0) for i in range(5)],
+        f"{base}/errors/b1.parquet",
+        t0,
+    )
+    _write_batch(
+        spark, [(0, "2024-01-01 00:00:00", 0.0)], f"{base}/clicks/b0.parquet", t0
+    )
+    # batch 2: both sides jump to 08:00 -> watermark (1h delay) = 07:00,
+    # far past the batch-1 rows -> they must be evicted
+    _write_batch(
+        spark, [(30, "2024-01-01 08:00:00", 1.0)], f"{base}/errors/b2.parquet", t0 + 10
+    )
+    _write_batch(
+        spark, [(40, "2024-01-01 08:00:00", 1.0)], f"{base}/clicks/b2.parquet", t0 + 10
+    )
+    # batch 3: one more advance so eviction runs with the 07:00 watermark
+    _write_batch(
+        spark, [(50, "2024-01-01 09:00:00", 1.0)], f"{base}/clicks/b3.parquet", t0 + 20
+    )
+
+    def side(sub, id_alias, ts_alias):
+        return (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{base}/{sub}")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.lit(1).alias(f"user_{sub}"),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    j = side("clicks", "click_id", "click_ts").join(
+        side("errors", "error_id", "error_ts"),
+        F.expr(
+            "user_clicks = user_errors AND "
+            "error_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    ).select("click_id", "error_id")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_ssj_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert prog, "no state-operator progress recorded"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in prog)
+    # rows really left the store...
+    assert removed >= 5, (totals, removed)
+    # ...and the resident count came DOWN off its peak
+    assert totals[-1] < max(totals), totals
