@@ -102,6 +102,8 @@ OPTIONAL = [
     "events_pareto_share",
     "orders_seasonality",
     "dedup_exact_normalized",
+    "bpe_train_merges",
+    "wsprovide_sentences",
 ]
 
 N_RUNS = 3
