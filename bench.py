@@ -104,6 +104,7 @@ OPTIONAL = [
     "dedup_exact_normalized",
     "bpe_train_merges",
     "wsprovide_sentences",
+    "write_zorder",
 ]
 
 N_RUNS = 3

@@ -256,6 +256,118 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 16-bit x 16-bit Morton interleave: user bits on odd positions, minute
+#: bits on even — one higher-order aggregate, pure codegen-able bit math.
+_Z_EXPR = (
+    "aggregate(sequence(0, 15), cast(0 as bigint),"
+    " (acc, i) -> acc"
+    " + shiftleft((ub >> i) & 1, 2 * i + 1)"
+    " + shiftleft((tb >> i) & 1, 2 * i))"
+)
+
+
+@query(
+    "write_zorder",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, value,
+               user_id AS u,
+               FLOOR(EPOCH(ts))::BIGINT // 60 AS t
+        FROM events),
+    b AS (
+        SELECT MIN(u) AS umin, MAX(u) AS umax,
+               MIN(t) AS tmin, MAX(t) AS tmax
+        FROM keyed),
+    scaled AS (
+        SELECT event_type, value,
+               ((u - b.umin) * 65535) // GREATEST(b.umax - b.umin, 1) AS ub,
+               ((t - b.tmin) * 65535) // GREATEST(b.tmax - b.tmin, 1) AS tb
+        FROM keyed CROSS JOIN b),
+    z AS (
+        SELECT event_type, value,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15),
+                   i -> (((ub >> i) & 1) << (2 * i + 1))
+                      + (((tb >> i) & 1) << (2 * i))))::BIGINT AS zvalue
+        FROM scaled)
+    SELECT zvalue >> 26 AS zbucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(zvalue) AS z_min,
+           MAX(zvalue) AS z_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def write_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustered write: interleave the bits of
+    (user_id, event-minute) into one sort key, range-partition + sort
+    the file layout on it, and read back. Points close in the 2-D
+    (user, time) plane land in the same files/row groups, so BOTH a
+    user-range filter AND a time-range filter prune via parquet min/max
+    stats — where a linear ts-sort (write_sorted) skips only on time and
+    every row group spans all users. THE multi-dimensional data-skipping
+    layout for a 100 TB store queried along more than one axis
+    (the Delta/Iceberg OPTIMIZE ZORDER strategy, from public Morton-code
+    literature).
+
+    The oracle recomputes the interleave arithmetic independently
+    (DuckDB list_transform twin of the Spark aggregate expression) and
+    value-checks per-z-bucket census + z-range — so the bit math, not
+    just content preservation, is what's graded. The pruning benefit
+    itself is pinned by tests/test_zorder.py from actual row-group
+    min/max footers.
+
+    Both dimensions are MIN/MAX-SCALED onto the full 16-bit range before
+    interleaving (one broadcast bounds row): curve locality lives in the
+    HIGH bits, and a dimension that only populates its low bits (e.g.
+    user ids 0-1000 in a 16-bit field) contributes nothing to the file
+    split — the layout silently degrades to a linear sort on the other
+    key. Measured: unscaled = 16/16 candidate row groups for a user
+    slice; scaled = the 2-D pruning the pytest pins."""
+    out = scratch_dir("write_zorder", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.col("user_id").alias("u"),
+        F.expr("unix_timestamp(ts) div 60").alias("t"),
+    )
+    bounds = e.agg(
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+    )
+    z = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "ub", F.expr("(u - umin) * 65535 div greatest(umax - umin, 1)")
+        )
+        .withColumn(
+            "tb", F.expr("(t - tmin) * 65535 div greatest(tmax - tmin, 1)")
+        )
+        .withColumn("zvalue", F.expr(_Z_EXPR))
+        .drop("u", "t", "ub", "tb", "umin", "umax", "tmin", "tmax")
+    )
+    (
+        z.repartitionByRange(16, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.shiftright("zvalue", 26).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("zvalue").alias("z_min"),
+        F.max("zvalue").alias("z_max"),
+    )
+
+
 @query(
     "scan_jsonl_corrupt",
     oracle="""
