@@ -580,23 +580,26 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg_p AS (SELECT p, COUNT(*) AS d FROM edges GROUP BY p),
     n_o AS (SELECT COUNT(*) AS c FROM deg_o),
     n_p AS (SELECT COUNT(*) AS c FROM deg_p),
-    r0 AS (SELECT o, 1.0 / (SELECT c FROM n_o) AS s FROM deg_o),
+    r0 AS (SELECT o, 1000000000000000 // (SELECT c FROM n_o) AS s FROM deg_o),
     p1 AS (SELECT e.p,
-                  ROUND(0.15 / (SELECT c FROM n_p)
-                        + 0.85 * SUM(r0.s / deg_o.d), 9) AS s
+                  (15 * 1000000000000000) // (100 * (SELECT c FROM n_p))
+                  + (85 * SUM(r0.s // deg_o.d)) // 100 AS s
            FROM edges e JOIN r0 ON e.o = r0.o JOIN deg_o ON e.o = deg_o.o
            GROUP BY e.p),
     r1 AS (SELECT e.o,
-                  ROUND(0.15 / (SELECT c FROM n_o)
-                        + 0.85 * SUM(p1.s / deg_p.d), 9) AS s
+                  (15 * 1000000000000000) // (100 * (SELECT c FROM n_o))
+                  + (85 * SUM(p1.s // deg_p.d)) // 100 AS s
            FROM edges e JOIN p1 ON e.p = p1.p JOIN deg_p ON e.p = deg_p.p
            GROUP BY e.o),
     p2 AS (SELECT e.p,
-                  ROUND(0.15 / (SELECT c FROM n_p)
-                        + 0.85 * SUM(r1.s / deg_o.d), 9) AS s
+                  (15 * 1000000000000000) // (100 * (SELECT c FROM n_p))
+                  + (85 * SUM(r1.s // deg_o.d)) // 100 AS s
            FROM edges e JOIN r1 ON e.o = r1.o JOIN deg_o ON e.o = deg_o.o
            GROUP BY e.p)
-    SELECT p2.p AS l_partkey, p2.s AS pagerank, deg_p.d AS part_degree
+    SELECT p2.p AS l_partkey,
+           ROUND(p2.s / 1000000000000000.0, 9) AS pagerank,
+           p2.s AS pagerank_fp,
+           deg_p.d AS part_degree
     FROM p2 JOIN deg_p ON p2.p = deg_p.p
     """,
 )
@@ -606,12 +609,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
     join(scores, edges) + groupBy — the Pregel-in-DataFrames shape. The
     edge table is the reused, key-partitioned operand: at scale you
     persist edges bucketed by the join key so every iteration is
-    shuffle-free on the edge side (see join_bucketed). Intermediate
-    scores round to 9 decimals IN BOTH ENGINES (matching verify_local's
-    normalize granularity) so FP summation order can't compound across
-    iterations; graph layout (degrees, damping leak) is preserved
-    exactly. The oracle unrolls the same two rounds as CTEs — exact
-    value check, not rows-only.
+    shuffle-free on the edge side (see join_bucketed).
+
+    FIXED-POINT EXACT (round-4, after the sf1 sweep caught 2/200k rows
+    flipping at the old round-to-9-decimals boundary): scores are
+    BIGINT multiples of 1e-15 — contributions are integer divisions
+    s div d, the damping is (85*sum) div 100 + (15*SCALE) div (100*n),
+    every sum is exact integer arithmetic, so the result is
+    ORDER-INDEPENDENT and bit-identical in both engines at any scale
+    factor. Quantization truncates ~1e-15 per hop (far below the 9dp
+    reported); the damping leak and graph layout are preserved exactly.
+    The oracle unrolls the same two integer rounds as CTEs — exact value
+    check, not rows-only.
 
     Cache layout (round-4 rework, two persisted edge copies instead of
     three): ``repartition("o")`` FIRST, then distinct — HashPartitioning
@@ -644,31 +653,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
     n_o = deg_o.count()
     n_p = deg_p.count()
 
+    SCALE = 10**15
+
     def push(scores: DataFrame, deg: DataFrame, src: str, dst: str, n_dst: int) -> DataFrame:
         # divide by out-degree on the small per-vertex table FIRST, then
         # join edges — the wide side never carries degree columns; the
         # edge copy partitioned on the source key makes the join
         # exchange-free (scores/deg are both group-by outputs on src,
-        # so they arrive pre-partitioned too)
+        # so they arrive pre-partitioned too). All integer ops: exact.
         ek = edges_o if src == "o" else edges_p
         contrib = scores.join(deg, src).select(
-            src, (F.col("s") / F.col(deg.columns[1])).alias("c")
+            src, F.expr(f"s div {deg.columns[1]}").alias("c")
         )
+        leak = (15 * SCALE) // (100 * n_dst)
         return (
             ek.join(contrib, src)
             .groupBy(dst)
             .agg(
-                F.round(F.lit(0.15 / n_dst) + F.lit(0.85) * F.sum("c"), 9).alias("s")
+                (F.lit(leak) + F.expr("(85 * sum(c)) div 100")).alias("s")
             )
         )
 
-    r0 = deg_o.select("o", F.lit(1.0 / n_o).alias("s"))
+    r0 = deg_o.select("o", F.lit(SCALE // n_o).alias("s"))
     p1 = push(r0, deg_o, "o", "p", n_p)
     r1 = push(p1, deg_p, "p", "o", n_o)
     p2 = push(r1, deg_o, "o", "p", n_p)
     out = p2.join(deg_p, "p").select(
         F.col("p").alias("l_partkey"),
-        F.col("s").alias("pagerank"),
+        F.round(F.col("s") / F.lit(float(SCALE)), 9).alias("pagerank"),
+        F.col("s").alias("pagerank_fp"),
         F.col("d_p").alias("part_degree"),
     )
     if not checkpoint:

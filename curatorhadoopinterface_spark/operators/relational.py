@@ -36,33 +36,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "flagship_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
-           COUNT(*)                                                    AS count_order
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+               AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2)
+               AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Money math is EXACT DECIMAL, not rounded double: at 10x
+    volume (sf1 sweep) a 4.4e10 double sum holds only ~5 reliable decimal
+    digits, so even 2-decimal rounding exposed last-cent summation-order
+    dust. The 2-dp source values cast losslessly to DECIMAL, products
+    widen exactly ((14,2)x(3,2)x(3,2) -> scale 6), and the sums are
+    order-independent integers underneath — correct at ANY scale factor.
+    Partial aggregation (map-side combine) still applies to decimal sums.
+    avg derives from the exact sum / count in double (identical IEEE
+    division in both engines)."""
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # sums round to 2 decimals: a multi-billion double sum keeps only
-    # ~5-6 reliable decimal digits (15-16 sig figs total), so rounding
-    # finer than that exposes summation-order dust at larger SFs (seen
-    # at sf0.1 with 6 decimals on sum_charge)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round the EXACT decimal to 2dp before the double cast: a
+            # scale-6 4e10 decimal needs 17 sig digits — past double
+            # precision, where the two engines' decimal->double paths
+            # differ in the last ulp; the 2dp value (13 digits) converts
+            # to one unique nearest double
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(qty).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
