@@ -105,6 +105,9 @@ OPTIONAL = [
     "bpe_train_merges",
     "wsprovide_sentences",
     "write_zorder",
+    "flagship_small_qty_revenue",
+    "flagship_large_orders",
+    "flagship_waiting_supplier",
 ]
 
 N_RUNS = 3

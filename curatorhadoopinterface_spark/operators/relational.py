@@ -1560,6 +1560,179 @@ def flagship_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flagship_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def flagship_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of two
+    brands whose quantity is under 20% of that part's average quantity —
+    the CORRELATED scalar aggregate decorrelated into a per-part
+    aggregate join.
+
+    Scale shape: the per-part average is a bounded aggregate (one row
+    per part, not per lineitem) joined back on the same l_partkey the
+    brand join uses, so Catalyst shares one exchange; the brand
+    predicate broadcasts a tiny part dim that prunes lineitem FIRST.
+    Determinism across engines: quantities are integer-valued doubles,
+    so each part's sum — and therefore avg and the 0.2*avg threshold —
+    is EXACT in IEEE arithmetic regardless of summation order; the
+    boundary cannot flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    ).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "flagship_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS totalprice, big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.sum_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def flagship_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the 20 biggest orders by
+    total quantity over a HAVING threshold, with their customers — the
+    aggregate-then-rejoin-facts pattern (the IN-subquery of the official
+    text, decorrelated to a join).
+
+    Scale shape: the quantity rollup partial-aggregates lineitem down to
+    one row per qualifying order BEFORE any join; orders joins that
+    small set on its key; customer joins last on the shrunken result;
+    top-20 is TakeOrdered with an o_orderkey tie-break. Quantity sums
+    are integer-valued — exact at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "flagship_waiting_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def flagship_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    whose lineitem shipped >90 days after the order date on a finalized
+    MULTI-supplier order where NO other supplier was late — the
+    EXISTS + NOT-EXISTS double-correlated pattern, the hardest
+    decorrelation in the TPC-H suite. (The official commit/receipt-date
+    lateness is adapted to shipdate-vs-orderdate — the test tables carry
+    no commitdate — structure preserved exactly.)
+
+    Scale shape: the late set is computed ONCE (filter pushed into both
+    scans) and reused for both the candidate side and the NOT-EXISTS
+    side; EXISTS becomes a LEFT SEMI and NOT EXISTS a LEFT ANTI join,
+    both equi on l_orderkey with the supplier-inequality residual —
+    hash-partitionable, never a per-row subquery; supplier broadcasts
+    onto the counted result."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "join_interval_binned",
     oracle="""
     SELECT a.user_id AS user_id, COUNT(*) AS n_overlaps
