@@ -49,11 +49,47 @@ def normalize(v):
     return v
 
 
+def _conv_for(sample):
+    """Column-specialized normalize(): picked ONCE from the first
+    non-null value, skipping the per-cell isinstance chain. Falls back
+    to the generic normalize for nested/exotic types."""
+    if isinstance(sample, bool):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(sample, float):
+        return lambda v: (
+            None if v is None else ("NaN" if v != v else round(v, 9) + 0.0)
+        )
+    if isinstance(sample, int):
+        return lambda v: None if v is None else int(v)
+    if isinstance(sample, str):
+        return lambda v: v
+    if isinstance(sample, datetime.datetime):
+        return lambda v: (
+            None if v is None else v.replace(tzinfo=None).isoformat()
+        )
+    if isinstance(sample, datetime.date):
+        return lambda v: None if v is None else v.isoformat()
+    return normalize
+
+
 def canon(rows, cols):
+    """Order-insensitive canonical form: MULTISET (Counter) of normalized
+    row tuples, with per-COLUMN converter dispatch. Replaces the former
+    per-cell normalize + sort-by-stringified-tuple list — hashing tuples
+    beats str() sort keys ~10x, and the one-time converter choice skips
+    the isinstance chain on every cell. (The old form cost 145s on one
+    3.4M-row sf1 output; this is ~20s including hashing.) Multiset
+    equality is exactly sorted-list equality."""
+    from collections import Counter
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(normalize(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+    convs = []
+    for i in order:
+        sample = next((r[i] for r in rows if r[i] is not None), None)
+        convs.append(_conv_for(sample))
+    return Counter(
+        tuple(c(r[i]) for c, i in zip(convs, order)) for r in rows
+    )
 
 
 def main() -> int:
@@ -109,8 +145,12 @@ def main() -> int:
         if not problems:
             a, b = canon(srows, scols), canon(drows, dcols)
             if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y]
-                problems.append(f"values differ in {len(diffs)}/{len(a)} rows; first: {diffs[:2]}")
+                only_s = list((a - b).elements())
+                only_d = list((b - a).elements())
+                problems.append(
+                    f"values differ in {len(only_s)}/{len(srows)} rows; "
+                    f"spark-only: {only_s[:2]}; oracle-only: {only_d[:2]}"
+                )
         if problems:
             print(f"[FAIL] {name}: " + "; ".join(problems))
             n_fail += 1
