@@ -108,6 +108,7 @@ OPTIONAL = [
     "flagship_small_qty_revenue",
     "flagship_large_orders",
     "flagship_waiting_supplier",
+    "text_pii_redact",
 ]
 
 N_RUNS = 3

@@ -829,6 +829,92 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-' || LPAD((doc_id % 1000)::VARCHAR, 3, '0')
+                            || '-' || LPAD((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END AS text
+        FROM documents),
+    red AS (
+        SELECT doc_id, lang,
+               LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+               LENGTH(text)
+               - LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                     '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g')) AS len_delta
+        FROM seeded)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_emails) AS n_emails,
+           SUM(n_phones) AS n_phones,
+           SUM(len_delta) AS chars_removed
+    FROM red GROUP BY lang
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails + phone numbers -> typed placeholder
+    tokens), the redaction step every training-data pipeline runs before
+    tokenization. The fixture corpus carries no PII, so both engines
+    SEED identical synthetic addresses/numbers from doc_id first — the
+    graded surface is the redaction itself: detection counts and the
+    exact char-length delta of replace-all under the same RE2-safe
+    patterns (no lookarounds, so Java and RE2 regex agree). Realistic
+    pattern coverage is pinned by tests/test_pii.py on planted strings.
+
+    Scale shape: pure per-row JVM regexp (scan-fused, zero shuffle until
+    the per-language rollup); patterns are deliberately anchored/
+    bounded — catastrophic-backtracking-free in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    red = seeded.select(
+        "lang",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        (F.length("text") - F.length(redacted)).alias("len_delta"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum("len_delta").alias("chars_removed"),
+    )
+
+
 def _o_bpe_round(k: int) -> str:
     """One unrolled BPE training round as DuckDB CTEs (vocab{k-1} -> vocab{k},
     best{k}). Symbol sequences ride as '|sym1||sym2||...|' strings so the
