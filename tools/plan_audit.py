@@ -318,6 +318,33 @@ AUDITS: dict[str, dict] = {
     # per-user rollup partials; rank window on the compact table
     "agg_gini_activity": {"partial": True,
                           "prune": ["event_type", "value", "props", "ts"]},
+    # round 4
+    # caller-split ws records: span arrays build in narrow higher-order
+    # aggregates — ZERO exchanges end to end
+    "wsprovide_sentences": {"max_exchange": 0,
+                            "prune": ["lang", "source", "n_chars"]},
+    # z-write: the returned plan is the census READ-BACK (the bounds
+    # broadcast + range write already executed inside the builder) —
+    # audit the partial-agged scan over the z-layout
+    "write_zorder": {"partial": True, "prune": ["props"]},
+    # regex scrub fuses into the scan; one lang rollup exchange
+    "text_pii_redact": {"partial": True, "max_exchange": 1,
+                        "prune": ["source", "n_chars"]},
+    # Q17: brand dim broadcasts and prunes lineitem; per-part avg is a
+    # bounded partial-agged aggregate sharing the l_partkey exchange
+    "flagship_small_qty_revenue": {"broadcast": True, "partial": True,
+                                   "prune": ["l_tax", "l_returnflag",
+                                             "p_name", "p_type"]},
+    # Q18: qty rollup partials BEFORE any join; customer joins last
+    "flagship_large_orders": {"partial": True,
+                              "prune": ["l_extendedprice", "l_shipdate",
+                                        "o_orderpriority"]},
+    # Q21: status/late predicates push; semi/anti equi joins (no BNLJ);
+    # supplier broadcasts onto the counted result
+    "flagship_waiting_supplier": {"pushed": True, "broadcast": True,
+                                  "partial": True,
+                                  "prune": ["l_quantity", "l_extendedprice",
+                                            "o_totalprice", "s_acctbal"]},
 }
 
 
