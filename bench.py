@@ -109,6 +109,7 @@ OPTIONAL = [
     "flagship_large_orders",
     "flagship_waiting_supplier",
     "text_pii_redact",
+    "stream_outer_join",
 ]
 
 N_RUNS = 3

@@ -349,6 +349,98 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_outer_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+    errors AS (
+        SELECT event_id AS error_id, user_id AS err_user, ts AS error_ts
+        FROM events WHERE event_type = 'error'),
+    wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+                        (SELECT MAX(error_ts) FROM errors))
+                  - INTERVAL 1 HOUR AS w),
+    joined AS (
+        SELECT c.click_id, e.error_id, c.user_id, c.click_ts
+        FROM clicks c LEFT JOIN errors e
+          ON c.user_id = e.err_user
+         AND e.error_ts BETWEEN c.click_ts - INTERVAL 1 HOUR AND c.click_ts)
+    SELECT click_id, error_id, user_id
+    FROM joined CROSS JOIN wm
+    WHERE click_ts <= wm.w - INTERVAL 1 MINUTE
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click pairs with the errors
+    its user hit in the preceding hour, and clicks with NO such error
+    still emit — with a NULL error side — once the watermark proves no
+    future match can arrive. This is the semantics inner joins can't
+    give you (the unmatched side needs a point-of-no-return, which IS
+    the watermark): at 100 TB/day it's how you produce a COMPLETE
+    enriched click log, not just the matched subset.
+
+    Null-extension timing: a left row emits its NULL match only when
+    the combined watermark passes the row's last possible match time,
+    so clicks inside the final watermark delay are still open when
+    AvailableNow drains. Both engines therefore restrict the compared
+    result to clicks at least one watermark-delay (+1 min guard band
+    against boundary-strictness differences) behind max(ts) — the
+    closed region, where streaming and batch left-join agree exactly.
+    State bound: one delay's rows per side, same as stream_stream_join
+    (eviction itself is pinned by the progress-metrics pytest)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", DELAY)
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", DELAY)
+    )
+    j = clicks.join(
+        errors,
+        F.expr(
+            "user_id = err_user AND "
+            "error_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+        "leftOuter",
+    ).select("click_id", "error_id", "user_id", "click_ts")
+    drained = run_to_sink(j, "append")
+    # batch-side replica of the COMBINED final watermark: Spark takes the
+    # min of the per-side watermarks (each side's max event time - delay),
+    # so the closed region ends at min(max click_ts, max error_ts) - 1h
+    from curatorhadoopinterface_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 1 HOUR")
+            - F.expr("INTERVAL 1 MINUTE")
+        ).alias("w")
+    )
+    return (
+        drained.crossJoin(F.broadcast(w))
+        .filter(F.col("click_ts") <= F.col("w"))
+        .select("click_id", "error_id", "user_id")
+    )
+
+
+@query(
     "stream_sink_parquet",
     oracle="""
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
