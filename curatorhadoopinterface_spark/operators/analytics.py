@@ -505,7 +505,12 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     j = l.join(F.broadcast(g), "l_returnflag")
-    ranks = j.groupBy("l_returnflag").agg(
+    # est/n_rows ride the rank aggregation (first() per group) so the GK
+    # sketch computes ONCE — a separate g-join here re-ran the whole
+    # sketch aggregation a second time (bench: 0.95s -> ~0.6s)
+    out = j.groupBy("l_returnflag").agg(
+        F.first("est").alias("est"),
+        F.first("n_rows").alias("n_rows"),
         *[
             F.sum((F.col("l_extendedprice") < F.col("est")[i]).cast("long")).alias(f"lt{i}")
             for i in range(len(_AQ_QS))
@@ -515,7 +520,6 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_AQ_QS))
         ],
     )
-    out = g.join(ranks, "l_returnflag")
     slack = F.col("n_rows") / _AQ_ACC + 1
     checks = [
         (
