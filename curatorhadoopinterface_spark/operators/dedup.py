@@ -288,15 +288,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hamming-<=2 search needs its own WIDER signature: blocking selectivity
-# is 2^(bits/(k+1)) buckets, and 16 bits -> 3 blocks of 5-6 bits = only
-# 32-64 buckets, which explodes quadratically on big corpora (observed:
-# the candidate join ran away at 25k docs). 32 bits -> 11+11+10 blocks =
-# 1k-2k buckets per block. md5 has 32 hex digits, so the same
-# digit-majority rule extends for free.
+# Hamming search uses a WIDER 32-bit signature than dedup_simhash's 16
+# (md5 has 32 hex digits, so the digit-majority rule extends for free);
+# candidates come from one-bit FLIP neighbors of distinct signatures —
+# see dedup_simhash_hamming's docstring for why blocking was replaced.
 _HAM_BITS = 32
 _HAM_K = 1
-_HAM_BLOCKS = ((1, 16), (17, 16))  # (1-based start, length): 65k buckets each
 
 _HAM_BIT_ORACLE = ",\n".join(
     f"""           CASE WHEN SUM(CASE WHEN SUBSTR(MD5(word), {i + 1}, 1) >= '8'
@@ -317,48 +314,67 @@ _HAM_STR_ORACLE = " || ".join(f"b{i}" for i in range(_HAM_BITS))
 {_HAM_BIT_ORACLE}
         FROM words GROUP BY doc_id),
     sigs AS (SELECT doc_id, {_HAM_STR_ORACLE} AS sig FROM bits),
-    blocks AS (
-        SELECT doc_id, sig,
-               UNNEST([{', '.join(f"SUBSTR(sig, {s}, {l})" for s, l in _HAM_BLOCKS)}])
-                   AS block_val,
-               UNNEST([{', '.join(str(i) for i in range(len(_HAM_BLOCKS)))}]) AS block_id
+    si AS (
+        SELECT doc_id,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_HAM_BITS}),
+                   i -> CASE WHEN SUBSTR(sig, i, 1) = '1'
+                        THEN (1::BIGINT << ({_HAM_BITS} - i)) ELSE 0 END))::BIGINT AS s
         FROM sigs),
-    cands AS (
-        SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
-                        b.doc_id AS doc_b, b.sig AS sig_b
-        FROM blocks a JOIN blocks b
-          ON a.block_id = b.block_id AND a.block_val = b.block_val
-         AND a.doc_id <> b.doc_id),
-    scored AS (
-        SELECT doc_a, doc_b,
-               LEN(LIST_FILTER(GENERATE_SERIES(1, {_HAM_BITS}),
-                   i -> SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1))) AS hamming
-        FROM cands),
     ranked AS (
-        SELECT doc_a, doc_b, hamming,
-               ROW_NUMBER() OVER (PARTITION BY doc_a
-                                  ORDER BY hamming, doc_b) AS rk
-        FROM scored WHERE hamming <= {_HAM_K})
-    SELECT doc_a AS doc_id, doc_b AS nearest_doc, hamming
-    FROM ranked WHERE rk = 1
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) AS rn
+        FROM si),
+    grp AS (
+        SELECT s, COUNT(*) AS n,
+               MIN(CASE WHEN rn = 1 THEN doc_id END) AS m1,
+               MIN(CASE WHEN rn = 2 THEN doc_id END) AS m2
+        FROM ranked GROUP BY s),
+    h0 AS (
+        SELECT r.doc_id,
+               CASE WHEN r.doc_id = g.m1 THEN g.m2 ELSE g.m1 END AS nearest_doc,
+               0 AS hamming
+        FROM ranked r JOIN grp g ON g.s = r.s WHERE g.n >= 2),
+    flips AS (
+        SELECT g.s,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, {_HAM_BITS - 1}),
+                      i -> xor(g.s, 1::BIGINT << i))) AS nb
+        FROM grp g WHERE g.n = 1),
+    cand AS (
+        SELECT f.s, MIN(g2.m1) AS nearest_doc
+        FROM flips f JOIN grp g2 ON g2.s = f.nb GROUP BY f.s),
+    h1 AS (
+        SELECT r.doc_id, c.nearest_doc, 1 AS hamming
+        FROM ranked r
+        JOIN grp g ON g.s = r.s AND g.n = 1
+        JOIN cand c ON c.s = r.s)
+    SELECT doc_id, nearest_doc, hamming FROM h0
+    UNION ALL SELECT doc_id, nearest_doc, hamming FROM h1
     """,
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest neighbor within Hamming distance 1 of a 32-bit SimHash,
     per document — beyond dedup_simhash's identical-signature buckets.
-    The pigeonhole block trick (Hamming-distance similarity search over
-    MapReduce, EDBT 2015): split the signature into k+1 blocks; any pair
-    within distance k agrees exactly on >= 1 block, so candidates come
-    from an EQUI join on (block_id, block_value) — never an all-pairs
-    scan — and only candidates pay the exact-distance verify.
+
+    Round-4 rework: FLIP-NEIGHBOR equi join over DISTINCT signatures,
+    replacing the pigeonhole block join. The 30x stress caught the block
+    design's failure mode: SimHash bits over same-language text are far
+    from uniform (measured: ONE 16-bit block value held 21% of the
+    corpus), so block buckets go quadratic on natural data no matter the
+    width — the r3 '2^16 buckets per block' selectivity assumed uniform
+    bits. For K=1, a signature's neighbors are exactly its 32 one-bit
+    XOR flips: explode 33 keys per DISTINCT signature and equi-join on
+    the full 32-bit value. Candidate volume is 32x|distinct sigs| by
+    CONSTRUCTION — independent of how signatures distribute, no hot
+    bucket can exist. (K>1 generalizes to C(bits,<=K) flips; past K~3
+    you shard the flip set or fall back to multi-index blocking WITH a
+    per-bucket cap.)
 
     Output is ONE row per duplicated doc (its min-distance, min-id
     neighbor), not all pairs: corpora with giant near-dup clusters make
-    pair output quadratic in cluster size no matter how good the
-    blocking is (observed on the templated fixture at 25k docs) — at
-    100 TB you emit doc -> nearest/representative and let the dedup
-    policy act per doc. Block width is the candidate-volume dial
-    (2^16 buckets per block here; 64-bit sigs at production scale)."""
+    pair output quadratic in cluster size no matter the candidate plan —
+    at 100 TB you emit doc -> nearest/representative and let the dedup
+    policy act per doc. Distance-0 resolves per GROUP (the mega-cluster
+    decomposition); only signature-unique docs touch the flip join."""
     d = load_table(spark, sf_dir, "documents")
     # hashing/bit-voting is CPU-bound column work: spread a few-split
     # scan over the cores (plan-side estimate, no-op at scale) — without
@@ -418,44 +434,27 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = grouped.filter(F.col("head_n") == 1).select("doc_id", "sig")
     distinct_sigs = heads.select("sig", F.col("m1").alias("min_doc"))
 
-    def blocked(df):
-        return df.select(
-            *df.columns,
-            F.posexplode(
-                F.array(*[F.substring("sig", s, l) for s, l in _HAM_BLOCKS])
-            ).alias("block_id", "block_val"),
-        )
-
-    # hamming distance = bit_count(xor) on the bigint form of the sig —
-    # one codegen'd ALU op per candidate pair instead of _HAM_BITS
-    # substring comparisons (the verify stage dominated the stress run
-    # at 50k distinct signatures; same value either way, the oracle's
-    # per-character count is unchanged)
+    # flip-neighbor candidates: each signature-unique doc explodes its 32
+    # one-bit XOR flips (bigint form) and equi-joins the DISTINCT
+    # signature table on the full value — 32 rows per single, ever.
     to_int = lambda c: F.conv(c, 2, 10).cast("bigint")  # noqa: E731
-    a = blocked(singles.withColumn("sig_i", to_int("sig"))).alias("a")
-    b = blocked(distinct_sigs.withColumn("sig_i", to_int("sig"))).alias("b")
-    cross = (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.sig") != F.col("b.sig")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.sig_i").alias("sig_ai"),
-            F.col("b.sig_i").alias("sig_bi"),
-            F.col("b.min_doc").alias("nearest_doc"),
-        )
-        .distinct()
-        .withColumn("hamming", F.expr("bit_count(sig_ai ^ sig_bi)"))
-        .filter(F.col("hamming") <= _HAM_K)
+    flips = singles.withColumn("sig_i", to_int("sig")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_HAM_BITS - 1}),"
+                " i -> sig_i ^ shiftleft(cast(1 as bigint), i))"
+            )
+        ).alias("nbr_sig"),
     )
-    w = Window.partitionBy("doc_id").orderBy("hamming", "nearest_doc")
+    targets = distinct_sigs.select(
+        to_int("sig").alias("tgt_sig"), "min_doc"
+    )
     cross_best = (
-        cross.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "nearest_doc", "hamming")
+        flips.join(targets, F.col("nbr_sig") == F.col("tgt_sig"))
+        .groupBy("doc_id")
+        .agg(F.min("min_doc").alias("nearest_doc"))
+        .withColumn("hamming", F.lit(_HAM_K))
     )
     return same_sig.unionByName(cross_best)
 
