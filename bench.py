@@ -110,6 +110,7 @@ OPTIONAL = [
     "flagship_waiting_supplier",
     "text_pii_redact",
     "stream_outer_join",
+    "dedup_simhash_hamming",
 ]
 
 N_RUNS = 3
