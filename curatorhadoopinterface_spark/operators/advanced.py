@@ -118,9 +118,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.xxhash64("l_partkey", "l_suppkey"), F.lit(_SALT_BUCKETS)).cast("int")
     )
+    # the exploded side must NEVER broadcast: the planner sizes it from
+    # the pre-explosion scan stats, picks BroadcastHashJoin, and dies
+    # building the x8 table driver-side (observed at 30x: 'Not enough
+    # memory to build and broadcast'). Salting exists to spread a
+    # SHUFFLED join — pin sort-merge so the plan is the one the
+    # technique is for, at every scale.
     o = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
-    )
+    ).hint("merge")
     return (
         l.join(
             o,
