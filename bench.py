@@ -111,6 +111,7 @@ OPTIONAL = [
     "text_pii_redact",
     "stream_outer_join",
     "dedup_simhash_hamming",
+    "dedup_semantic_scaledk",
 ]
 
 N_RUNS = 3

@@ -256,3 +256,152 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: scaled-k target: max vectors per (label x sign-pattern) sub-cluster
+#: before another splitting bit is added
+SEMDEDUP_TARGET = 512
+
+
+@query(
+    "dedup_semantic_scaledk",
+    oracle=f"""
+    WITH {_O_BASE},
+    nb AS (
+        SELECT LENGTH(LTRIM(BIN(
+                   ((COUNT(*) + {SEMDEDUP_TARGET * 10 - 1})
+                    // {SEMDEDUP_TARGET * 10}) - 1), '0')) AS bits
+        FROM base),
+    keyed AS (
+        SELECT vec_id, e, norm,
+               label || '_' ||
+               COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, (SELECT bits FROM nb)),
+                   i -> CASE WHEN e[i] >= 0 THEN '1' ELSE '0' END), ''), '')
+                   AS ck
+        FROM base),
+    pairs AS (
+        SELECT a.ck AS ck, b.vec_id AS dup_id
+        FROM keyed a JOIN keyed b
+          ON a.ck = b.ck AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+              >= {SEMDEDUP_COS}),
+    dropped AS (SELECT COUNT(DISTINCT dup_id) AS n_dropped FROM pairs),
+    clus AS (SELECT ck, COUNT(*) AS n FROM keyed GROUP BY ck)
+    SELECT (SELECT COUNT(*) FROM base) AS n_vecs,
+           (SELECT bits FROM nb) AS bits,
+           (SELECT COUNT(*) FROM clus) AS n_clusters,
+           (SELECT MAX(n) FROM clus) AS max_cluster,
+           (SELECT n_dropped FROM dropped) AS n_dropped,
+           (SELECT COUNT(*) FROM base) - (SELECT n_dropped FROM dropped)
+               AS n_kept
+    """,
+)
+def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with the k-PROPORTIONAL-TO-CORPUS policy made executable
+    — the contract dedup_semantic documents (and stress_semdedup
+    measures) but cannot itself enforce, because its cluster count is
+    the fixture's fixed 10 labels (quadratic per-cluster work at 30x:
+    15k-vector clusters -> 2e9 pairs, excluded from the 30x sweep by
+    contract).
+
+    Mechanism: the coarse label splits further by the SIGN PATTERN of
+    the first ``bits`` embedding dimensions (the sim_lsh_topk SRP
+    bucketing), where ``bits = ceil(log2(ceil(n / (10 * 512))))`` —
+    INTEGER-exact in both engines via the BIN-length identity
+    (ceil(log2 x) = length of binary(x-1)), never a libm log2 whose ulp
+    could flip a boundary. Cluster count therefore DOUBLES as the corpus
+    doubles and expected cluster size stays ~512: the within-cluster
+    pair join is bounded at any corpus size. sf0.1: bits=0 (reduces to
+    dedup_semantic); 10x: bits=2; 30x: bits=4.
+
+    Trades, stated honestly: near-duplicates straddling a sign boundary
+    are missed (the standard LSH-partitioned-dedup recall trade —
+    SemDedup itself accepts cross-cluster misses), and sign-pattern
+    buckets can skew on correlated dimensions (max_cluster is an OUTPUT
+    column so the skew is measured, not assumed); production swaps the
+    splitter for kmeans_lloyd assignment with the same k schedule.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (x, y) -> cast(x as double) * cast(y as double)),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            )
+        ).alias("norm"),
+    )
+    tgt = SEMDEDUP_TARGET * 10
+    nb = base.agg(
+        F.expr(
+            f"length(trim(LEADING '0' FROM"
+            f" bin(((count(1) + {tgt - 1}) div {tgt}) - 1)))"
+        ).alias("bits")
+    )
+    keyed = (
+        base.crossJoin(F.broadcast(nb))
+        .withColumn(
+            "ck",
+            F.concat(
+                F.col("label").cast("string"),
+                F.lit("_"),
+                # Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's
+                # GENERATE_SERIES(1, 0) is empty) — guard bits = 0
+                F.expr(
+                    "CASE WHEN bits < 1 THEN ''"
+                    " ELSE array_join(transform(sequence(1, bits),"
+                    " i -> CASE WHEN element_at(embedding, i) >= 0"
+                    " THEN '1' ELSE '0' END), '') END"
+                ),
+            ),
+        )
+        .select("vec_id", "embedding", "norm", "ck")
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding,"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("dup_id"))
+    )
+    clus = keyed.groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+    summary = (
+        base.agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(
+            F.broadcast(
+                clus.agg(
+                    F.count(F.lit(1)).alias("n_clusters"),
+                    F.max("n").alias("max_cluster"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pairs.agg(F.countDistinct("dup_id").alias("n_dropped"))
+            )
+        )
+    )
+    return summary.select(
+        "n_vecs",
+        "bits",
+        "n_clusters",
+        "max_cluster",
+        "n_dropped",
+        (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
+    )
