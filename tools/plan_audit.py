@@ -345,6 +345,11 @@ AUDITS: dict[str, dict] = {
                                   "partial": True,
                                   "prune": ["l_quantity", "l_extendedprice",
                                             "o_totalprice", "s_acctbal"]},
+    # scaled-k SemDedup: the 1-row bits/summary tables cross-join as
+    # deliberate broadcast BNLJs (the query_bm25 pattern); the pair join
+    # itself is EQUI on the composite cluster key
+    "dedup_semantic_scaledk": {"broadcast": True, "partial": True,
+                               "no_bnlj": False},
 }
 
 
