@@ -59,6 +59,13 @@ def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None =
         # shuffling the whole fact table and shuffling the matching slice
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch cap sized for HEAVY nested outputs (annotation
+        # views: parse forests ~0.1-0.2 MB/doc post-annotation). The 10k
+        # default builds GB-scale pandas frames per worker on the
+        # provide() pipeline — measured at 30x docs: STANFORD_PARSE
+        # 25.7s @10k -> 16.2s @500 batch, with bounded worker RSS.
+        # 2000 balances per-batch overhead for the scalar-frame UDFs.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
