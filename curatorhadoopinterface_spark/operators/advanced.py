@@ -103,7 +103,10 @@ _SALT_BUCKETS = 8
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l.l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -136,9 +139,20 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact DECIMAL money math (flagship_pricing_summary policy):
+            # a 6e11 double sum rounded to 2dp flipped a cent at 100x
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(14,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
