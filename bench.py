@@ -116,6 +116,12 @@ OPTIONAL = [
 
 N_RUNS = 3
 
+# Multi-batch Structured Streaming queries: their wall time is dominated
+# by micro-batch orchestration latency (trigger scheduling, watermark
+# closure drain across forced batches), not operator/plan cost. Tagged so
+# the suite total can be read with and without them (r4 verdict item 7).
+ORCHESTRATION = {n for n in OPTIONAL if n.startswith("stream_")}
+
 
 def _stage_snapshot(spark) -> dict:
     """(stageId, attempt) -> (shuffle_read_bytes, shuffle_write_bytes)
@@ -205,26 +211,45 @@ def main() -> None:
         detail[name] = d
 
     total = round(sum(times.values()), 3)
-    # stage/shuffle fingerprints go to a side file: BENCH_r03's driver
-    # artifact came back parsed:null because the inline detail blob
-    # overflowed the driver's output tail buffer. The printed line stays
-    # compact (metric + per-query min), the full instrumentation is
-    # versioned in-repo.
+    total_operators = round(
+        sum(v for k, v in times.items() if k not in ORCHESTRATION), 3
+    )
+    for name in detail:
+        detail[name]["orchestration"] = name in ORCHESTRATION
+    # Per-query times + stage/shuffle fingerprints go to a side file:
+    # BENCH_r03 AND BENCH_r04 both came back parsed:null because the
+    # inline per-query map (78 queries) overflowed the driver's ~2000
+    # char output tail buffer. The printed line stays small — suite
+    # totals plus ONLY the 12 headline query times (~500 chars); the
+    # full 78-query instrumentation is versioned in BENCH_DETAIL.json.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
     ) as fh:
-        json.dump({"detail": detail, "n_runs": N_RUNS, "sf": sf}, fh, indent=1)
+        json.dump(
+            {
+                "detail": detail,
+                "n_runs": N_RUNS,
+                "sf": sf,
+                "suite_total_sec": total,
+                "suite_total_excl_orchestration_sec": total_operators,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "value_excl_stream_orchestration": total_operators,
+                "queries": {n: times[n] for n in HEADLINE if n in times},
+                "n_queries_total": len(times),
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

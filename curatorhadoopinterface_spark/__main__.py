@@ -71,7 +71,13 @@ def cmd_annotate(args: argparse.Namespace) -> None:
         from curatorhadoopinterface_spark.plans.incremental import RecordStore
 
         store = RecordStore(spark, args.store)
-        out = store.provide_incremental(df, modes)
+        out = store.provide_incremental(
+            df,
+            modes,
+            force=args.force,
+            force_start=resolve_mode(args.force_start) if args.force_start else None,
+            best_effort=args.best_effort,
+        )
     else:
         out = provide(
             df,

@@ -108,9 +108,13 @@ def ws_records(df: DataFrame, sentences_col: str = "sentences") -> DataFrame:
     the normal per-row memoization (the wsprovide non-ws-view path,
     CuratorHandler.java:1096-1127)."""
     sents = F.col(sentences_col)
+    # NOTE: no empty-text filter here — a caller that hands an empty
+    # sentence list gets an (empty) record back, one row in = one row
+    # out, matching records_from_texts and the wsprovide_sentences
+    # oracle (which keeps every document row). Callers that want to
+    # drop blanks filter before calling (r4 ADVICE io.py:113).
     out = (
         df.withColumn("raw_text", F.array_join(sents, " "))
-        .filter(F.length("raw_text") > 0)
         .withColumn("whitespaced", F.lit(True))
         .withColumn(
             "identifier", record_identifier(F.col("raw_text"), F.col("whitespaced"))

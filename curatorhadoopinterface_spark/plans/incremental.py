@@ -188,6 +188,8 @@ class RecordStore:
         new_records: DataFrame,
         target: str | list[str],
         force: bool = False,
+        force_start: str | None = None,
+        best_effort: bool = False,
     ) -> DataFrame:
         """The full memoized pipeline (A20+A21): stale-invalidate cached
         copies, reuse them for cache hits, annotate only what's missing
@@ -198,11 +200,23 @@ class RecordStore:
         provide (curator.thrift:66): cached TARGET views are recomputed
         even on cache hits (dependencies still reused), and the refreshed
         records are upserted back over the stale cached copies.
+        ``force_start`` restarts the pipeline at an interior mode
+        (JobHandler.java:78-109 [START] parity) — the forced modes are
+        recomputed even on cache hits, exactly as in :func:`provide`.
+        A forced record has the same view count as its cached copy, so
+        the upsert must prefer-new whenever any recompute was requested.
         """
+        any_force = force or force_start is not None
         stored = self.load()
         if stored is None:
-            annotated = provide(new_records, target, force=force)
-            self.upsert(annotated, force=force)
+            annotated = provide(
+                new_records,
+                target,
+                force=force,
+                force_start=force_start,
+                best_effort=best_effort,
+            )
+            self.upsert(annotated, force=any_force)
             return annotated
         stored = remove_stale_views(stored)
         ids = new_records.select("identifier").distinct()
@@ -210,10 +224,11 @@ class RecordStore:
         misses = new_records.join(stored, "identifier", "left_anti")
         # provide() is per-row memoized: hits recompute only dropped/missing
         # views, misses compute everything — in ONE fused pass each.
-        annotated = provide(misses, target, force=force).unionByName(
-            provide(hits, target, force=force), allowMissingColumns=True
+        kw = dict(force=force, force_start=force_start, best_effort=best_effort)
+        annotated = provide(misses, target, **kw).unionByName(
+            provide(hits, target, **kw), allowMissingColumns=True
         )
         # materialize before upsert rewrites the store this plan reads
         annotated = annotated.localCheckpoint(eager=True)
-        self.upsert(annotated, force=force)
+        self.upsert(annotated, force=any_force)
         return annotated

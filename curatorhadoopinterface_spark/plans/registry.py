@@ -115,7 +115,14 @@ def forced_start_plan(target: str, force_start: str) -> tuple[list[str], set[str
         )
     start = MODES[force_start]
     stale_views = invalidation_closure({start.view, *start.extra_views})
-    forced = {m for m in order if MODES[m].view in stale_views}
+    # a mode is forced if ANY of its outputs (primary view OR extra
+    # views) is invalidated — a multi-view mode whose extra view feeds a
+    # downstream mode must re-run too (r4 ADVICE registry.py:118)
+    forced = {
+        m
+        for m in order
+        if {MODES[m].view, *MODES[m].extra_views} & stale_views
+    }
     return order, forced
 
 

@@ -129,3 +129,71 @@ def test_record_store_force_refreshes_cache_hits(spark, tmp_path, corpus):
     assert not any(
         s.label == "XXX" for r in stored for s in r.label_views["pos"].labels
     )
+
+
+def test_record_store_force_start_refreshes_interior_stage(spark, tmp_path, corpus):
+    """provide_incremental(force_start=...) — the [START] override must
+    reach the memoized store path too (r4 ADVICE __main__.py:74): a
+    cache-hit record's poisoned interior view is recomputed and the
+    refreshed record upserted back."""
+    from curatorhadoopinterface_spark.plans.incremental import RecordStore
+
+    store = RecordStore(spark, str(tmp_path / "store"))
+    store.provide_incremental(corpus, "POS")
+    poisoned = _corrupt_view(store.load(), "tokens").localCheckpoint(eager=True)
+    store.write_full(poisoned)
+    # plain incremental reuses the poisoned cached tokens...
+    reused = store.provide_incremental(corpus, "POS").collect()
+    assert all(
+        s.label == "XXX" for r in reused for s in r.label_views["tokens"].labels
+    )
+    # ...force_start=TOKEN recomputes tokens (and downstream pos) on hits
+    fresh = store.provide_incremental(corpus, "POS", force_start="TOKEN").collect()
+    assert not any(
+        s.label == "XXX" for r in fresh for s in r.label_views["tokens"].labels
+    )
+    stored = store.load().collect()  # upsert preferred the refreshed copy
+    assert not any(
+        s.label == "XXX" for r in stored for s in r.label_views["tokens"].labels
+    )
+
+
+def test_cli_annotate_store_honors_force(spark, tmp_path, capsys):
+    """CLI --store + --force must thread force into provide_incremental
+    (r4 ADVICE medium: it was silently dropped)."""
+    from curatorhadoopinterface_spark.__main__ import main
+    from curatorhadoopinterface_spark.plans.incremental import RecordStore
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    (corpus_dir / "d1.txt").write_text("Spark reads the corpus fast.")
+    (corpus_dir / "d2.txt").write_text("Hadoop wrote the original store.")
+    store_dir = str(tmp_path / "store")
+
+    main(["annotate", "--input", str(corpus_dir), "--mode", "pos", "--store", store_dir])
+    capsys.readouterr()
+    store = RecordStore(spark, store_dir)
+    poisoned = _corrupt_view(store.load(), "pos").localCheckpoint(eager=True)
+    store.write_full(poisoned)
+
+    # without --force the poisoned cache is served back untouched
+    main(["annotate", "--input", str(corpus_dir), "--mode", "pos", "--store", store_dir])
+    capsys.readouterr()
+    assert all(
+        s.label == "XXX"
+        for r in store.load().collect()
+        for s in r.label_views["pos"].labels
+    )
+    # with --force the store is refreshed
+    main(
+        [
+            "annotate", "--input", str(corpus_dir), "--mode", "pos",
+            "--store", store_dir, "--force",
+        ]
+    )
+    capsys.readouterr()
+    assert not any(
+        s.label == "XXX"
+        for r in store.load().collect()
+        for s in r.label_views["pos"].labels
+    )

@@ -16,6 +16,7 @@ Usage:  python tools/verify_local.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import sys
 import time
@@ -34,6 +35,13 @@ def normalize(v):
             return "NaN"
         # collapse -0.0 / 0.0 and tiny fp dust left after in-query rounding
         return round(v, 9) + 0.0
+    if isinstance(v, decimal.Decimal):
+        # one side may surface DECIMAL where the other yields double
+        # (duckdb Decimal vs Spark float): normalize BOTH through the
+        # same float path so equal values compare equal (r4 ADVICE
+        # verify_local.py:88). Identical decimals on both sides map to
+        # the identical float, so decimal-vs-decimal exactness is kept.
+        return round(float(v), 9) + 0.0
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -58,6 +66,14 @@ def _conv_for(sample):
     if isinstance(sample, float):
         return lambda v: (
             None if v is None else ("NaN" if v != v else round(v, 9) + 0.0)
+        )
+    if isinstance(sample, decimal.Decimal):
+        # same normalization as float (see normalize()) so a Decimal
+        # column on one side matches a double column on the other
+        return lambda v: (
+            None
+            if v is None
+            else ("NaN" if v != v else round(float(v), 9) + 0.0)
         )
     if isinstance(sample, int):
         return lambda v: None if v is None else int(v)
