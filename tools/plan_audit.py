@@ -26,7 +26,9 @@ sys.path.insert(0, "/root/repo")
 # query -> invariants. "pushed": a PushedFilters entry must be non-empty;
 # "broadcast": >=1 BroadcastHashJoin; "no_bnlj": BroadcastNestedLoopJoin
 # is a failure (default True); "prune": ReadSchema must NOT contain the
-# named columns (proves column pruning).
+# named columns (proves column pruning); "require"/"forbid": raw regexes
+# the formatted plan must / must not match (for invariants the coarse
+# flags can't express — e.g. a pinned join strategy).
 AUDITS: dict[str, dict] = {
     "flagship_pricing_summary": {"pushed": True, "prune": ["l_comment", "l_partkey"]},
     "filter_pred": {"pushed": True},
@@ -98,8 +100,14 @@ AUDITS: dict[str, dict] = {
     # analytics batch 4
     # one (user_id, ts, event_id) sort exchange feeds BOTH window passes
     "merge_scd2": {"max_exchange": 1, "prune": ["value", "props"]},
-    # salting must not defeat partial aggregation or read extra columns
-    "join_salted_skew": {"partial": True, "prune": ["l_comment", "l_shipdate"]},
+    # salting must not defeat partial aggregation or read extra columns.
+    # r4 regression lock: the x8-exploded orders side must NEVER
+    # broadcast (planner sizes it from pre-explosion stats and dies
+    # building the blown-up table driver-side at 30x) — the merge hint
+    # pins SortMergeJoin, the strategy salting exists to spread.
+    "join_salted_skew": {"partial": True, "prune": ["l_comment", "l_shipdate"],
+                         "require": [r"SortMergeJoin"],
+                         "forbid": [r"BroadcastHashJoin"]},
     # repetition signals are array-local: scan -> project, ZERO exchanges
     "text_repetition": {"max_exchange": 0, "prune": ["lang", "source", "n_chars"]},
     "udtf_native": {"prune": ["lang", "source", "n_chars"]},
@@ -350,6 +358,68 @@ AUDITS: dict[str, dict] = {
     # itself is EQUI on the composite cluster key
     "dedup_semantic_scaledk": {"broadcast": True, "partial": True,
                                "no_bnlj": False},
+    # round 5 — regression locks for the round-4 scale reworks
+    # flip-neighbor simhash: candidates are the 32 one-bit XOR flips of
+    # each DISTINCT signature (explode -> EQUI join), 32x|sigs| BY
+    # CONSTRUCTION — the plan must contain the flip Generate and no
+    # nested-loop/cartesian anywhere (the 76 GB lesson from the 30x
+    # rung: block-bucket joins go quadratic on skewed natural bits)
+    "dedup_simhash_hamming": {"partial": True,
+                              # the 32-flip enumeration: explode of the
+                              # xor-shiftleft lambda over the (constant-
+                              # folded) 0..31 sequence
+                              "require": [r"explode\(transform\(.*\^ shiftleft\(1, lambda"],
+                              "prune": ["lang", "source", "n_chars"]},
+    # passage blocks: the exchange carries 16-byte hashes + counts, never
+    # passage text — partial aggregation before the single hash shuffle
+    "dedup_passages": {"partial": True,
+                       "prune": ["lang", "source", "n_chars"]},
+    # unigram LM: vocabulary-sized count table broadcasts into the
+    # scoring join; the one-row corpus-total crosses via broadcast BNLJ
+    # (deliberate — replaces a driver-side .count())
+    "text_unigram_logprob": {"broadcast": True, "partial": True,
+                             "no_bnlj": False,
+                             "prune": ["lang", "source", "n_chars"]},
+    # split production/verified forms (r4 verdict item 2): the verified
+    # twin keeps the exact rank-interval check — still one partial-agged
+    # sketch pass plus the exact counting side
+    "agg_approx_quantile_verified": {"partial": True,
+                                     "prune": ["l_orderkey", "l_shipdate"]},
+    # round-5 widening: the remaining heavy dedup/sim family gets the
+    # same no-cartesian/partial-agg locks as the r4 reworks
+    # hash-distinct compiles to two HashAggregates around ONE exchange
+    # (map-side dedup before the shuffle — the distinct form of partial)
+    "dedup_exact": {"max_exchange": 1, "require": [r"HashAggregate"],
+                    "prune": ["lang", "source"]},
+    "dedup_simhash": {"partial": True, "prune": ["lang", "source", "n_chars"]},
+    "dedup_ngram_jaccard": {"partial": True,
+                            "prune": ["lang", "source", "n_chars"]},
+    # iterative label propagation converges BEFORE this final plan (the
+    # loop body localCheckpoints); the returned labeling pass is one
+    # exchange + window over the converged component table
+    "dedup_clusters": {"max_exchange": 2, "require": [r"Window"]},
+    # embedding near-dup: candidate pairs come from an EQUI join on the
+    # sign-bucket key (broadcast-hash here; the cosine bound is the
+    # residual condition), never all-pairs
+    "dedup_embed_cosine": {"broadcast": True},
+    # IVF probe: centroid assignment is the deliberate broadcast-tiny
+    # BNLJ (sim_topk precedent); the probe join is equi on the list id
+    "sim_ivf_topk": {"no_bnlj": False, "broadcast": True},
+    "sim_ann_recall": {"no_bnlj": False, "broadcast": True},
+    # Q5: region predicate pushes, nation/region/supplier dims broadcast,
+    # revenue partial-aggregates before the group-by exchange
+    "flagship_local_supplier_volume": {"pushed": True, "broadcast": True,
+                                       "partial": True,
+                                       "prune": ["l_quantity", "l_tax",
+                                                 "c_name", "s_name"]},
+    # the canonical group-by: partial-agged, comment column pruned
+    "agg_groupby": {"partial": True, "prune": ["l_comment", "l_partkey"]},
+    # annotation surface: the per-doc stage must be ONE Arrow-batched
+    # python node, not row-at-a-time (A7/A10 fusion)
+    "annotate_token_count": {"require": [r"MapInPandas|ArrowEvalPython"]},
+    "mm_decode_features": {"require": [r"MapInPandas|ArrowEvalPython"]},
+    # one partition exchange serves the ranking window
+    "win_rank": {"max_exchange": 1, "prune": ["c_name", "c_comment"]},
 }
 
 
@@ -376,6 +446,12 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
         problems.append("no dynamicpruning partition filter in plan")
     if spec.get("partial") and not re.search(r"partial_\w+", plan):
         problems.append("no partial_ (map-side) aggregation in plan")
+    for rx in spec.get("require", []):
+        if not re.search(rx, plan):
+            problems.append(f"required pattern {rx!r} absent from plan")
+    for rx in spec.get("forbid", []):
+        if re.search(rx, plan):
+            problems.append(f"forbidden pattern {rx!r} present in plan")
     if "max_exchange" in spec:
         n = len(re.findall(r"\(\d+\) Exchange", plan))
         if n > spec["max_exchange"]:
