@@ -112,6 +112,7 @@ OPTIONAL = [
     "stream_outer_join",
     "dedup_simhash_hamming",
     "dedup_semantic_scaledk",
+    "pack_sequences_hier",
 ]
 
 N_RUNS = 3

@@ -160,6 +160,107 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUCKET_DOCS = 1000  # docs per packing bucket (hierarchical variant)
+
+
+@query(
+    "pack_sequences_hier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+        FROM toks)
+    SELECT lang, seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_tokens) * 1.0 / {SEQ_BUDGET} AS fill
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def pack_sequences_hier(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Hierarchical sequence packing — BIT-IDENTICAL to pack_sequences
+    (same oracle: the single global per-language window), with the
+    single-language range chain broken.
+
+    pack_sequences' one range exchange per language is correct but
+    serializes: at 1000x, a one-language corpus runs its entire running
+    sum through ONE sorted partition chain. The fix is telescoping: cut
+    each language into doc_id-range buckets, compute the running sum
+    WITHIN each bucket (parallel across buckets), and add each bucket's
+    prefix offset (the running sum of whole-bucket token totals over the
+    tiny per-bucket table). Because bucket order ⊕ within-bucket order
+    equals global doc_id order,
+
+        global_before(doc) = offset(bucket) + within_before(doc)
+
+    EXACTLY — the greedy first-fit seq_id contract survives unchanged,
+    which the shared oracle proves on every run.
+
+    One tokenization, one (lang, bucket) exchange: the within-bucket
+    window runs first and is PERSISTED as the narrow (doc_id, lang,
+    bucket, n_tokens, within_before) projection — ~1% of corpus bytes —
+    so the per-bucket totals (max(within_before + n_tokens) per bucket,
+    |buckets| rows) derive from the same pass instead of re-splitting
+    the text. The tiny offset table windows driver-cheap and broadcasts
+    back onto the persisted stream. At 100 TB the bucket key would be
+    the ingest date/file-id — anything that refines doc order — giving
+    width = corpus/bucket_size parallel chains instead of one per
+    language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET_DOCS).cast("bigint").alias("bucket"),
+    )
+    # within-bucket running sums: parallel across (lang, bucket) chains
+    ww = Window.partitionBy("lang", "bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = toks.withColumn(
+        "within_before", F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+    )
+    if checkpoint:
+        within = within.persist()
+    # per-bucket totals fall out of the SAME windowed pass; the prefix
+    # offsets window over the |buckets|-row table (trivial) and broadcast
+    wb = Window.partitionBy("lang").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        within.groupBy("lang", "bucket")
+        .agg(F.max(F.col("within_before") + F.col("n_tokens")).alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)),
+        )
+        .drop("bucket_tokens")
+    )
+    packed = within.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
+        "seq_id",
+        F.floor((F.col("bucket_offset") + F.col("within_before")) / SEQ_BUDGET),
+    )
+    out = packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.lit(SEQ_BUDGET)).alias("fill"),
+    )
+    if not checkpoint:
+        # plan-audit path: expose the full (unpersisted) plan
+        return out
+    out = out.localCheckpoint(eager=True)  # fill report: |sequences| rows
+    within.unpersist()
+    return out
+
+
 def _mix_pct_spark():
     expr = F.lit(MIX_DEFAULT)
     for lang, pct in MIX_PCT.items():

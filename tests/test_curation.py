@@ -105,3 +105,21 @@ def test_contamination_bounds_and_eval_exclusion(spark, sf_dir):
         assert 0 < r["contamination"] <= 1.0
         assert abs(r["contamination"] - r["n_contaminated"] / r["n_shingles"]) < 1e-12
     assert SEQ_BUDGET > 0  # imported constants stay wired
+
+
+def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):
+    """The telescoping identity: hierarchical packing must reproduce the
+    flat global-window packing BIT-FOR-BIT (same seq assignment, same
+    fill report) — global_before == bucket_offset + within_before."""
+    from curatorhadoopinterface_spark.operators.curation import pack_sequences_hier
+
+    flat = {
+        (r.lang, r.seq_id): (r.n_docs, r.total_tokens, r.fill)
+        for r in pack_sequences(spark, sf_dir).collect()
+    }
+    hier = {
+        (r.lang, r.seq_id): (r.n_docs, r.total_tokens, r.fill)
+        for r in pack_sequences_hier(spark, sf_dir).collect()
+    }
+    assert flat == hier
+    assert len(flat) > 0

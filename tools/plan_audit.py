@@ -420,6 +420,12 @@ AUDITS: dict[str, dict] = {
     "mm_decode_features": {"require": [r"MapInPandas|ArrowEvalPython"]},
     # one partition exchange serves the ranking window
     "win_rank": {"max_exchange": 1, "prune": ["c_name", "c_comment"]},
+    # hierarchical packing: ONE (lang,bucket) exchange feeds the
+    # within-bucket window AND the bucket-total agg (partial-agged); the
+    # tiny offset table broadcasts back — the telescoped plan that
+    # breaks the single-language range chain (stress_pack_hier.py)
+    "pack_sequences_hier": {"partial": True, "broadcast": True,
+                            "prune": ["source", "n_chars"]},
 }
 
 
@@ -489,7 +495,7 @@ def main() -> None:
     for name, spec in AUDITS.items():
         if name not in qs:
             continue
-        if name == "graph_pagerank":
+        if name in ("graph_pagerank", "pack_sequences_hier"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
