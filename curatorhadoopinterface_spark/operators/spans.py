@@ -491,6 +491,56 @@ def annotate_coref_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "annotate_mention_spans",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE},
+    matched AS (
+        SELECT doc_id, token_idx, token, token_start,
+               token_start + LENGTH(token) AS token_end,
+               CASE LOWER(token)
+                 WHEN 'spark' THEN 'TECH' WHEN 'hadoop' THEN 'TECH'
+                 WHEN 'hash' THEN 'TECH' WHEN 'vector' THEN 'TECH'
+                 WHEN 'customer' THEN 'ROLE' WHEN 'supplier' THEN 'ROLE'
+                 WHEN 'lorem' THEN 'MISC' WHEN 'ipsum' THEN 'MISC'
+               END AS label
+        FROM offs),
+    islands AS (
+        SELECT *, token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, label ORDER BY token_idx) AS grp
+        FROM matched WHERE label IS NOT NULL)
+    SELECT doc_id,
+           STRING_AGG(LOWER(token), ' ' ORDER BY token_idx) AS mention,
+           MIN(token_start) AS span_start,
+           MAX(token_end)   AS span_end
+    FROM islands GROUP BY doc_id, label, grp
+    """,
+)
+def annotate_mention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone `mention` view — the reference's demo surface
+    requests it as its own annotation (CuratorClient.java:1104-1119
+    prints mention spans with char offsets): one row per coref MENTION
+    with its lowercase surface key and character span, flattened out of
+    the Clustering view (each cluster's labels are its mentions,
+    coref_clusters in annotators/light.py). The oracle rebuilds every
+    mention from the NER-island rules with char offsets — the span
+    arithmetic (MIN start / MAX end over the merged island) must match
+    the UDF's text[start:ending] slice exactly."""
+    ann = _annotated_corpus(spark, sf_dir, "COREF")
+    clusters = ann.select(
+        "doc_id", F.explode(F.col("cluster_views")["coref"]["clusters"]).alias("c")
+    )
+    mentions = clusters.select(
+        "doc_id", F.explode(F.col("c.labels")).alias("m")
+    )
+    return mentions.select(
+        "doc_id",
+        F.col("m.label").alias("mention"),
+        F.col("m.start").alias("span_start"),
+        F.col("m.ending").alias("span_end"),
+    )
+
+
+@query(
     "annotate_wiki_urls",
     oracle=f"""
     WITH {_NER_MENTIONS_CTE}
