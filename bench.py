@@ -113,6 +113,8 @@ OPTIONAL = [
     "dedup_simhash_hamming",
     "dedup_semantic_scaledk",
     "pack_sequences_hier",
+    "shuffle_deterministic",
+    "dedup_incremental",
 ]
 
 N_RUNS = 3

@@ -350,3 +350,61 @@ def eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("lang", "source", "split").agg(
         F.count("*").alias("n_docs")
     )
+
+
+SHUFFLE_SEED = "seed42:"  # version the seed string to re-deal the order
+
+
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               MD5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+    SELECT doc_id,
+           SUBSTRING(h, 1, 2) AS shard,
+           ROW_NUMBER() OVER (ORDER BY h, doc_id) AS global_pos
+    FROM keyed
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — the training-order deal.
+
+    Epoch order must be (a) statistically shuffled, (b) reproducible
+    bit-for-bit across reruns/partition layouts/file additions, and
+    (c) computable without one global sort chain. A seeded content hash
+    gives (a)+(b) — same reasoning as mixture_sample's md5-threshold:
+    no RNG state, the permutation is a pure function of (seed, doc_id).
+    For (c), global rank is computed HIERARCHICALLY: the first hex byte
+    of the hash is the shard (256 of them), and because the shard key
+    is a PREFIX of the sort key, ORDER BY hash == ORDER BY (shard,
+    rest) — so global_pos = shard_offset + within-shard row_number,
+    the pack_sequences_hier telescoping identity applied to ordering.
+    256 parallel sort chains, one tiny (256-row) offset table broadcast
+    back; no driver sort, no sampled range boundaries (rangepartitioner
+    sampling would break (b): boundaries depend on the data sample).
+    At 100 TB widen the prefix (2 hex chars = 65k shards) and write
+    shard-partitioned — readers stream shards in order and get the
+    exact global permutation."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn("shard", F.substring("h", 1, 2))
+    ww = Window.partitionBy("shard").orderBy("h", "doc_id")
+    within = keyed.withColumn("within_pos", F.row_number().over(ww))
+    wb = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        within.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(wb), F.lit(0)))
+        .drop("n")
+    )
+    return within.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        (F.col("off") + F.col("within_pos")).alias("global_pos"),
+    )

@@ -949,3 +949,63 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+INGEST_MOD = 2  # doc_id % 2 == 0 -> already-ingested store half (fixture)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, MD5(text) AS content_hash,
+               doc_id % {INGEST_MOD} = 0 AS in_store
+        FROM documents),
+    store AS (SELECT DISTINCT content_hash FROM hashed WHERE in_store),
+    batch AS (SELECT doc_id, content_hash FROM hashed WHERE NOT in_store),
+    fresh AS (
+        SELECT b.doc_id, b.content_hash
+        FROM batch b
+        WHERE b.content_hash NOT IN (SELECT content_hash FROM store)),
+    ranked AS (
+        SELECT doc_id, content_hash,
+               ROW_NUMBER() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS rn
+        FROM fresh)
+    SELECT doc_id, content_hash FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against an existing fingerprint store — THE
+    continuous-ingest pattern: yesterday's corpus is already deduped and
+    its content hashes sit in a store; today's batch must drop (a) docs
+    whose hash the store already holds and (b) within-batch duplicates
+    (first doc_id wins), emitting only the genuinely new fingerprints
+    to append back to the store. Fixture: even doc_ids play the store,
+    odd doc_ids the arriving batch.
+
+    Scale shape: the store side is a 16-byte-key column — at 100 TB it
+    lives as a parquet table hash-bucketed on content_hash (the
+    join_bucketed layout), so the anti join co-locates without
+    shuffling the store; only the BATCH (days, not years, of data)
+    shuffles. Within-batch dedup is a groupBy on the same key the anti
+    join just partitioned by, so AQE reuses the exchange. Both sides
+    partial-aggregate before any exchange; nothing here is
+    corpus-sized except the one stored-hash scan.
+
+    Reference parity: this is the batch twin of the record store's
+    hash-keyed memoization (CuratorHandler.java:468-527 first-arrival
+    wins; plans/incremental.py A21) applied to dedup instead of
+    annotation reuse."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        (F.col("doc_id") % INGEST_MOD == 0).alias("in_store"),
+    )
+    store = hashed.filter("in_store").select("content_hash").distinct()
+    batch = hashed.filter(~F.col("in_store")).select("doc_id", "content_hash")
+    fresh = batch.join(store, "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "content_hash")

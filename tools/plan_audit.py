@@ -426,6 +426,15 @@ AUDITS: dict[str, dict] = {
     # breaks the single-language range chain (stress_pack_hier.py)
     "pack_sequences_hier": {"partial": True, "broadcast": True,
                             "prune": ["source", "n_chars"]},
+    # deterministic shuffle reads ONE column (doc_id): the text never
+    # leaves the scan; 256-row offset table broadcasts back
+    "shuffle_deterministic": {"broadcast": True, "partial": True,
+                              "prune": ["text", "lang", "source",
+                                        "n_chars"]},
+    # incremental dedup: hash-keyed anti join (never nested-loop), both
+    # group-bys partial-aggregate; only (doc_id, text->hash) is read
+    "dedup_incremental": {"partial": True,
+                          "prune": ["lang", "source", "n_chars"]},
 }
 
 
