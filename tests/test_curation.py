@@ -123,3 +123,64 @@ def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):
     }
     assert flat == hier
     assert len(flat) > 0
+
+
+def test_shuffle_deterministic_is_a_stable_permutation(spark, sf_dir):
+    """global_pos must be exactly 1..N (a bijection), and the entire
+    assignment must be IDENTICAL when the input arrives partitioned
+    differently — the reproducibility contract a seeded df.sample/
+    rangepartitioner sort cannot give."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        shuffle_deterministic,
+    )
+
+    rows = shuffle_deterministic(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+    # shard is the first hex byte of the seeded hash: order within the
+    # permutation groups by shard prefix
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    shards = [r.shard for r in by_pos]
+    assert shards == sorted(shards), "shard blocks must be contiguous"
+
+    # same result off a differently-partitioned copy of the table
+    import tempfile, shutil, os
+    from curatorhadoopinterface_spark.session import load_table
+
+    tmp = tempfile.mkdtemp(prefix="shuffle_repart_")
+    try:
+        load_table(spark, sf_dir, "documents").repartition(7).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "documents.parquet"))
+        rows2 = shuffle_deterministic(spark, tmp).collect()
+        assert {(r.doc_id, r.global_pos) for r in rows2} == {
+            (r.doc_id, r.global_pos) for r in rows
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_incremental_plants_and_drops(spark, tmp_path):
+    """Planted fixture: store holds hashes A,B; batch arrives with a
+    store-dup (A), an in-batch dup pair (C,C), and a fresh doc (D).
+    Kept = first C + D."""
+    from curatorhadoopinterface_spark.operators.dedup import dedup_incremental
+
+    docs = [
+        # even doc_ids = store half
+        (0, "text A", "en", "web", 6),
+        (2, "text B", "en", "web", 6),
+        # odd doc_ids = batch
+        (1, "text A", "en", "web", 6),   # dup of store
+        (3, "text C", "en", "web", 6),   # first of in-batch pair
+        (5, "text C", "en", "web", 6),   # in-batch dup
+        (7, "text D", "en", "web", 6),   # fresh
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    kept = {
+        r.doc_id for r in dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert kept == {3, 7}
