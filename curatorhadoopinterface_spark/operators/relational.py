@@ -443,15 +443,25 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-DECIMAL money sum (flagship_pricing_summary policy): the
+    # grand-total rollup row reaches 3.75e12 at sf10, where a double
+    # sum rounded to 2dp drifted 2 cents (round-5 100x rung)
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
     )
 
 
