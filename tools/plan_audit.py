@@ -437,6 +437,37 @@ AUDITS: dict[str, dict] = {
                           "prune": ["lang", "source", "n_chars"]},
 }
 
+# blanket coverage for the remaining batch registry: the default
+# invariants alone (no CartesianProduct anywhere, no unexpected
+# BroadcastNestedLoopJoin, whole-stage codegen or AQE present) — the
+# minimum bar every plan must clear. Queries with deliberate
+# broadcast-tiny BNLJs are flagged; everything else inherits {}.
+_BLANKET = """
+agg_approx_count_distinct agg_count_distinct agg_cube agg_grouping_sets
+agg_percentile agg_rollup agg_salted_skew annotate_chunk_spans
+annotate_coref_clusters annotate_crossdoc_coref annotate_mention_spans
+annotate_ner_spans annotate_parse_shape annotate_pos_histogram
+annotate_srl_args annotate_wiki_urls array_funcs bpe_train_merges
+case_when date_funcs hash_funcs incremental_provide_run
+incremental_staleness join_anti join_outer join_outer_full join_semi
+json_funcs map_funcs math_funcs mm_audio_stats mm_frame_sample
+mm_manifest mm_resize pivot_table project_rename_cast sample_n
+scan_binary_records scan_csv scan_json scan_jsonl_corrupt scan_orc
+scan_parquet scan_schema_evolution scan_text_corpus scan_thrift_records
+set_except set_intersect set_union sort_limit span_substring
+store_compaction str_funcs text_chunk text_clean text_fingerprint
+text_langid text_ngrams text_quality text_token_count udaf_grouped
+udtf_explode win_lag_lead win_range_frame win_running_sum write_codecs
+write_parquet write_partitioned ws_tokenize
+""".split()
+for _n in _BLANKET:
+    AUDITS.setdefault(_n, {})
+# non-equi joins: BroadcastNestedLoopJoin against the broadcast-small
+# side IS the intended strategy (join_interval_binned is the equi-join
+# scale plan for the same semantics, audited strictly above)
+for _n in ("join_range", "join_interval", "span_interval_join"):
+    AUDITS.setdefault(_n, {"no_bnlj": False})
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
