@@ -1802,3 +1802,444 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H closure: the six shapes the registry didn't yet cover (Q2, Q9,
+# Q11, Q12, Q16, Q20). The fixture schema is slimmed TPC-H — no
+# partsupp, no l_shipmode/commit/receipt dates — so each query states
+# its documented adaptation inline; the SHAPE (decorrelation pattern,
+# join topology, aggregate structure) is the thing being ported, per
+# the round-1 flagship precedent (subquery_exists = Q4 adapted the
+# same way).
+# --------------------------------------------------------------------------
+@query(
+    "flagship_mincost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 1
+        GROUP BY l.l_partkey, l.l_suppkey),
+    best AS (
+        SELECT l_partkey, MIN(unit_cost) AS best_cost
+        FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+           ROUND(c.unit_cost, 4) AS unit_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    """,
+)
+def flagship_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the region-1 supplier(s) offering it cheapest — the correlated-MIN
+    decorrelation (compute the per-part MIN once as a relation, join it
+    back as a filter). Adaptation: the fixture has no partsupp, so
+    "cost" is each supplier's best observed unit price
+    MIN(l_extendedprice / l_quantity) from lineitem — MIN over
+    identical IEEE-754 per-row divisions is order-insensitive and
+    bit-exact in both engines, so the equality join back is safe
+    (no summation-order drift, unlike AVG).
+
+    Scale shape: the region filter prunes suppliers BEFORE the fact
+    join (nation is a broadcast dim); the per-(part,supplier) MIN
+    partial-aggregates map-side; `best` is a second small aggregate
+    over the already-reduced cost relation; part attributes filter a
+    scan-pruned part table joined on the shrunken survivor keys. No
+    correlated re-scan of lineitem — the 100 TB version reads the fact
+    table exactly once.
+    """
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    r1_supp = supp.join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(r1_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(r1_supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "flagship_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(ROUND(SUM(
+               CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(0.6 AS DECIMAL(2,1))
+           ), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+)
+def flagship_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on a part family per
+    supplier nation per order year — the widest join in the suite
+    (lineitem x part x supplier x orders x nation). Adaptation: no
+    partsupp, so unit cost is 60% of p_retailprice (a fixed margin
+    proxy); the SHAPE — fact table joined to two scaling dims plus a
+    broadcast dim, profit expression mixing columns from three tables,
+    two-level group-by — is Q9's.
+
+    Money math is exact DECIMAL end-to-end (the flagship_pricing_summary
+    rule): products widen exactly, the sum is order-independent integer
+    arithmetic underneath, and only the final 2-dp round casts to
+    double — bit-stable at any SF.
+
+    Scale shape: the p_name filter prunes part first and the join to
+    the shrunken part side shrinks lineitem before the orders join
+    (AQE re-sizes it; at real part cardinality this side is still
+    broadcastable at ~1/12 selectivity of a dictionary-encoded name
+    scan). nation broadcasts; the aggregate partials map-side over
+    (nation, year) — 25 x ~7 groups, so the final exchange is tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    return (
+        li.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(rev - cost), 2).cast("double").alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "flagship_important_stock",
+    oracle="""
+    WITH nval AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM nval
+    WHERE part_value * (SELECT COUNT(*) FROM nval)
+          > (SELECT SUM(part_value) FROM nval) * 2
+    """,
+)
+def flagship_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    value held via one nation's suppliers exceeds a threshold derived
+    from that nation's total — the aggregate-vs-scalar-of-itself
+    pattern. Adaptations: no partsupp availqty/supplycost, so "value"
+    is the summed extended price shipped by NATION_3 suppliers; and
+    where spec Q11 scales its fraction by 1/SF to keep the answer set
+    non-degenerate, the scale-INVARIANT equivalent is used — a part is
+    important when its value exceeds 2x the mean part value
+    (value * n_parts > total * 2), so the query returns a meaningful
+    set at every SF with no per-SF parameter.
+
+    Exactness: per-part values and the grand total are exact DECIMAL
+    sums, n_parts is an exact integer, and both comparison sides are
+    exact products (decimal x bigint, decimal x 2) — the > comparison
+    can never flip on summation order, and there is no decimal
+    DIVISION (whose result scale differs between engines). Double cast
+    happens only in the output projection.
+
+    Scale shape: the nation filter broadcasts into supplier, the
+    surviving ~1/25 of suppliers joins lineitem on its key, the
+    per-part aggregate partials map-side, and the grand total is a
+    one-row aggregate over the ALREADY-AGGREGATED nval relation
+    (re-used via ReusedExchange, not a second lineitem scan) broadcast
+    into the filter. At 100 TB the fact table is read once.
+    """
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name") == "NATION_3"
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    nval = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias(
+                "part_value"
+            )
+        )
+    )
+    thresh = nval.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        nval.join(
+            F.broadcast(thresh),
+            F.col("part_value") * F.col("n_parts")
+            > F.col("total_value") * F.lit(2),
+        )
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "flagship_late_shipments",
+    oracle="""
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                    THEN 'LATE-90'
+                WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY
+                    THEN 'LATE-30'
+                ELSE 'ON-TIME' END AS delay_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket
+    """,
+)
+def flagship_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): per shipping
+    category, how many high- vs low-priority orders it carried — the
+    conditional-SUM pivot over a fact-to-fact join. Adaptation: the
+    fixture has no l_shipmode or commit/receipt dates, so the category
+    is the shipping DELAY bucket (l_shipdate vs o_orderdate + 30/90
+    days) — the urgent-cargo-on-slow-channels question Q12 actually
+    asks, expressed with the columns present.
+
+    Scale shape: the one-year predicate pushes to the lineitem scan;
+    the orderkey join is the only exchange (AQE-sized); the CASE pivot
+    is pure JVM expression inside whole-stage codegen, and the
+    3-group aggregate partials map-side to almost nothing. Integer
+    counts — no float math anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = (
+        F.when(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            "LATE-90",
+        )
+        .when(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "LATE-30",
+        )
+        .otherwise("ON-TIME")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "flagship_parts_suppliers",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%77%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def flagship_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can ship each part configuration, excluding a
+    complaint-flagged supplier set — the NOT-IN-becomes-anti-join
+    pattern plus COUNT(DISTINCT) over a multi-attribute group.
+    Adaptation: no partsupp, so the part-supplier relationship is
+    observed shipments (lineitem); the complaint set is a supplier-name
+    pattern (the reference Q16 uses 'Customer%Complaints' comments —
+    same shape, a column the fixture lacks).
+
+    Scale shape: the excluded-supplier set is a tiny broadcast LEFT
+    ANTI join (s_suppkey is non-null, so NOT IN == anti-join with no
+    null trap); the part filter prunes before the fact join;
+    COUNT(DISTINCT) expands to the standard two-level partial-distinct
+    aggregate (Expand + two HashAggregates), never a driver collect.
+    """
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%77%"))
+        .select("s_suppkey")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "flagship_excess_supplier",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%blue%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (
+        SELECT l_partkey, SUM(qty) AS tot_qty, COUNT(*) AS n_supp
+        FROM shipped GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS n_dominated_parts,
+           ROUND(SUM(sh.qty), 2) AS dominated_qty
+    FROM shipped sh
+    JOIN tot t ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE t.n_supp > 1 AND sh.qty > 0.5 * t.tot_qty
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def flagship_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding an
+    outsized share of a part family's flow — the correlated
+    half-of-total threshold (ps_availqty > 0.5 * sum(l_quantity))
+    decorrelated into grouped-aggregate + join-back. Adaptation: no
+    partsupp availqty, so the threshold compares a supplier's shipped
+    quantity of a part against HALF the part's total shipped quantity
+    (contested parts only, n_supp > 1) — same correlated-aggregate
+    shape, observed-flow data.
+
+    Exactness: quantities are small integers (exact in doubles), sums
+    and the x0.5 product are exact IEEE arithmetic — the > threshold
+    cannot flip on aggregation order.
+
+    Scale shape: name + date predicates prune part and lineitem at the
+    scans; the per-(part,supplier) aggregate partials map-side; `tot`
+    re-aggregates the already-small shipped relation (ReusedExchange,
+    one fact-scan total); the supplier join moves only dominated
+    survivor keys.
+    """
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("tot_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(
+            tot,
+            (F.col("l_partkey") == F.col("t_partkey"))
+            & (F.col("n_supp") > 1)
+            & (F.col("qty") > 0.5 * F.col("tot_qty")),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.round(F.sum("qty"), 2).alias("dominated_qty"),
+        )
+    )

@@ -435,6 +435,43 @@ AUDITS: dict[str, dict] = {
     # group-bys partial-aggregate; only (doc_id, text->hash) is read
     "dedup_incremental": {"partial": True,
                           "prune": ["lang", "source", "n_chars"]},
+    # round 5 — the TPC-H closure six (Q2/Q9/Q11/Q12/Q16/Q20 shapes)
+    # Q2: region prunes suppliers pre-fact-join (nation broadcasts);
+    # per-(part,supp) MIN partials; one lineitem scan, never a
+    # correlated re-scan
+    "flagship_mincost_supplier": {"pushed": True, "broadcast": True,
+                                  "partial": True,
+                                  "prune": ["l_orderkey", "l_shipdate",
+                                            "l_tax", "l_returnflag"]},
+    # Q9: p_name filter pushes to the part scan; nation broadcasts;
+    # the (nation, year) agg partials map-side
+    "flagship_product_profit": {"pushed": True, "broadcast": True,
+                                "partial": True,
+                                "prune": ["l_tax", "l_returnflag",
+                                          "o_orderpriority", "p_brand"]},
+    # Q11: nation broadcast prunes suppliers; per-part agg partials;
+    # grand total is a one-row broadcast over the aggregated relation
+    # (BNLJ against the 1-row threshold side is the intended strategy)
+    "flagship_important_stock": {"pushed": True, "broadcast": True,
+                                 "partial": True, "no_bnlj": False,
+                                 "prune": ["l_quantity", "l_discount",
+                                           "l_shipdate", "s_name"]},
+    # Q12: one-year predicate pushes to the lineitem scan; CASE pivot
+    # stays in codegen; 3-group agg partials to nothing
+    "flagship_late_shipments": {"pushed": True, "partial": True,
+                                "prune": ["l_quantity", "l_extendedprice",
+                                          "o_totalprice", "o_custkey"]},
+    # Q16: complaint set is a broadcast anti join; part filter pushes;
+    # COUNT(DISTINCT) is the two-level partial-distinct expansion
+    "flagship_parts_suppliers": {"pushed": True, "broadcast": True,
+                                 "partial": True,
+                                 "prune": ["l_quantity", "l_extendedprice",
+                                           "p_name", "p_retailprice"]},
+    # Q20: name+date predicates push; per-(part,supp) agg partials;
+    # tot re-aggregates the shipped relation, not the fact table
+    "flagship_excess_supplier": {"pushed": True, "partial": True,
+                                 "prune": ["l_extendedprice", "l_discount",
+                                           "p_brand", "s_acctbal"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
