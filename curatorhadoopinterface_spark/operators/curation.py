@@ -408,3 +408,128 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.col("off") + F.col("within_pos")).alias("global_pos"),
     )
+
+
+@query(
+    "mixture_temperature",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS n_min FROM cnt),
+    kept AS (
+        SELECT d.lang
+        FROM documents d
+        JOIN cnt ON cnt.lang = d.lang
+        CROSS JOIN mn
+        WHERE {_ORACLE_U100} < 100 * SQRT(mn.n_min * 1.0 / cnt.n))
+    SELECT cnt.lang, cnt.n AS n_in,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = cnt.lang) AS n_kept
+    FROM cnt
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual
+    rebalancing of XLM-R / mT5: sample language i with probability
+    proportional to n_i^alpha, alpha=0.5): each language keeps the
+    fraction sqrt(n_min / n_i), so the rarest language keeps 100% and
+    the head language is downsampled by the square-root of its size
+    advantage — derived FROM THE DATA, where mixture_sample uses fixed
+    target percentages. Per-row keep decisions reuse the deterministic
+    content-hash u100 (no RNG state, reproducible under re-ingestion).
+
+    Exactness: n_min/n_i is one IEEE double division and SQRT is
+    correctly rounded in both engines, so the per-language threshold is
+    bit-identical; u100 is an integer — the comparison cannot drift.
+
+    Scale shape: the per-language count table is tiny (|langs| rows)
+    and broadcasts back onto the corpus scan with the 1-row n_min
+    cross-joined; the keep decision is scan-local (no corpus shuffle),
+    and the output census partial-aggregates to |langs| rows. At
+    100 TB this is one pass over (doc_id, lang) — two pruned columns.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = cnt.agg(F.min("n").alias("n_min"))
+    thresh = cnt.crossJoin(F.broadcast(mn)).select(
+        F.col("lang").alias("t_lang"),
+        F.col("n").alias("n_in"),
+        (F.lit(100) * F.sqrt(F.col("n_min") / F.col("n"))).alias("keep_below"),
+    )
+    kept = (
+        d.join(F.broadcast(thresh), d.lang == F.col("t_lang"))
+        .filter(F.expr(_SPARK_U100) < F.col("keep_below"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        cnt.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_in"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "filter_census",
+    oracle="""
+    WITH feat AS (
+        SELECT n_chars,
+               LENGTH(REPLACE(text, ' ', '')) AS nospace,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct
+        FROM documents),
+    tagged AS (
+        SELECT CASE WHEN n_chars < 150 THEN 'too_short'
+                    WHEN nospace > 6 * n_words THEN 'long_words'
+                    WHEN 2 * n_distinct < n_words THEN 'repetitious'
+                    ELSE 'kept' END AS reason,
+               n_chars
+        FROM feat)
+    SELECT reason, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM tagged GROUP BY reason
+    """,
+)
+def filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade census (the C4/Gopher-style rule pipeline
+    report): every document is attributed to its FIRST failing rule —
+    too_short (hard char floor), long_words (mean word length > 6,
+    the gibberish screen), repetitious (distinct-word ratio < 0.5, the
+    boilerplate screen) — or 'kept'. The per-rule rejection counts are
+    the census a pipeline operator reads before committing a filter
+    change; the cascade ordering matches how production filters
+    short-circuit (cheap length checks before tokenized ratios).
+
+    Exactness: every rule is an integer cross-multiplication
+    (nospace > 6*n_words, 2*n_distinct < n_words) — no float ratios,
+    no rounding, bit-stable at any SF.
+
+    Scale shape: all features are per-row column algebra (split /
+    array_distinct stay inside codegen, no explode, no shuffle); the
+    only exchange is the final |rules|-row census partial-aggregate.
+    One corpus scan at 100 TB, reading (text, n_chars) only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    feat = d.select(
+        "n_chars",
+        nospace.alias("nospace"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    reason = (
+        F.when(F.col("n_chars") < 150, "too_short")
+        .when(F.col("nospace") > 6 * F.col("n_words"), "long_words")
+        .when(2 * F.col("n_distinct") < F.col("n_words"), "repetitious")
+        .otherwise("kept")
+    )
+    return (
+        feat.select(reason.alias("reason"), "n_chars")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -1009,3 +1009,93 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id", "content_hash")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup (the web-crawl ingest pattern)
+# --------------------------------------------------------------------------
+# The fixture has no URL column, so one is derived deterministically
+# per document (the text_pii_redact synthetic-seeding precedent): mixed
+# case, a www prefix, an explicit default port, and utm_* tracking
+# params — everything canonicalization must strip. Two documents
+# collide exactly when (source, doc_id % 64, doc_id % 16) match, so
+# duplicates exist at every SF and grow with the corpus.
+_URL_SPARK = (
+    "concat('HTTPS://WWW.', upper(source), '.Example.COM:443/Docs/',"
+    " cast(doc_id % 64 as string), '/?utm_campaign=x&page=',"
+    " cast(doc_id % 16 as string), '&utm_source=feed')"
+)
+_URL_ORACLE = (
+    "'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Docs/' ||"
+    " CAST(doc_id % 64 AS VARCHAR) || '/?utm_campaign=x&page=' ||"
+    " CAST(doc_id % 16 AS VARCHAR) || '&utm_source=feed'"
+)
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source, {_URL_ORACLE} AS url FROM documents),
+    canon AS (
+        SELECT doc_id, source,
+               REPLACE(
+                   REGEXP_REPLACE(
+                       REPLACE(REPLACE(LOWER(url), '://www.', '://'),
+                               ':443/', '/'),
+                       '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+                   '/&', '/?') AS curl
+        FROM raw),
+    per_url AS (
+        SELECT source, curl, COUNT(*) AS n, MIN(doc_id) AS keeper
+        FROM canon GROUP BY source, curl)
+    SELECT source,
+           COUNT(*) AS n_urls,
+           SUM(n) AS n_docs,
+           SUM(n) - COUNT(*) AS n_dup_docs
+    FROM per_url GROUP BY source
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (the first pass of every web-crawl
+    ingest, cf. CommonCrawl/C4 preprocessing): lowercase scheme+host,
+    strip the www prefix, the explicit default port, and utm_*
+    tracking parameters, then collapse documents sharing a canonical
+    URL (first-crawled doc_id wins) and report the per-source census.
+    Patterns are RE2-safe character classes (the text_pii_redact
+    cross-engine regex contract) — identical under Java regex and
+    DuckDB RE2.
+
+    Scale shape: canonicalization is per-row string algebra inside
+    whole-stage codegen (no UDF); the only shuffle is the group-by on
+    the canonical key — equi, hash-partitionable, and at crawl scale
+    the canonical-URL key is the natural bucketing column for the
+    dedup store (the dedup_incremental pattern: only new batches
+    shuffle). The per-source census partial-aggregates to |sources|
+    rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = d.withColumn("url", F.expr(_URL_SPARK))
+    curl = F.replace(
+        F.regexp_replace(
+            F.replace(
+                F.replace(F.lower(F.col("url")), F.lit("://www."), F.lit("://")),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            "[?&]utm_[a-z]+=[^&]*",
+            "",
+        ),
+        F.lit("/&"),
+        F.lit("/?"),
+    )
+    per_url = (
+        raw.select("doc_id", "source", curl.alias("curl"))
+        .groupBy("source", "curl")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+    return per_url.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("n").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
+    )

@@ -1193,3 +1193,110 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(lp)), 2).alias("bigram_ppl"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (the companion to bpe_train_merges: training
+# happens once, encoding runs on every corpus pass)
+# --------------------------------------------------------------------------
+# A fixed rank-ordered merge table, as if loaded from a tokenizer file.
+# Later merges consume earlier merges' symbols ('ta'+'b' needs 't'+'a'
+# first) — the hierarchy that makes application order-sensitive.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"),
+    ("ta", "b"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("e", "r"),
+]
+
+
+def _bpe_apply_oracle(col: str) -> str:
+    expr = col
+    for l, r in _BPE_MERGES:
+        expr = f"REPLACE({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    return expr
+
+
+@query(
+    "bpe_encode",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    ok AS (
+        SELECT lang, w FROM toks
+        WHERE REGEXP_MATCHES(w, '^[!-~]+$') AND w NOT LIKE '%|%'),
+    vocab AS (SELECT DISTINCT w FROM ok),
+    enc AS (
+        SELECT w,
+               {_bpe_apply_oracle(
+                   "'|' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '||') || '|'"
+               )} AS seq
+        FROM vocab),
+    sized AS (
+        SELECT w,
+               CAST((LENGTH(seq) - LENGTH(REPLACE(seq, '|', ''))) / 2
+                    AS BIGINT) AS n_tok
+        FROM enc)
+    SELECT o.lang,
+           COUNT(*) AS n_words,
+           SUM(s.n_tok) AS n_tokens,
+           ROUND(SUM(s.n_tok) * 1.0 / COUNT(*), 6) AS tokens_per_word
+    FROM ok o JOIN sized s ON s.w = o.w
+    GROUP BY o.lang
+    """,
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode the corpus under a fixed
+    rank-ordered merge table (the deployment half of bpe_train_merges —
+    a production pipeline trains once, then tokenizes every batch) and
+    report per-language token statistics, the number a data pipeline
+    needs for mixture weighting and packing budgets.
+
+    Spark-first shape: merges are applied to the DISTINCT-word
+    vocabulary, not the corpus — the same '|sym1||sym2|' delimiter
+    strings and non-overlapping left-to-right REPLACE chain as
+    training, one REPLACE per merge rank (order-sensitive: 'ta'+'b'
+    only fires after 't'+'a' created the 'ta' symbol). Per-word token
+    counts = half the delimiter count, an exact integer. The corpus
+    then joins the broadcast-sized vocabulary lookup; the per-language
+    census partial-aggregates map-side. At 100 TB the encode cost is
+    vocabulary-bounded (~10^6 rows) and the corpus-scale work is one
+    explode + broadcast-join — the only shape that makes Spark-side
+    tokenization viable (per-doc Python BPE would be a row-at-a-time
+    UDF over every byte of the corpus).
+
+    Exactness: token counts are integers; tokens_per_word is one
+    IEEE division of exact ints, rounded to 6dp — bit-stable at any SF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[!-~]+$") & ~F.col("w").contains("|"))
+    )
+    vocab = ok.select("w").distinct()
+    seq = F.concat(
+        F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+    )
+    for l, r in _BPE_MERGES:
+        seq = F.replace(seq, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
+    sized = vocab.select(
+        "w",
+        (
+            (F.length(seq) - F.length(F.replace(seq, F.lit("|"), F.lit(""))))
+            / 2
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        ok.join(F.broadcast(sized), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )

@@ -472,6 +472,23 @@ AUDITS: dict[str, dict] = {
     "flagship_excess_supplier": {"pushed": True, "partial": True,
                                  "prune": ["l_extendedprice", "l_discount",
                                            "p_brand", "s_acctbal"]},
+    # round 5 — curation/tokenization additions
+    # temperature mixture: lang counts + 1-row n_min broadcast back onto
+    # a two-column scan; keep decision is scan-local
+    "mixture_temperature": {"broadcast": True, "partial": True,
+                            "no_bnlj": False,
+                            "prune": ["text", "source", "n_chars"]},
+    # filter cascade: per-row column algebra, ONE census exchange
+    "filter_census": {"partial": True, "max_exchange": 1,
+                      "prune": ["doc_id", "lang", "source"]},
+    # URL dedup: canonicalization in codegen; only the canonical-key
+    # group-by shuffles
+    "dedup_url": {"partial": True,
+                  "prune": ["text", "lang", "n_chars"]},
+    # BPE apply: merges run on the DISTINCT vocab; the sized lookup
+    # broadcasts back onto the corpus explode
+    "bpe_encode": {"broadcast": True, "partial": True,
+                   "prune": ["doc_id", "source", "n_chars"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
