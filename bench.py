@@ -115,6 +115,18 @@ OPTIONAL = [
     "pack_sequences_hier",
     "shuffle_deterministic",
     "dedup_incremental",
+    # round 5: TPC-H closure + curation additions
+    "flagship_product_profit",
+    "flagship_mincost_supplier",
+    "flagship_late_shipments",
+    "flagship_parts_suppliers",
+    "flagship_excess_supplier",
+    "flagship_important_stock",
+    "mixture_temperature",
+    "filter_census",
+    "dedup_url",
+    "bpe_encode",
+    "text_quality_linear",
 ]
 
 N_RUNS = 3

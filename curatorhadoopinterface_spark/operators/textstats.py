@@ -1300,3 +1300,87 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (the GPT-3/CCNet importance-filter
+# shape: score every document with a linear model over hashed
+# bag-of-words features, bucket the corpus by score)
+# --------------------------------------------------------------------------
+# The "trained" weight vector is synthesized deterministically from the
+# feature id (stands in for a fasttext/logistic model shipped to the
+# cluster): feature = md5-hash of the word mod 1024, weight = feature
+# mod 7 - 3 (integers in [-3, 3]). Cross-engine by the same md5->bigint
+# idiom as the mixture-sampling u100.
+_FEAT_W_SPARK = (
+    "pmod(cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint), 1024)"
+    " % 7 - 3"
+)
+_FEAT_W_ORACLE = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 7)) AS BIGINT) % 1024 % 7 - 3"
+)
+
+
+@query(
+    "text_quality_linear",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        w -> {_FEAT_W_ORACLE})) AS score
+        FROM documents),
+    bucketed AS (
+        SELECT lang, n_words, score,
+               CASE WHEN 5 * score > n_words THEN 'high'
+                    WHEN 5 * score < -n_words THEN 'low'
+                    ELSE 'mid' END AS bucket
+        FROM scored)
+    SELECT lang, bucket, COUNT(*) AS n_docs, SUM(score) AS total_score
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (the importance-sampling filter
+    of GPT-3's data pipeline / CCNet's fasttext scorer, as a Spark
+    plan): each document's score is a linear model over hashed
+    bag-of-words features — feature id = content hash of the word mod
+    1024, weight looked up by feature id — and the corpus is bucketed
+    into high/mid/low quality by mean weight (the cut a pipeline uses
+    to keep, downsample, or drop).
+
+    Spark-first shape: the score is ONE higher-order aggregate over the
+    split array (transform -> weight, aggregate -> sum) — per-row
+    column algebra inside codegen, no explode, NO shuffle at all until
+    the |langs x 3|-row census partial-aggregates. This is the honest
+    100 TB form of "apply a linear classifier": the model rides in the
+    expression (a real weight table would broadcast), the corpus is
+    read once, and nothing leaves the JVM.
+
+    Exactness: weights and scores are integers; the bucket cuts are
+    integer cross-multiplications (5*score > n_words == mean > 0.2) —
+    bit-stable at any SF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            f" w -> cast({_FEAT_W_SPARK} as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    bucket = (
+        F.when(5 * F.col("score") > F.col("n_words"), "high")
+        .when(5 * F.col("score") < -F.col("n_words"), "low")
+        .otherwise("mid")
+    )
+    return (
+        scored.select("lang", "n_words", "score", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("total_score"),
+        )
+    )

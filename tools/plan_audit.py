@@ -489,6 +489,10 @@ AUDITS: dict[str, dict] = {
     # broadcasts back onto the corpus explode
     "bpe_encode": {"broadcast": True, "partial": True,
                    "prune": ["doc_id", "source", "n_chars"]},
+    # linear classifier: higher-order aggregate in codegen, no explode,
+    # ONE census exchange
+    "text_quality_linear": {"partial": True, "max_exchange": 1,
+                            "prune": ["doc_id", "source", "n_chars"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
