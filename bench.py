@@ -127,6 +127,7 @@ OPTIONAL = [
     "dedup_url",
     "bpe_encode",
     "text_quality_linear",
+    "emb_drift",
 ]
 
 N_RUNS = 3

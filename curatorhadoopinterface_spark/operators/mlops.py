@@ -620,3 +620,113 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding distribution drift (continuous-ingest monitoring)
+# --------------------------------------------------------------------------
+_EMB_DIM = 64
+_DRIFT_SCALE = 10000  # fixed-point: component -> floor(x * 10^4)
+_DRIFT_CUT = 50  # |mean shift| > 50 quantized units (0.005) -> drifted
+
+
+@query(
+    "emb_drift",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id % 2 AS batch, d.dim,
+               CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * {_DRIFT_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim) d),
+    agg AS (
+        SELECT dim,
+               SUM(CASE WHEN batch = 0 THEN qv ELSE 0 END) AS sum_a,
+               SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN batch = 1 THEN qv ELSE 0 END) AS sum_b,
+               SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS n_b
+        FROM q GROUP BY dim)
+    SELECT dim, n_a, n_b,
+           ROUND((sum_a * 1.0 / n_a - sum_b * 1.0 / n_b)
+                 / {_DRIFT_SCALE}, 6) AS mean_shift,
+           ABS(sum_a * n_b - sum_b * n_a) > {_DRIFT_CUT} * n_a * n_b
+               AS drifted
+    FROM agg
+    """,
+)
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution drift between two crawl
+    batches (vec_id parity stands in for old-vs-new ingest): the
+    monitoring query a continuous pipeline runs before trusting a new
+    batch's embeddings — encoder version skew, normalization bugs, and
+    upstream data shifts all show up as per-dimension mean movement.
+
+    Exactness: components quantize to fixed-point integers
+    (floor(x * 10^4) — floor, not cast, because Spark's double->bigint
+    cast truncates while DuckDB's rounds); sums are exact integer
+    arithmetic and the drift verdict is an integer cross-multiplication
+    |sum_a*n_b - sum_b*n_a| > cut*n_a*n_b — no float comparison
+    anywhere. The reported mean_shift divides exact integers (identical
+    IEEE in both engines) and rounds for display only.
+
+    Spark-first shape: NO explode — the 64 per-dimension sums are 64
+    partial-aggregated expressions over element_at, so the corpus-scale
+    work is one scan with map-side combine into a 1-row frame; only the
+    64-row unpivot runs downstream. The DuckDB oracle explodes 64x
+    instead (fine at oracle scale). At 100 TB this is the difference
+    between shuffling 64x|corpus| rows and shuffling 64 numbers.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = (F.col("vec_id") % 2).alias("batch")
+
+    def qv(i: int):
+        return F.floor(
+            F.element_at("embedding", i).cast("double") * _DRIFT_SCALE
+        ).cast("long")
+
+    aggs = []
+    for i in range(1, _EMB_DIM + 1):
+        aggs.append(
+            F.sum(F.when(F.col("batch") == 0, qv(i)).otherwise(0)).alias(
+                f"sa{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("batch") == 1, qv(i)).otherwise(0)).alias(
+                f"sb{i}"
+            )
+        )
+    counted = e.select(batch, "embedding").agg(
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0)).alias("n_b"),
+        *aggs,
+    )
+    # 64-row unpivot of the single aggregate row (driver-free: stack())
+    stacked = counted.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "stack("
+            + str(_EMB_DIM)
+            + ", "
+            + ", ".join(f"{i}, sa{i}, sb{i}" for i in range(1, _EMB_DIM + 1))
+            + ") as (dim, sum_a, sum_b)"
+        ),
+    )
+    return stacked.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        F.round(
+            (
+                F.col("sum_a") / F.col("n_a")
+                - F.col("sum_b") / F.col("n_b")
+            )
+            / _DRIFT_SCALE,
+            6,
+        ).alias("mean_shift"),
+        (
+            F.abs(F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a"))
+            > _DRIFT_CUT * F.col("n_a") * F.col("n_b")
+        ).alias("drifted"),
+    )

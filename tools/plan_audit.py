@@ -493,6 +493,10 @@ AUDITS: dict[str, dict] = {
     # ONE census exchange
     "text_quality_linear": {"partial": True, "max_exchange": 1,
                             "prune": ["doc_id", "source", "n_chars"]},
+    # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
+    # no explode of the corpus; only the 64-row stack runs after
+    "emb_drift": {"partial": True, "max_exchange": 1,
+                  "prune": ["label"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
