@@ -578,7 +578,17 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # usage: plan_audit.py [sf_dir] [--append name ...]
+    #   no names: full regeneration of PLANS.md (~20 min)
+    #   --append name ...: audit only those queries and append/replace
+    #   their sections in the existing PLANS.md (incremental, seconds)
+    argv = sys.argv[1:]
+    append_names: list[str] = []
+    if "--append" in argv:
+        i = argv.index("--append")
+        append_names = argv[i + 1 :]
+        argv = argv[:i]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from curatorhadoopinterface_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -596,6 +606,8 @@ def main() -> None:
     failures = 0
     for name, spec in AUDITS.items():
         if name not in qs:
+            continue
+        if append_names and name not in append_names:
             continue
         if name in ("graph_pagerank", "pack_sequences_hier"):
             # audit the full plan, not the post-checkpoint scan stub
@@ -628,8 +640,19 @@ def main() -> None:
         lines.append("```")
         lines.append("")
         del scans
-    with open("/root/repo/PLANS.md", "w") as f:
-        f.write("\n".join(lines))
+    if append_names:
+        # replace-or-append the audited sections in the existing file
+        existing = open("/root/repo/PLANS.md").read()
+        body = "\n".join(lines[5:])  # drop the regenerated header
+        for nm in append_names:
+            existing = re.sub(
+                rf"## {nm} — .*?(?=\n## |\Z)", "", existing, flags=re.S
+            )
+        with open("/root/repo/PLANS.md", "w") as f:
+            f.write(existing.rstrip("\n") + "\n\n" + body)
+    else:
+        with open("/root/repo/PLANS.md", "w") as f:
+            f.write("\n".join(lines))
     print(f"\n{failures} failing audits -> PLANS.md")
 
 
