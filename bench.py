@@ -70,6 +70,7 @@ OPTIONAL = [
     "agg_approx_quantile",
     "graph_pagerank",
     "contamination_ngram",
+    "contamination_minhash",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

@@ -36,7 +36,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.operators.dedup import _SHINGLES_ORACLE, _shingles
+from curatorhadoopinterface_spark.operators.dedup import (
+    _BANDS_ORACLE,
+    _MINHASH_AGG_ORACLE,
+    _SHINGLES_ORACLE,
+    _band_explode,
+    _minhash_doc_agg,
+    _shingles,
+    BAND_SIZE,
+    N_HASHES,
+    VERIFY_J,
+)
 from curatorhadoopinterface_spark.session import load_table
 
 EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice
@@ -107,6 +117,83 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_contaminated",
         (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+@query(
+    "contamination_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_ORACLE},
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        FROM bands t JOIN bands e
+          ON t.band_id = e.band_id AND t.band_key = e.band_key
+       WHERE t.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0),
+    sets AS (SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id)
+    SELECT c.train_id, c.eval_id,
+           LEN(LIST_INTERSECT(st.s, se.s)) * 1.0 /
+               LEN(LIST_DISTINCT(st.s || se.s)) AS jaccard
+    FROM cands c
+    JOIN sets st ON st.doc_id = c.train_id
+    JOIN sets se ON se.doc_id = c.eval_id
+    WHERE LEN(LIST_INTERSECT(st.s, se.s)) * 1.0 /
+          LEN(LIST_DISTINCT(st.s || se.s)) >= {VERIFY_J}
+    """,
+)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-LEVEL decontamination: training documents that are NEAR-DUPS
+    of a held-out eval document (MinHash+LSH candidates, exact-Jaccard
+    >= {VERIFY_J} verified) — the whole-document complement of
+    contamination_ngram's shingle-overlap report. This is the pass the
+    Llama/GPT-4 data notes describe as "remove training docs too
+    similar to benchmark items", where n-gram overlap alone over- or
+    under-fires on reformatted copies.
+
+    Plan (shared machinery with dedup_minhash — ONE scan, ONE doc_id
+    shuffle produces signatures AND shingle sets, the exchange reused):
+    eval-side bands filter down to the benchmark-sized slice, so the
+    LSH join shuffles only band-key collisions; the verify stage joins
+    the LSH-bounded candidate list back to the shared sets exchange on
+    each side. At 100 TB the eval side is benchmark-sized (thousands of
+    docs) — its bands broadcast and the corpus never shuffles against
+    the benchmark; the fixture's 10%-eval split exercises the same plan
+    with the join strategy left to AQE. Jaccard is int/int division —
+    bit-identical across engines (dedup_minhash note).
+    """
+    doc_agg = _minhash_doc_agg(spark, sf_dir)
+    bands = _band_explode(doc_agg)
+    eval_b = bands.filter(F.col("doc_id") % EVAL_MOD == 0).alias("e")
+    train_b = bands.filter(F.col("doc_id") % EVAL_MOD != 0).alias("t")
+    cands = (
+        train_b.join(
+            eval_b,
+            (F.col("t.band_id") == F.col("e.band_id"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    sets = doc_agg.select("doc_id", "s")
+    jac = F.size(F.array_intersect(F.col("st.s"), F.col("se.s"))) / F.size(
+        F.array_union(F.col("st.s"), F.col("se.s"))
+    )
+    return (
+        cands.join(sets.alias("st"), F.col("st.doc_id") == F.col("train_id"))
+        .join(sets.alias("se"), F.col("se.doc_id") == F.col("eval_id"))
+        .filter(jac >= VERIFY_J)
+        .select("train_id", "eval_id", jac.alias("jaccard"))
     )
 
 

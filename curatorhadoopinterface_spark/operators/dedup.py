@@ -162,18 +162,18 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Shared signature+LSH stages: returns (candidate pairs, shingle
-    sets keyed by doc_id)."""
+def _minhash_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (h0..h{N_HASHES-1}) PLUS the distinct
+    shingle set, in ONE aggregation: one scan + one shuffle on doc_id,
+    and every downstream reader (bands, verify-left, verify-right) hits
+    the same exchange, which Spark reuses (ReusedExchange) instead of
+    recomputing the corpus. Each minhash is an affine permutation of the
+    one shared md5. Shared by dedup_minhash/dedup_clusters and the
+    doc-level decontamination pass (curation.contamination_minhash)."""
     sh = _shingles(spark, sf_dir).withColumn(
         "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
     )
-    # ONE aggregation produces both the 12 MinHashes and the shingle set:
-    # one scan + one shuffle on doc_id, and the three downstream readers
-    # (bands, verify-left, verify-right) hit the same exchange, which
-    # Spark reuses (ReusedExchange) instead of recomputing the corpus.
-    # Each minhash is an affine permutation of the one shared md5.
-    doc_agg = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i])) % MINHASH_P
@@ -182,7 +182,11 @@ def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         ],
         F.collect_list("shingle").alias("s"),
     )
-    sigs = doc_agg
+
+
+def _band_explode(sigs: DataFrame) -> DataFrame:
+    """LSH banding: (doc_id, band_id, band_key) — one posexplode of the
+    in-row band-key array, no extra shuffle."""
     n_bands = N_HASHES // BAND_SIZE
     band_keys = F.array(
         *[
@@ -192,9 +196,16 @@ def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
+
+
+def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared signature+LSH stages: returns (candidate pairs, shingle
+    sets keyed by doc_id)."""
+    doc_agg = _minhash_doc_agg(spark, sf_dir)
+    bands = _band_explode(doc_agg)
     # LSH self-join: shuffle keyed by (band_id, band_key) — collisions
     # only, never the full cross product.
     a, b = bands.alias("a"), bands.alias("b")

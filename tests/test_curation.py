@@ -15,6 +15,7 @@ from curatorhadoopinterface_spark.operators.curation import (
     MIX_DEFAULT,
     MIX_PCT,
     SEQ_BUDGET,
+    contamination_minhash,
     contamination_ngram,
     eval_split,
     mixture_sample,
@@ -105,6 +106,29 @@ def test_contamination_bounds_and_eval_exclusion(spark, sf_dir):
         assert 0 < r["contamination"] <= 1.0
         assert abs(r["contamination"] - r["n_contaminated"] / r["n_shingles"]) < 1e-12
     assert SEQ_BUDGET > 0  # imported constants stay wired
+
+
+def test_contamination_minhash_is_the_cross_boundary_dedup_slice(spark, sf_dir):
+    """Consistency planted check: the doc-level decontamination report
+    must be EXACTLY dedup_minhash's verified near-dup pairs restricted
+    to train-vs-eval boundary crossings (same shingles, same LSH, same
+    Jaccard threshold) — reorientated as (train_id, eval_id)."""
+    from curatorhadoopinterface_spark.operators.dedup import VERIFY_J, dedup_minhash
+
+    got = {
+        (r["train_id"], r["eval_id"]): r["jaccard"]
+        for r in contamination_minhash(spark, sf_dir).collect()
+    }
+    want = {}
+    for r in dedup_minhash(spark, sf_dir).collect():
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        if a % EVAL_MOD == 0 and b % EVAL_MOD != 0:
+            want[(b, a)] = j
+        elif b % EVAL_MOD == 0 and a % EVAL_MOD != 0:
+            want[(a, b)] = j
+    assert got == want and got, "expect non-empty boundary-crossing near-dups"
+    for (t, e), j in got.items():
+        assert t % EVAL_MOD != 0 and e % EVAL_MOD == 0 and VERIFY_J <= j <= 1.0
 
 
 def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):

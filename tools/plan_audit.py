@@ -120,6 +120,11 @@ AUDITS: dict[str, dict] = {
     # the training corpus never shuffles against it
     "contamination_ngram": {"broadcast": True, "partial": True,
                             "prune": ["lang", "source", "n_chars"]},
+    # doc-level decontamination: one shared sig+set exchange (minhash
+    # machinery), LSH-bounded candidates only — never all-pairs
+    "contamination_minhash": {"partial": True,
+                              "prune": ["lang", "source", "n_chars"],
+                              "forbid": [r"CartesianProduct"]},
     # one lang range-exchange serves the packing window AND the final agg
     "pack_sequences": {"partial": True, "max_exchange": 1,
                        "prune": ["source", "n_chars"]},
