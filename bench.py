@@ -71,6 +71,7 @@ OPTIONAL = [
     "graph_pagerank",
     "contamination_ngram",
     "contamination_minhash",
+    "mixture_quality",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

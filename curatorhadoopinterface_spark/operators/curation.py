@@ -47,6 +47,10 @@ from curatorhadoopinterface_spark.operators.dedup import (
     N_HASHES,
     VERIFY_J,
 )
+from curatorhadoopinterface_spark.operators.textstats import (
+    _FEAT_W_ORACLE,
+    _FEAT_W_SPARK,
+)
 from curatorhadoopinterface_spark.session import load_table
 
 EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice
@@ -194,6 +198,95 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets.alias("se"), F.col("se.doc_id") == F.col("eval_id"))
         .filter(jac >= VERIFY_J)
         .select("train_id", "eval_id", jac.alias("jaccard"))
+    )
+
+
+# quality-weighted keep percentages (GPT-3 appendix A importance
+# sampling: high-quality docs kept outright, low-quality heavily
+# downsampled rather than dropped)
+_QKEEP = {"high": 100, "mid": 30, "low": 5}
+
+
+def _qkeep_case_sql() -> str:
+    return (
+        "CASE bucket WHEN 'high' THEN 100 WHEN 'low' THEN 5 ELSE 30 END"
+    )
+
+
+@query(
+    "mixture_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        w -> {_FEAT_W_ORACLE})) AS score
+        FROM documents),
+    b AS (
+        SELECT lang, n_words,
+               CASE WHEN 5 * score > n_words THEN 'high'
+                    WHEN 5 * score < -n_words THEN 'low'
+                    ELSE 'mid' END AS bucket,
+               {_ORACLE_U100} AS u
+        FROM scored)
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN u < {_qkeep_case_sql()} THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN u < {_qkeep_case_sql()} THEN n_words ELSE 0 END)
+               AS kept_tokens
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def mixture_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (the GPT-3 appendix-A /
+    CCNet pipeline step): every document is scored by the hashed linear
+    classifier (text_quality_linear's model), bucketed high/mid/low by
+    integer cross-multiplied mean cuts, then KEPT with a per-bucket
+    probability (high 100%, mid 30%, low 5%) decided by the
+    deterministic content-hash u100 — reproducible row-by-row with no
+    RNG state, retry-stable, and exactly replayable by the oracle.
+    Output is the per-(lang, bucket) sampling census (docs, kept docs,
+    kept token budget) — the table a mixture planner reads.
+
+    Plan: scoring, bucketing, and the keep decision are ALL scan-local
+    column algebra (one higher-order aggregate per row, no explode, no
+    join — the model rides in the expression); the only exchange is the
+    |langs x 3|-row census partial-agg. At 100 TB: one read, map-side
+    combine, done.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            f" w -> cast({_FEAT_W_SPARK} as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    bucket = (
+        F.when(5 * F.col("score") > F.col("n_words"), "high")
+        .when(5 * F.col("score") < -F.col("n_words"), "low")
+        .otherwise("mid")
+    )
+    pct = (
+        F.when(F.col("bucket") == "high", _QKEEP["high"])
+        .when(F.col("bucket") == "low", _QKEEP["low"])
+        .otherwise(_QKEEP["mid"])
+    )
+    kept = F.expr(_SPARK_U100) < pct
+    return (
+        scored.withColumn("bucket", bucket)
+        .withColumn("kept", kept)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_words")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
     )
 
 

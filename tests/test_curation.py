@@ -131,6 +131,32 @@ def test_contamination_minhash_is_the_cross_boundary_dedup_slice(spark, sf_dir):
         assert t % EVAL_MOD != 0 and e % EVAL_MOD == 0 and VERIFY_J <= j <= 1.0
 
 
+def test_mixture_quality_census_is_consistent(spark, sf_dir):
+    """Planted invariants the value-hash can't express: the census must
+    agree with text_quality_linear's bucket counts exactly; the high
+    bucket (keep=100%) retains every doc; kept counts and token budgets
+    are bounded by their bucket totals."""
+    from curatorhadoopinterface_spark.operators.curation import mixture_quality
+    from curatorhadoopinterface_spark.operators.textstats import (
+        text_quality_linear,
+    )
+
+    census = {(r["lang"], r["bucket"]): r for r in mixture_quality(spark, sf_dir).collect()}
+    linear = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in text_quality_linear(spark, sf_dir).collect()
+    }
+    assert set(census) == set(linear)
+    for key, r in census.items():
+        assert r["n_docs"] == linear[key]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"]
+        if key[1] == "high":
+            assert r["n_kept"] == r["n_docs"]  # u100 < 100 always
+        if r["n_kept"] == 0:
+            assert r["kept_tokens"] == 0
+
+
 def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):
     """The telescoping identity: hierarchical packing must reproduce the
     flat global-window packing BIT-FOR-BIT (same seq assignment, same

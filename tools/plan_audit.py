@@ -498,6 +498,10 @@ AUDITS: dict[str, dict] = {
     # ONE census exchange
     "text_quality_linear": {"partial": True, "max_exchange": 1,
                             "prune": ["doc_id", "source", "n_chars"]},
+    # quality-weighted sampling: score+bucket+keep all scan-local
+    # (doc_id feeds the u100 hash so it stays in ReadSchema)
+    "mixture_quality": {"partial": True, "max_exchange": 1,
+                        "prune": ["source", "n_chars"]},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
