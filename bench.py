@@ -72,6 +72,7 @@ OPTIONAL = [
     "contamination_ngram",
     "contamination_minhash",
     "mixture_quality",
+    "shard_manifest",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

@@ -256,6 +256,54 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shard_manifest",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_rows,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           SUM(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+               || ':' || text), 1, 7)) AS BIGINT)) AS content_checksum
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest — the sidecar a 100 TB writer emits
+    with every (lang, source) output shard so downstream ingest can
+    verify completeness WITHOUT re-reading payloads: row count, byte
+    budget, doc_id key range (enables manifest-level pruning, the
+    Iceberg/Delta manifest trick), and an order-INDEPENDENT content
+    checksum (SUM of the 28-bit md5 prefix of id:text — commutative, so
+    shard-internal row order, task retries, and split boundaries can't
+    change it; 28-bit terms keep even billion-row shards ~2^58, far from
+    bigint overflow). Pairs with roundtrip_check (A5): that proves one
+    write round-trips, this is the artifact that proves it CONTINUOUSLY.
+
+    Plan: pure scan-local column algebra partial-aggregated into the
+    |shards|-row manifest — one read, map-side combine, one exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    term = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "text")),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(term).alias("content_checksum"),
+    )
+
+
 #: 16-bit x 16-bit Morton interleave: user bits on odd positions, minute
 #: bits on even — one higher-order aggregate, pure codegen-able bit math.
 _Z_EXPR = (

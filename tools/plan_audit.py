@@ -502,6 +502,8 @@ AUDITS: dict[str, dict] = {
     # (doc_id feeds the u100 hash so it stays in ReadSchema)
     "mixture_quality": {"partial": True, "max_exchange": 1,
                         "prune": ["source", "n_chars"]},
+    # integrity manifest: scan-local checksum terms, one census exchange
+    "shard_manifest": {"partial": True, "max_exchange": 1},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
