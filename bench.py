@@ -73,6 +73,7 @@ OPTIONAL = [
     "contamination_minhash",
     "mixture_quality",
     "shard_manifest",
+    "filter_optout",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

@@ -290,6 +290,73 @@ def mixture_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OPTOUT_PCT = 25  # ~25% of domains have opted out in the fixture
+
+_DOMAIN_U100_ORACLE = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(domain), 1, 7)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "filter_optout",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang, n_chars,
+               LOWER(source) || '.example.com' AS domain
+        FROM documents),
+    block AS (
+        SELECT DISTINCT domain FROM docs
+        WHERE {_DOMAIN_U100_ORACLE} < {_OPTOUT_PCT})
+    SELECT lang,
+           SUM(CASE WHEN b.domain IS NULL THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_blocked,
+           SUM(CASE WHEN b.domain IS NULL THEN n_chars ELSE 0 END)
+               AS kept_chars
+    FROM docs d LEFT JOIN block b USING (domain)
+    GROUP BY lang
+    """,
+)
+def filter_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain opt-out / blocklist filtering — the robots.txt +
+    copyright-opt-out compliance pass every responsible crawl pipeline
+    runs before training: documents whose source domain appears in the
+    opt-out list are dropped, and the per-language census (kept docs,
+    blocked docs, surviving byte budget) is the audit artifact. The
+    fixture derives domains from `source` (the dedup_url synthetic-URL
+    precedent) and opts out a deterministic ~{_OPTOUT_PCT}% of them by
+    content hash, so the blocklist is replayable at any SF.
+
+    Scale shape: a real opt-out list is millions of domains against a
+    100 TB corpus — list-side DISTINCT then BROADCAST left join, so the
+    corpus is scanned once, never shuffled against the blocklist; the
+    disposition flag and census are map-side, one |langs|-row exchange.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("domain"),
+    )
+    block = (
+        d.select("domain")
+        .distinct()
+        .filter(
+            F.expr(
+                "pmod(cast(conv(substring(md5(domain), 1, 7), 16, 10)"
+                f" as bigint), 100) < {_OPTOUT_PCT}"
+            )
+        )
+        .withColumn("blocked", F.lit(True))
+    )
+    joined = d.join(F.broadcast(block), "domain", "left")
+    kept = F.col("blocked").isNull()
+    return joined.groupBy("lang").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).alias("n_blocked"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
 @query(
     "pack_sequences",
     oracle=f"""

@@ -157,6 +157,42 @@ def test_mixture_quality_census_is_consistent(spark, sf_dir):
             assert r["kept_tokens"] == 0
 
 
+def test_filter_optout_conserves_and_blocks_whole_domains(spark, sf_dir):
+    """Disposition is exhaustive (kept+blocked == corpus per lang) and
+    domain-atomic: a blocked domain loses ALL its docs in every lang."""
+    from curatorhadoopinterface_spark.operators.curation import filter_optout
+
+    census = {r["lang"]: r for r in filter_optout(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: (r["n"], r["chars"])
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert set(census) == set(totals)
+    blocked_any = 0
+    for lang, r in census.items():
+        n, chars = totals[lang]
+        assert r["n_kept"] + r["n_blocked"] == n
+        assert 0 <= r["kept_chars"] <= chars
+        blocked_any += r["n_blocked"]
+    assert 0 < blocked_any < sum(n for n, _ in totals.values())
+    # domain-atomicity: recompute kept chars from the raw disposition
+    u100 = F.expr(
+        "pmod(cast(conv(substring(md5(concat(lower(source), '.example.com')),"
+        " 1, 7), 16, 10) as bigint), 100)"
+    )
+    raw = {
+        r["lang"]: r["kc"]
+        for r in docs.withColumn("blocked", u100 < 25)
+        .groupBy("lang")
+        .agg(F.sum(F.when(~F.col("blocked"), F.col("n_chars")).otherwise(0)).alias("kc"))
+        .collect()
+    }
+    assert {k: v["kept_chars"] for k, v in census.items()} == raw
+
+
 def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):
     """The telescoping identity: hierarchical packing must reproduce the
     flat global-window packing BIT-FOR-BIT (same seq assignment, same

@@ -504,6 +504,10 @@ AUDITS: dict[str, dict] = {
                         "prune": ["source", "n_chars"]},
     # integrity manifest: scan-local checksum terms, one census exchange
     "shard_manifest": {"partial": True, "max_exchange": 1},
+    # opt-out filter: blocklist broadcasts, corpus never shuffles
+    # against it; census partial-aggregates
+    "filter_optout": {"broadcast": True, "partial": True,
+                      "prune": ["text", "doc_id"]},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
