@@ -74,6 +74,7 @@ OPTIONAL = [
     "mixture_quality",
     "shard_manifest",
     "filter_optout",
+    "pack_chunks",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

@@ -523,6 +523,84 @@ _MIX_PCT_ORACLE = (
 
 
 @query(
+    "pack_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents),
+    pos AS (
+        SELECT lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS st
+        FROM toks),
+    frag AS (
+        SELECT lang, st, n_tokens,
+               UNNEST(GENERATE_SERIES(st // {SEQ_BUDGET},
+                      (st + n_tokens - 1) // {SEQ_BUDGET})) AS seq_id
+        FROM pos)
+    SELECT lang, seq_id,
+           COUNT(*) AS n_fragments,
+           SUM(LEAST(st + n_tokens, (seq_id + 1) * {SEQ_BUDGET})
+               - GREATEST(st, seq_id * {SEQ_BUDGET})) AS seq_tokens
+    FROM frag GROUP BY lang, seq_id
+    """,
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing — THE standard pretraining packing
+    (GPT-2/3, Llama): the per-language token stream is conceptually
+    concatenated in doc_id order and cut every {SEQ_BUDGET} tokens, so
+    documents SPLIT across sequence boundaries (unlike pack_sequences'
+    whole-doc first-fit). Every sequence except each language's last is
+    exactly full — zero padding waste, the property the planted pytest
+    asserts. Output is the per-sequence fragment census.
+
+    Plan: one range shuffle for the per-lang running sum, then each
+    doc explodes into ONLY the sequences it overlaps
+    (1 + tokens/budget fragments — bounded by doc length, never
+    corpus-quadratic), then the census partial-aggregates. All
+    arithmetic is integer (div/least/greatest on BIGINT) — bit-stable
+    at any SF. At 100 TB: same contract as pack_sequences, and the
+    hierarchical prefix-offset rewrite (pack_sequences_hier) applies
+    unchanged if one language dominates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("st"),
+    )
+    frag = pos.select(
+        "lang",
+        "st",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"sequence(st div {SEQ_BUDGET},"
+                f" (st + n_tokens - 1) div {SEQ_BUDGET})"
+            )
+        ).alias("seq_id"),
+    )
+    seq_tokens = F.least(
+        F.col("st") + F.col("n_tokens"),
+        (F.col("seq_id") + 1) * SEQ_BUDGET,
+    ) - F.greatest(F.col("st"), F.col("seq_id") * SEQ_BUDGET)
+    return frag.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_fragments"),
+        F.sum(seq_tokens).alias("seq_tokens"),
+    )
+
+
+@query(
     "mixture_sample",
     oracle=f"""
     SELECT doc_id, lang, source, n_chars

@@ -193,6 +193,34 @@ def test_filter_optout_conserves_and_blocks_whole_domains(spark, sf_dir):
     assert {k: v["kept_chars"] for k, v in census.items()} == raw
 
 
+def test_pack_chunks_full_sequences_and_conservation(spark, sf_dir):
+    """Concat-then-chunk contracts: every sequence except each
+    language's LAST holds exactly SEQ_BUDGET tokens (zero padding
+    waste), seq_ids are contiguous from 0, and total tokens are
+    conserved against the raw corpus."""
+    from curatorhadoopinterface_spark.operators.curation import pack_chunks
+
+    out = pack_chunks(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["lang"]: r["toks"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("toks"))
+        .collect()
+    }
+    by_lang: dict[str, dict] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["seq_id"]] = r["seq_tokens"]
+    assert set(by_lang) == set(truth)
+    for lang, seqs in by_lang.items():
+        ids = sorted(seqs)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        for sid in ids[:-1]:
+            assert seqs[sid] == SEQ_BUDGET  # every non-final seq full
+        assert 0 < seqs[ids[-1]] <= SEQ_BUDGET
+        assert sum(seqs.values()) == truth[lang]  # conservation
+
+
 def test_pack_sequences_hier_identical_to_flat(spark, sf_dir):
     """The telescoping identity: hierarchical packing must reproduce the
     flat global-window packing BIT-FOR-BIT (same seq assignment, same

@@ -128,6 +128,10 @@ AUDITS: dict[str, dict] = {
     # one lang range-exchange serves the packing window AND the final agg
     "pack_sequences": {"partial": True, "max_exchange": 1,
                        "prune": ["source", "n_chars"]},
+    # concat-then-chunk: one lang range-exchange; per-doc explode is
+    # bounded by doc length (1 + tokens/budget fragments)
+    "pack_chunks": {"partial": True, "max_exchange": 1,
+                    "prune": ["source", "n_chars"]},
     # hash-threshold sampling is scan-local: ZERO exchanges
     "mixture_sample": {"max_exchange": 0, "prune": ["text"]},
     # one (lang, source) exchange serves rank window + count window + agg
