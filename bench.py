@@ -75,6 +75,7 @@ OPTIONAL = [
     "shard_manifest",
     "filter_optout",
     "pack_chunks",
+    "dedup_keep_best",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

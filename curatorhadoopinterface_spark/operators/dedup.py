@@ -223,6 +223,93 @@ def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return cands, sets
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS doc_id, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id),
+    comps AS (
+        SELECT doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY doc_id),
+    scored AS (
+        SELECT doc_id,
+               LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                   w -> CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 7)) AS BIGINT)
+                        % 1024 % 7 - 3)) AS score
+        FROM documents),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, s.score,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.score DESC, c.doc_id) AS rk
+        FROM comps c JOIN scored s USING (doc_id))
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+           MAX(CASE WHEN rk = 1 THEN score END) AS keeper_score,
+           COUNT(*) AS n_docs,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the production keep/drop
+    decision: near-dup clusters (MinHash LSH pairs -> connected
+    components) each keep their HIGHEST-QUALITY member (hashed linear
+    classifier score, text_quality_linear's model; ties -> lowest
+    doc_id), not the arbitrary min-id representative dedup_clusters
+    reports. This is how real pipelines dedup: among N copies of a page,
+    keep the cleanest extraction, drop the boilerplate-ridden ones.
+
+    Plan: chains the three subsystems without re-reading the corpus for
+    each — ONE shingle scan feeds signatures+sets (shared exchange),
+    components iterate over the LSH-bounded edge list only, and the
+    score join touches just the clustered docs (near-dups are a tiny
+    fraction of the corpus). Cluster census is a per-cluster window +
+    one exchange. All scoring integer, rank-exact across engines.
+    """
+    from curatorhadoopinterface_spark.operators.textstats import _FEAT_W_SPARK
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            f" w -> cast({_FEAT_W_SPARK} as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    ranked = labels.join(scored, labels["node"] == scored["doc_id"]).select(
+        F.col("comp").alias("cluster_id"), "doc_id", "score"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    )
+    return (
+        ranked.withColumn("rk", rk)
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "keeper_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias(
+                "keeper_score"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
 _SIMHASH_BITS = 16
 
 _SIMHASH_BIT_ORACLE = ",\n".join(

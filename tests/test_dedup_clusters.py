@@ -36,3 +36,44 @@ def test_star_and_cycle(spark):
     got = _components(spark, [(100, 7), (100, 8), (100, 3), (1, 2), (2, 3), (3, 1)])
     assert set(got.values()) == {1}
     assert got[100] == 1 and got[7] == 1
+
+
+def test_keep_best_agrees_with_clusters_and_maximizes_quality(spark):
+    """dedup_keep_best partitions exactly like dedup_clusters and its
+    keeper is a member with the maximum classifier score (ties lowest
+    doc_id) — checked by recomputing scores for every clustered doc."""
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+    from curatorhadoopinterface_spark.operators.textstats import _FEAT_W_SPARK
+    from curatorhadoopinterface_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    best = {r["cluster_id"]: r for r in dedup_keep_best(spark, sf_dir).collect()}
+    members: dict[int, list[int]] = {}
+    for r in dedup_clusters(spark, sf_dir).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(best) == set(members)
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(split(text, ' '),"
+                f" w -> cast({_FEAT_W_SPARK} as bigint)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("score"),
+        )
+        .collect()
+    }
+    for cid, r in best.items():
+        docs = members[cid]
+        assert r["n_docs"] == len(docs) and r["n_dropped"] == len(docs) - 1
+        assert r["keeper_doc_id"] in docs
+        want = min(docs, key=lambda d: (-scores[d], d))
+        assert r["keeper_doc_id"] == want
+        assert r["keeper_score"] == scores[want]

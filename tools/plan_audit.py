@@ -512,6 +512,10 @@ AUDITS: dict[str, dict] = {
     # against it; census partial-aggregates
     "filter_optout": {"broadcast": True, "partial": True,
                       "prune": ["text", "doc_id"]},
+    # quality-aware canonical selection: LSH-bounded candidates only
+    "dedup_keep_best": {"partial": True,
+                        "prune": ["lang", "source", "n_chars"],
+                        "forbid": [r"CartesianProduct"]},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
