@@ -76,6 +76,7 @@ OPTIONAL = [
     "filter_optout",
     "pack_chunks",
     "dedup_keep_best",
+    "table_diff",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

@@ -624,6 +624,77 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 17 <> 0),
+    new AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 13 <> 0),
+    j AS (
+        SELECT COALESCE(o.lang, n.lang) AS lang,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN MD5(o.text) <> MD5(n.text) THEN 'changed'
+                    ELSE 'unchanged' END AS disposition
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT lang, disposition, COUNT(*) AS n_docs
+    FROM j GROUP BY lang, disposition
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the CDC / table-diff job): given two
+    versions of a corpus, classify every document as added / removed /
+    changed / unchanged and report the per-language census — the audit
+    a pipeline runs between ingest generations before retraining, and
+    the batch twin of the record store's staleness compare (A22,
+    plans/incremental.py stale_views_col). The fixture derives both
+    snapshots deterministically from `documents` (old drops doc_id%17,
+    new drops %13 and revises %5 — the synthetic-seeding precedent), so
+    adds, removes, and edits all exist at every SF.
+
+    Plan: content compare is by hash, not payload equality, so only the
+    16-byte digests cross the join; ONE co-partitioned full outer join
+    on the key (both sides hash-shuffle on doc_id — with bucketed
+    snapshot stores it co-locates with zero shuffle, the
+    join_bucketed layout), then the census partial-aggregates. At
+    100 TB: diffing is exactly one reduce over the key space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    disposition = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.lang"), F.col("n.lang")).alias("lang"),
+            disposition.alias("disposition"),
+        )
+        .groupBy("lang", "disposition")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "eval_split",
     oracle="""
     WITH ranked AS (

@@ -193,6 +193,35 @@ def test_filter_optout_conserves_and_blocks_whole_domains(spark, sf_dir):
     assert {k: v["kept_chars"] for k, v in census.items()} == raw
 
 
+def test_table_diff_census_is_exhaustive_and_correct(spark, sf_dir):
+    """Every disposition count recomputed from first principles on the
+    driver: union of keys partitions exactly into the four classes."""
+    from curatorhadoopinterface_spark.operators.curation import table_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    want: dict[tuple, int] = {}
+    for r in docs:
+        i, lang = r["doc_id"], r["lang"]
+        in_old, in_new = i % 17 != 0, i % 13 != 0
+        if not in_old and not in_new:
+            continue
+        if not in_old:
+            disp = "added"
+        elif not in_new:
+            disp = "removed"
+        elif i % 5 == 0:
+            disp = "changed"
+        else:
+            disp = "unchanged"
+        want[(lang, disp)] = want.get((lang, disp), 0) + 1
+    got = {
+        (r["lang"], r["disposition"]): r["n_docs"]
+        for r in table_diff(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert {d for _, d in got} == {"added", "removed", "changed", "unchanged"}
+
+
 def test_pack_chunks_full_sequences_and_conservation(spark, sf_dir):
     """Concat-then-chunk contracts: every sequence except each
     language's LAST holds exactly SEQ_BUDGET tokens (zero padding

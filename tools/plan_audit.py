@@ -516,6 +516,10 @@ AUDITS: dict[str, dict] = {
     "dedup_keep_best": {"partial": True,
                         "prune": ["lang", "source", "n_chars"],
                         "forbid": [r"CartesianProduct"]},
+    # snapshot diff: digests cross the join, not payloads; one
+    # co-partitioned full outer join + census partials
+    "table_diff": {"partial": True, "prune": ["source", "n_chars"],
+                   "require": [r"SortMergeJoin.*FullOuter"]},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
