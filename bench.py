@@ -88,6 +88,7 @@ OPTIONAL = [
     "bpe_pair_stats",
     "flagship_shipping_priority",
     "stream_annotate",
+    "stream_contamination",
     "graph_bfs_hops",
     "query_bm25",
     "dedup_semantic",

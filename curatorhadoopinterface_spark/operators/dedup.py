@@ -42,20 +42,20 @@ _SHINGLES_ORACLE = """
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-shingles per doc. Spark arrays are 0-based in
-    SQL-expr indexing; the oracle's DuckDB lists are 1-based — both
-    slide the same window. concat_ws drops out-of-range NULLs the same
-    way in both engines for the <3-word degenerate case."""
-    d = load_table(spark, sf_dir, "documents")
-    # shingling is CPU-bound column work: spread a few-split scan over
-    # the cores (same 1-partition trap as provide(); plan-side estimate,
-    # no RDD materialization; no-op at scale where file splits >> cores)
-    d = ensure_min_partitions(d)
-    # materialize the words array ONCE per row — inlining split(text)
-    # into every element access makes codegen re-split per gram term
-    return d.select("doc_id", F.split("text", " ").alias("w")).select(
+def shingle_explode(df: DataFrame, *keep_cols: str) -> DataFrame:
+    """Distinct word-3-shingles per doc over ANY frame with (doc_id,
+    text) — works on batch AND streaming DataFrames (pure per-row
+    column algebra, no shuffle). Spark arrays are 0-based in SQL-expr
+    indexing; the DuckDB oracle's lists are 1-based — both slide the
+    same window. concat_ws drops out-of-range NULLs the same way in
+    both engines for the <3-word degenerate case. The words array is
+    materialized ONCE per row — inlining split(text) into every element
+    access makes codegen re-split per gram term."""
+    return df.select(
+        "doc_id", *keep_cols, F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
+        *keep_cols,
         F.explode(
             F.array_distinct(
                 F.expr(
@@ -64,6 +64,16 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shingles: shingle_explode over the documents table.
+    Shingling is CPU-bound column work: spread a few-split scan over
+    the cores (same 1-partition trap as provide(); plan-side estimate,
+    no RDD materialization; no-op at scale where file splits >> cores)."""
+    return shingle_explode(
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -809,3 +809,93 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             track, out_t, st_t, "update", "NoTimeout"
         )
         return run_to_sink(res, "update")
+
+
+@query(
+    "stream_contamination",
+    oracle="""
+    WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    shingles AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % 10 = 0),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n
+        FROM shingles s JOIN eval_sh USING (shingle)
+        WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id)
+    SELECT d.lang,
+           COUNT(*) AS n_contaminated_docs,
+           SUM(h.n) AS n_hits
+    FROM hits h JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest decontamination: documents ARRIVE as a stream
+    (4 micro-batches) and every arriving doc's word-3-gram shingles are
+    checked against the static held-out benchmark set — contaminated
+    (doc, shingle) hits land append-only in a quarantine store, and the
+    per-language census is a batch read-back. This is
+    contamination_ngram (curation.py) run the way a live pipeline runs
+    it: the benchmark side is fixed, the corpus never stops arriving,
+    and a doc is flagged the moment it lands — not in a nightly sweep.
+
+    Scale shape: the eval side is benchmark-sized and BROADCAST into
+    each micro-batch's stream-static inner join, so the arriving stream
+    is map-only — no shuffle, no state, no watermark (append sink of a
+    stateless plan); ingest cost tracks arrival rate alone. The
+    quarantine store is the same identifier-keyed parquet the record
+    store uses (A21). Spark-side shingling is dedup.shingle_explode —
+    the SAME expression the batch pass and the oracle replay.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from curatorhadoopinterface_spark.operators.dedup import shingle_explode
+    from curatorhadoopinterface_spark.session import load_table
+
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_contam"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    staged = os.path.join(base, "staged")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(staged)
+    eval_sh = F.broadcast(
+        shingle_explode(docs.filter(F.col("doc_id") % 10 == 0))
+        .select("shingle")
+        .distinct()
+    )
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    arriving = shingle_explode(src.filter(F.col("doc_id") % 10 != 0), "lang")
+    hits = arriving.join(eval_sh, "shingle")
+    q = (
+        hits.select("doc_id", "lang", "shingle")
+        .writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    back = spark.read.parquet(store)
+    return back.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_contaminated_docs"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )

@@ -336,3 +336,37 @@ def test_stream_stream_join_state_rows_evicted_metrics(spark, tmp_path):
     assert removed >= 5, (totals, removed)
     # ...and the resident count came DOWN off its peak
     assert totals[-1] < max(totals), totals
+
+
+def test_stream_contamination_matches_batch_pass_and_ran_multibatch(spark):
+    """The quarantine store drained from the stream must flag EXACTLY
+    the docs the batch contamination pass reports (same shingles, same
+    eval slice), and the run must actually have been multi-batch
+    (one commit per staged file under availableNow)."""
+    import os
+    import tempfile
+
+    from curatorhadoopinterface_spark.operators.curation import (
+        contamination_ngram,
+    )
+    from curatorhadoopinterface_spark.streaming.ops import stream_contamination
+
+    sf_dir = "/root/testdata/sf0.001"
+    census = {r["lang"]: r for r in stream_contamination(spark, sf_dir).collect()}
+    batch = contamination_ngram(spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_contam"
+    )
+    store = spark.read.parquet(os.path.join(base, "store"))
+    got_docs = {r["doc_id"] for r in store.select("doc_id").distinct().collect()}
+    want_docs = {r["doc_id"] for r in batch}
+    assert got_docs == want_docs and want_docs
+    # per-doc hit counts agree with the batch report too
+    got_hits = {
+        r["doc_id"]: r["n"]
+        for r in store.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got_hits == {r["doc_id"]: r["n_contaminated"] for r in batch}
+    assert sum(r["n_hits"] for r in census.values()) == sum(got_hits.values())
+    commits = os.listdir(os.path.join(base, "ckpt", "commits"))
+    assert len([c for c in commits if not c.startswith(".")]) >= 4
