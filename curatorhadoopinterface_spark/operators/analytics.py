@@ -263,7 +263,8 @@ def having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -272,7 +273,10 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB can't read ORC, so the oracle aggregates the same rows from
     parquet — the round trip is exact (no row/value drift) by
     construction if the hashes match. ORC keeps the same columnar
-    pruning/pushdown properties as parquet under Spark's scan."""
+    pruning/pushdown properties as parquet under Spark's scan.
+    Money sum is exact DECIMAL (the sf10 rung caught a 1-cent
+    double-summation-order drift at ~5e11 — the flagship_pricing_summary
+    rule: sum exactly, cast to double only for display)."""
     out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_orc")
     shutil.rmtree(out, ignore_errors=True)
     l = load_table(spark, sf_dir, "lineitem")
@@ -282,7 +286,9 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
