@@ -77,6 +77,7 @@ OPTIONAL = [
     "pack_chunks",
     "dedup_keep_best",
     "table_diff",
+    "graph_triangles",
     "pack_sequences",
     "mixture_sample",
     "eval_split",

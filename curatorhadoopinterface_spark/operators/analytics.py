@@ -1030,6 +1030,134 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangles",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS together
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+    edges AS (SELECT p1, p2 FROM pairs WHERE together >= 2),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT p1 AS node FROM edges
+            UNION ALL SELECT p2 AS node FROM edges) GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
+                    THEN e.p1 ELSE e.p2 END AS src,
+               CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
+                    THEN e.p2 ELSE e.p1 END AS dst
+        FROM edges e
+        JOIN deg da ON da.node = e.p1
+        JOIN deg db ON db.node = e.p2),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1 JOIN oriented e2 ON e2.src = e1.dst),
+    tri AS (
+        SELECT w.a FROM wedges w
+        JOIN oriented e3 ON e3.src = w.a AND e3.dst = w.c)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles,
+           ROUND((SELECT COUNT(*) FROM tri) * 1.0 /
+                 (SELECT COUNT(*) FROM wedges), 6) AS closure
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global closure coefficient over the co-purchase
+    graph (parts sharing >= 2 orders), using the DEGREE-ORIENTATION
+    algorithm (Schank-Wagner / the MapReduce classic): every undirected
+    edge points from its lower-(degree, id) endpoint to the higher, so
+    wedges are enumerated only at their lowest-degree corner — the trick
+    that makes triangle counting survive power-law graphs. A celebrity
+    node with degree 1M contributes ZERO wedges as a source unless its
+    neighbors are bigger still; candidate wedges are sum(out_deg^2)
+    with out-degree bounded by sqrt(|E|)-ish, never deg^2 of the hubs.
+
+    Plan: pair-gen shares graph_copurchase_topk's basket self-join
+    (order-bounded); orientation is two broadcast-able degree joins;
+    wedge+closure are two equi joins on node keys — all shuffles
+    hash-partitioned, no cartesian anywhere. The tie-break encodes
+    (degree, id) as one BIGINT (d*1e9 + id) — identical integer
+    arithmetic in both engines, no struct-comparison semantics to
+    cross-check.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    edges = pairs.filter(F.col("together") >= 2).select("p1", "p2")
+    return triangle_stats(edges)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle tally over undirected (p1 < p2) edges —
+    the core of graph_triangles, factored so planted tests can feed
+    known graphs (K4 -> 4 triangles, star -> 0)."""
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.alias("da"), F.col("p1") == F.col("da.node"))
+        .join(deg.alias("db"), F.col("p2") == F.col("db.node"))
+        .select(
+            "p1",
+            "p2",
+            (F.col("da.d") * F.lit(1_000_000_000) + F.col("p1")).alias("k1"),
+            (F.col("db.d") * F.lit(1_000_000_000) + F.col("p2")).alias("k2"),
+        )
+    )
+    oriented = e.select(
+        F.when(F.col("k1") < F.col("k2"), F.col("p1"))
+        .otherwise(F.col("p2"))
+        .alias("src"),
+        F.when(F.col("k1") < F.col("k2"), F.col("p2"))
+        .otherwise(F.col("p1"))
+        .alias("dst"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst")).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    e3 = oriented.alias("e3")
+    tri = wedges.join(
+        e3, (F.col("e3.src") == F.col("a")) & (F.col("e3.dst") == F.col("c"))
+    )
+    # one lazy plan: four 1-row scalar aggregates cross-joined (each
+    # side is a broadcast of exactly one row — the dedup_semantic
+    # pattern, NOT a cartesian; no driver-side .count() loop)
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(oriented.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("closure"),
+        )
+    )
+
+
+@query(
     "graph_copurchase_topk",
     oracle="""
     WITH basket AS (

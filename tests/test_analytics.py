@@ -129,3 +129,27 @@ def test_native_array_collect_and_percentile(spark):
     assert got[20].flags == ["A"]
     # continuous interpolation: midpoint of 10 and 20
     assert got[20].median_qty == 15.0
+
+
+def test_triangle_stats_on_known_graphs(spark):
+    """K4 has C(4,3)=4 triangles and 4/ (sum over wedge corners) closure;
+    a star has wedges but ZERO triangles; orientation must count each
+    triangle exactly once regardless of input edge order."""
+    from curatorhadoopinterface_spark.operators.analytics import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "p1 long, p2 long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # in an oriented K4 every wedge closes: closure == 1
+    assert r["n_wedges"] == r["n_triangles"] and r["closure"] == 1.0
+
+    star = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (100, 4), (100, 5)], "p1 long, p2 long"
+    )
+    s = triangle_stats(star).collect()[0]
+    assert s["n_triangles"] == 0 and s["n_edges"] == 5
+    # degree orientation: the hub sources NO wedges (all point into it),
+    # so the star generates zero candidate wedges — the power-law claim
+    assert s["n_wedges"] == 0 and s["closure"] is None

@@ -520,6 +520,11 @@ AUDITS: dict[str, dict] = {
     # co-partitioned full outer join + census partials
     "table_diff": {"partial": True, "prune": ["source", "n_chars"],
                    "require": [r"SortMergeJoin.*FullOuter"]},
+    # degree-oriented triangle count: the four 1-row scalar-aggregate
+    # crossJoins broadcast one row each (BNLJ intended, not cartesian)
+    "graph_triangles": {"partial": True, "no_bnlj": False,
+                        "prune": ["l_quantity", "l_extendedprice",
+                                  "l_comment", "l_suppkey"]},
     # drift monitor: 64 per-dim sums partial-aggregate into ONE row,
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
