@@ -428,44 +428,96 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_fuzzy_edit",
     oracle="""
-    SELECT a.doc_id, b.doc_id AS dup_id,
-           LEVENSHTEIN(SUBSTR(a.text, 1, 200), SUBSTR(b.text, 1, 200)) AS edit_dist
-    FROM documents a JOIN documents b
-      ON SUBSTR(a.text, 1, 20) = SUBSTR(b.text, 1, 20)
-     AND a.n_chars // 20 = b.n_chars // 20
-     AND a.doc_id < b.doc_id
-    WHERE LEVENSHTEIN(SUBSTR(a.text, 1, 200), SUBSTR(b.text, 1, 200)) <= 5
+    WITH m AS (
+        SELECT doc_id,
+               SUBSTR(text, 1, 20) AS blk_prefix,
+               n_chars // 20 AS blk_len,
+               MD5(SUBSTR(text, 1, 200)) AS h,
+               SUBSTR(text, 1, 200) AS t200
+        FROM documents),
+    reps AS (SELECT DISTINCT blk_prefix, blk_len, h, t200 FROM m),
+    rep_pairs AS (
+        SELECT r1.blk_prefix, r1.blk_len, r1.h AS ha, r2.h AS hb,
+               LEVENSHTEIN(r1.t200, r2.t200) AS edit_dist
+        FROM reps r1 JOIN reps r2
+          ON r1.blk_prefix = r2.blk_prefix AND r1.blk_len = r2.blk_len
+         AND r1.h <= r2.h
+        WHERE LEVENSHTEIN(r1.t200, r2.t200) <= 5)
+    SELECT LEAST(a.doc_id, b.doc_id) AS doc_id,
+           GREATEST(a.doc_id, b.doc_id) AS dup_id,
+           rp.edit_dist
+    FROM rep_pairs rp
+    JOIN m a ON a.blk_prefix = rp.blk_prefix AND a.blk_len = rp.blk_len
+            AND a.h = rp.ha
+    JOIN m b ON b.blk_prefix = rp.blk_prefix AND b.blk_len = rp.blk_len
+            AND b.h = rp.hb
+    WHERE rp.ha < rp.hb OR a.doc_id < b.doc_id
     """,
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by bounded edit distance. The O(len^2)-per-pair
-    Levenshtein only runs INSIDE blocks keyed by (20-char prefix,
-    length/20 bucket) — an equi-join, so it shuffles by block key and
-    never goes quadratic in the corpus. Distance is computed on a
-    200-char prefix cap: cost per pair is bounded no matter how long
-    documents get. JVM-side F.levenshtein (no Python)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    """Near-dup pairs by bounded edit distance, REP-FACTORED: the
+    O(len^2)-per-pair Levenshtein runs once per DISTINCT 200-char text
+    prefix pair inside each (20-char prefix, length/20) block — never
+    per document pair. The sf10 rung caught the original per-pair form
+    melting down on planted mega-duplicate blocks (500k docs = 27M
+    within-block pairs, but only 4,869 distinct reps / <=3 per block →
+    ~10^12 DP cell-ops collapsed to ~10^5). Expansion back to document
+    pairs is DRIVEN FROM the verified rep-pair table (tiny), so only
+    emitting pairs are ever enumerated — the same exact-dup-collapse
+    trick as dedup_simhash's mega-cluster resolution (r4). Identical
+    pair set and distances as the naive form: a pair {x, y} appears
+    once as (min_id, max_id); docs sharing a rep orient by id, docs in
+    different reps orient by the rep hash canonical order then min/max.
+    Distance on a 200-char cap: per-rep-pair cost bounded no matter how
+    long documents get. JVM-side F.levenshtein (no Python)."""
+    m = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        "text",
         F.substring("text", 1, 20).alias("blk_prefix"),
         (F.col("n_chars") / 20).cast("bigint").alias("blk_len"),
+        F.md5(F.substring("text", 1, 200)).alias("h"),
+        F.substring("text", 1, 200).alias("t200"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk_prefix") == F.col("b.blk_prefix"))
-        & (F.col("a.blk_len") == F.col("b.blk_len"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    reps = m.select("blk_prefix", "blk_len", "h", "t200").distinct()
+    r1, r2 = reps.alias("r1"), reps.alias("r2")
+    rep_pairs = (
+        r1.join(
+            r2,
+            (F.col("r1.blk_prefix") == F.col("r2.blk_prefix"))
+            & (F.col("r1.blk_len") == F.col("r2.blk_len"))
+            & (F.col("r1.h") <= F.col("r2.h")),
+        )
+        .select(
+            F.col("r1.blk_prefix").alias("bp"),
+            F.col("r1.blk_len").alias("bl"),
+            F.col("r1.h").alias("ha"),
+            F.col("r2.h").alias("hb"),
+            F.levenshtein(F.col("r1.t200"), F.col("r2.t200")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 5)
     )
-    dist = F.levenshtein(
-        F.substring(F.col("a.text"), 1, 200), F.substring(F.col("b.text"), 1, 200)
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        rep_pairs.join(
+            a,
+            (F.col("a.blk_prefix") == F.col("bp"))
+            & (F.col("a.blk_len") == F.col("bl"))
+            & (F.col("a.h") == F.col("ha")),
+        )
+        .join(
+            b,
+            (F.col("b.blk_prefix") == F.col("bp"))
+            & (F.col("b.blk_len") == F.col("bl"))
+            & (F.col("b.h") == F.col("hb")),
+        )
+        .filter((F.col("ha") < F.col("hb")) | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dup_id"),
+            "edit_dist",
+        )
     )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("b.doc_id").alias("dup_id"),
-        dist.alias("edit_dist"),
-    ).filter(F.col("edit_dist") <= 5)
 
 
 # --------------------------------------------------------------------------

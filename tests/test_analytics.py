@@ -153,3 +153,41 @@ def test_triangle_stats_on_known_graphs(spark):
     # degree orientation: the hub sources NO wedges (all point into it),
     # so the star generates zero candidate wedges — the power-law claim
     assert s["n_wedges"] == 0 and s["closure"] is None
+
+
+def test_fuzzy_edit_rep_factored_equals_naive_pairwise(spark):
+    """The rep-factored plan must emit EXACTLY the naive per-pair
+    form's result — same pairs, same distances, same orientation."""
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.operators.analytics import dedup_fuzzy_edit
+    from curatorhadoopinterface_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["dup_id"]): r["edit_dist"]
+        for r in dedup_fuzzy_edit(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("bp"),
+        (F.col("n_chars") / 20).cast("bigint").alias("bl"),
+        F.substring("text", 1, 200).alias("t200"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.bp") == F.col("b.bp"))
+            & (F.col("a.bl") == F.col("b.bl"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("dup_id"),
+            F.levenshtein(F.col("a.t200"), F.col("b.t200")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
+    want = {(r["doc_id"], r["dup_id"]): r["edit_dist"] for r in naive.collect()}
+    assert got == want and want

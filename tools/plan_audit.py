@@ -90,7 +90,10 @@ AUDITS: dict[str, dict] = {
     # orderkey range predicate must reach the clustered copy's scan —
     # the row-group pruning evidence for the sorted layout
     "write_sorted": {"pushed": True},
-    "dedup_fuzzy_edit": {"prune": ["lang", "source"]},
+    # rep-factored: Levenshtein appears ONLY in the distinct-rep stage
+    # (one levenshtein call site), expansion is pure hash joins
+    "dedup_fuzzy_edit": {"prune": ["lang", "source"],
+                         "require": [r"levenshtein"]},
     # GK sketch partials merge map-side like any hash agg
     "agg_approx_quantile": {"partial": True, "prune": ["l_orderkey", "l_shipdate"]},
     # the join consumes the 8-bucket layout: the ONLY exchange allowed

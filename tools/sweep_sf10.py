@@ -26,6 +26,13 @@ sys.path.insert(0, "/root/repo")
 
 EXCLUDE = {
     "dedup_semantic",
+    # dedup_clusters: the ENGINE's label propagation is linear in edges,
+    # but the DuckDB ORACLE replays it as a recursive reachability CTE —
+    # quadratic rows per component, and make_stress_sf's planted
+    # mega-duplicate clusters push that past ~90 GB at 100x (measured,
+    # killed at 88 GB RES). Engine-side green at 30x/179s (SCALE.md);
+    # oracle-checked through sf3. An oracle limit, not an engine one.
+    "dedup_clusters",
     "scan_parquet",
     "scan_text_corpus",
     "scan_binary_records",
