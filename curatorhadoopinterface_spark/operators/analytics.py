@@ -436,7 +436,7 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUBSTR(text, 1, 200) AS t200
         FROM documents),
     reps AS (SELECT DISTINCT blk_prefix, blk_len, h, t200 FROM m),
-    rep_pairs AS (
+    rep_pairs AS MATERIALIZED (
         SELECT r1.blk_prefix, r1.blk_len, r1.h AS ha, r2.h AS hb,
                LEVENSHTEIN(r1.t200, r2.t200) AS edit_dist
         FROM reps r1 JOIN reps r2
@@ -454,7 +454,9 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rp.ha < rp.hb OR a.doc_id < b.doc_id
     """,
 )
-def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_edit(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Near-dup pairs by bounded edit distance, REP-FACTORED: the
     O(len^2)-per-pair Levenshtein runs once per DISTINCT 200-char text
     prefix pair inside each (20-char prefix, length/20) block — never
@@ -497,6 +499,14 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 5)
     )
+    if checkpoint:
+        # materialization BARRIER: without it Catalyst inlines rep_pairs
+        # into the expansion joins and recomputes the Levenshtein DP per
+        # EXPANDED pair — the naive cost again, observed live at sf10
+        # (jstack: levenshteinDistance inside the final-stage BHJ, 17 min
+        # single-task). The rep-pair table is a few thousand rows, so the
+        # eager cut is milliseconds. (Oracle twin: AS MATERIALIZED.)
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
     a, b = m.alias("a"), m.alias("b")
     return (
         rep_pairs.join(

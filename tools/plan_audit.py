@@ -644,7 +644,7 @@ def main() -> None:
             continue
         if append_names and name not in append_names:
             continue
-        if name in ("graph_pagerank", "pack_sequences_hier"):
+        if name in ("graph_pagerank", "pack_sequences_hier", "dedup_fuzzy_edit"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
