@@ -929,3 +929,147 @@ def filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---- privacy: k-anonymity suppression --------------------------------------
+
+KANON_K = 10  # minimum group size a cell may be published at
+
+
+@query(
+    "privacy_kanon",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS n_members,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, n_members,
+           CAST(ROUND(bal, 2) AS DOUBLE) AS sum_acctbal
+    FROM cells WHERE n_members >= {KANON_K}
+    UNION ALL
+    SELECT -1 AS c_nationkey, '*' AS c_mktsegment,
+           COALESCE(SUM(n_members), 0) AS n_members,
+           CAST(ROUND(COALESCE(SUM(bal), CAST(0 AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_acctbal
+    FROM cells WHERE n_members < {KANON_K}
+    """,
+)
+def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release: publish a (nation, market-segment) cell only
+    when at least k={KANON_K} customers share it; every smaller cell is
+    suppressed into ONE residual row (nationkey=-1, segment='*') so the
+    published table still reconciles to the full population — the
+    governance gate a curation pipeline applies before statistics about
+    a corpus's contributors leave the platform.
+
+    Exactness: balances sum as DECIMAL(18,2) (house money rule — a
+    double sum drifts cents at 100x), rounded to 2dp before the double
+    cast; the suppression threshold is an integer count compare.
+
+    Plan shape: one hash-partitioned partial-agg groupBy builds the
+    cells; the k-filter is a post-agg predicate on that same exchange,
+    and the residual branch re-aggregates the (tiny) cell table — at
+    most |nations| x |segments| rows — not the base scan. At 100 TB the
+    base table is read ONCE; both output branches reuse the aggregated
+    exchange (AQE ReusedExchange).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+    )
+    pub = cells.filter(F.col("n_members") >= KANON_K).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_members",
+        F.round("bal", 2).cast("double").alias("sum_acctbal"),
+    )
+    residual = (
+        cells.filter(F.col("n_members") < KANON_K)
+        .agg(
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_members"),
+            F.round(
+                F.coalesce(F.sum("bal"), F.lit(0).cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            F.lit("*").alias("c_mktsegment"),
+            "n_members",
+            "sum_acctbal",
+        )
+    )
+    return pub.unionByName(residual)
+
+
+# ---- leakage-safe grouped holdout split ------------------------------------
+
+_HEX = "0123456789abcdef"
+# 0..255 bucket from the first two md5 hex chars; cuts at 204/230 give
+# a 204/26/26 (~80/10/10) expected split.
+SPLIT_SEED = "holdout-v1:"
+
+
+def _o_src_bucket(expr: str) -> str:
+    h = f"MD5('{SPLIT_SEED}' || {expr})"
+    return (
+        f"(STRPOS('{_HEX}', SUBSTR({h}, 1, 1)) - 1) * 16"
+        f" + (STRPOS('{_HEX}', SUBSTR({h}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "eval_split_grouped",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang, source, n_chars,
+               CASE WHEN {_o_src_bucket('source')} < 204 THEN 'train'
+                    WHEN {_o_src_bucket('source')} < 230 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split, lang,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def eval_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout train/val/test split: the WHOLE source (domain)
+    goes to one split, so near-duplicates and boilerplate shared within
+    a domain can never straddle the train/eval boundary — the
+    leakage-safe counterpart of eval_split's within-stratum cut (the
+    split discipline decontamination papers assume).
+
+    Assignment is stateless and map-only: bucket = the first two hex
+    chars of md5(seed || source) as an integer 0..255, cut at 204/230
+    (~80/10/10 in expectation). No global rank over distinct sources is
+    needed — at 100 TB with millions of domains the assignment stays a
+    per-row expression in whole-stage codegen (both engines index the
+    same hex alphabet, so the bucket is bit-identical), and the only
+    shuffle is the final (split, lang) census aggregate. Every count is
+    an integer — nothing to round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(SPLIT_SEED), F.col("source")))
+    bucket = (
+        (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1)
+    )
+    tagged = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -436,3 +436,67 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         "doc_id bigint, n_frames bigint, duration_ms double, mean_abs double",
     )
+
+
+@query(
+    "mm_dedup_binary",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, {_MODALITY} AS modality,
+               MD5(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+    grp AS (
+        SELECT modality, digest,
+               COUNT(*) AS copies,
+               MIN(doc_id) AS canonical_id,
+               MIN(n_bytes) AS payload_bytes
+        FROM m GROUP BY modality, digest)
+    SELECT modality,
+           COUNT(*) AS n_distinct,
+           SUM(copies) AS n_payloads,
+           SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+           SUM(copies - 1) AS n_redundant,
+           SUM((copies - 1) * payload_bytes) AS redundant_bytes
+    FROM grp GROUP BY modality
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection over the BINARY payload column: digest
+    every blob (md5 runs JVM-side over the bytes — the payload never
+    enters Python), group identical digests within a modality, keep the
+    lowest doc_id as canonical, and report the per-modality redundancy
+    census including reclaimable bytes — the storage-dedup pass a
+    multimodal lake runs before re-sharding.
+
+    Exactness: digests are exact; every output is an integer count or
+    an integer byte sum. The oracle digests the SAME bytes (UTF-8 text
+    == the payload the fixtures encode).
+
+    Plan shape: the scan projects (modality, 16-byte digest, byte
+    count) — the payload itself is dropped before the exchange, so the
+    shuffle moves ~24 bytes/blob no matter how big the media is (the
+    100 TB property: dedup cost scales with object COUNT, not corpus
+    bytes). Digest grouping partial-aggregates map-side; the modality
+    rollup is a second tiny aggregate over distinct-digest rows.
+    """
+    m = manifest(spark, sf_dir).select(
+        "modality",
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.length("payload").alias("n_bytes"),
+    )
+    grp = m.groupBy("modality", "digest").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("doc_id").alias("canonical_id"),
+        F.min("n_bytes").alias("payload_bytes"),
+    )
+    return grp.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("copies").alias("n_payloads"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.col("copies") - 1).alias("n_redundant"),
+        F.sum((F.col("copies") - 1) * F.col("payload_bytes")).alias(
+            "redundant_bytes"
+        ),
+    )

@@ -28,7 +28,7 @@ reductions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
@@ -404,4 +404,177 @@ def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cluster",
         "n_dropped",
         (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
+    )
+
+
+# ---- Hybrid retrieval: reciprocal rank fusion ------------------------------
+
+RRF_K = 60  # the canonical Cormack/Clarke/Buettcher constant
+RRF_CAND = 50  # per-list candidate depth
+RRF_TOP = 10
+RRF_QUERY_VEC = 0  # the dense query vector (embeddings.vec_id)
+
+_O_SPARSE_SCORED = f"""
+    tf AS (
+    {_O_TF}),
+    s AS (
+    {_O_STATS}),
+    sparse AS (
+        SELECT doc_id, rk AS bm25_rank FROM (
+            SELECT tf.doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND({' + '.join(_o_contrib(t) for t in BM25_TERMS)}, 6) DESC,
+                                tf.doc_id) AS rk
+            FROM tf CROSS JOIN s
+            WHERE {' + '.join(f'tf.tf_{t}' for t in BM25_TERMS)} > 0)
+        WHERE rk <= {RRF_CAND})
+"""
+
+_O_DENSE_SCORED = f"""
+    base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings),
+    qv AS (SELECT * FROM base WHERE vec_id = {RRF_QUERY_VEC}),
+    dense AS (
+        SELECT vec_id AS doc_id, rk AS dense_rank FROM (
+            SELECT c.vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_dot_product(qv.e, c.e)
+                                      / (qv.norm * c.norm), 6) DESC,
+                                c.vec_id) AS rk
+            FROM base c CROSS JOIN qv
+            WHERE c.vec_id <> {RRF_QUERY_VEC})
+        WHERE rk <= {RRF_CAND})
+"""
+
+
+@query(
+    "query_hybrid_rrf",
+    oracle=f"""
+    WITH {_O_SPARSE_SCORED},
+    {_O_DENSE_SCORED}
+    SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+           sp.bm25_rank, de.dense_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + sp.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + de.dense_rank), 0.0), 9) AS rrf_score
+    FROM sparse sp FULL OUTER JOIN dense de ON de.doc_id = sp.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+    """,
+)
+def query_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al., SIGIR'09): score(d) = sum over lists of
+    1/(k + rank_list(d)), k=60, over the BM25 top-{RRF_CAND} and the
+    embedding-cosine top-{RRF_CAND} for one query. The fusion every
+    hybrid dataset-search / decontamination stack runs when lexical and
+    vector indexes disagree.
+
+    Determinism: ranks are integers from (rounded score, id)-ordered
+    ROW_NUMBER; the fused score is a TWO-term fixed-order double sum of
+    exactly representable reciprocals — identical in any engine — then
+    rounded to 9.
+
+    Plan shape (the 100 TB one): each list is a TakeOrdered({RRF_CAND})
+    over its scan — the BM25 side broadcasts its one corpus-stats row,
+    the dense side broadcasts the single query vector; neither side
+    global-sorts the corpus. The rank windows and the full-outer fusion
+    join run on two {RRF_CAND}-row lists (constant size regardless of
+    corpus scale), so fusion cost never grows with data volume.
+    """
+    # sparse list: BM25 candidates (same algebra as query_bm25)
+    d = load_table(spark, sf_dir, "documents")
+    tf = _tf_cols_spark(d)
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def contrib(t: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1
+        )
+        avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+        tfn = (
+            F.col(f"tf_{t}")
+            * (BM25_K1 + 1)
+            / (
+                F.col(f"tf_{t}")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        return F.round(idf * tfn, 6)
+
+    score = F.round(
+        sum((contrib(t) for t in BM25_TERMS[1:]), contrib(BM25_TERMS[0])), 6
+    )
+    hits = F.col(f"tf_{BM25_TERMS[0]}")
+    for t in BM25_TERMS[1:]:
+        hits = hits + F.col(f"tf_{t}")
+    sparse_cand = (
+        tf.crossJoin(F.broadcast(stats))
+        .filter(hits > 0)
+        .select("doc_id", score.alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(RRF_CAND)
+    )
+    wsp = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    sparse = sparse_cand.select(
+        "doc_id", F.row_number().over(wsp).alias("bm25_rank")
+    )
+
+    # dense list: cosine vs the single query vector (similarity.py algebra)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (x, y) -> cast(x as double) * cast(y as double)),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            )
+        ).alias("norm"),
+    )
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_e"), F.col("norm").alias("q_norm")
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(q_e, embedding,"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        / (F.col("q_norm") * F.col("norm")),
+        6,
+    )
+    dense_cand = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("c"))
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(RRF_CAND)
+    )
+    wde = Window.orderBy(F.desc("c"), F.asc("doc_id"))
+    dense = dense_cand.select(
+        "doc_id", F.row_number().over(wde).alias("dense_rank")
+    )
+
+    fused = sparse.alias("sp").join(
+        dense.alias("de"), on="doc_id", how="full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select("doc_id", "bm25_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
     )

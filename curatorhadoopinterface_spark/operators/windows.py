@@ -394,3 +394,74 @@ def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("streak_start").alias("first_active"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS bar_hour, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value)                             AS high,
+           MIN(value)                             AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*)                               AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                  AS volume
+    FROM ranked GROUP BY event_type, bar_hour
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars: per (event_type,
+    hour) emit the first/highest/lowest/last value plus count and exact
+    volume — the resample step every metrics/feature pipeline runs to
+    turn raw event streams into fixed-frequency training series.
+
+    Determinism: open/close come from ROW_NUMBER over (ts, event_id)
+    (event_id is unique, so ties are impossible); high/low are MIN/MAX
+    over per-row doubles (order-safe); volume sums as DECIMAL(18,2)
+    (house money rule), rounded before the double cast.
+
+    Plan shape: both rank windows and the final group-by share the
+    (event_type, hour) hash partitioning — ONE shuffle of a 4-column
+    projection serves all three; the two intra-partition sort orders
+    are local sorts, not exchanges. Output cardinality is bounded by
+    |types| x |hours in retention| — independent of event volume, so at
+    100 TB the bars table stays tiny while the scan parallelizes freely.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bar_hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bar_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        "bar_hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("volume"),
+    )
