@@ -137,6 +137,11 @@ OPTIONAL = [
     "bpe_encode",
     "text_quality_linear",
     "emb_drift",
+    "query_hybrid_rrf",
+    "privacy_kanon",
+    "ts_resample_ohlc",
+    "eval_split_grouped",
+    "mm_dedup_binary",
 ]
 
 N_RUNS = 3

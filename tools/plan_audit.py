@@ -532,6 +532,28 @@ AUDITS: dict[str, dict] = {
     # no explode of the corpus; only the 64-row stack runs after
     "emb_drift": {"partial": True, "max_exchange": 1,
                   "prune": ["label"]},
+    # RRF fusion: both sides are TakeOrdered candidate lists (never a
+    # global Sort of the corpus); the one-row BM25 stats table and the
+    # one-row query vector broadcast back over their scans (BNLJ by
+    # design, query_bm25 precedent)
+    "query_hybrid_rrf": {"no_bnlj": False, "partial": True,
+                         "prune": ["lang", "source", "n_chars", "label"],
+                         "require": [r"TakeOrderedAndProject"]},
+    # k-anon: ONE base-scan aggregate; both output branches re-aggregate
+    # the tiny cell table, never the customer scan
+    "privacy_kanon": {"partial": True, "prune": ["c_name"]},
+    # OHLC bars: one (event_type, hour) exchange serves both rank
+    # windows and the final group-by; props/user never shuffle
+    "ts_resample_ohlc": {"partial": True,
+                         "prune": ["props", "user_id"]},
+    # grouped holdout: split assignment is a scan-local expression —
+    # the ONLY exchange is the final census aggregate (countDistinct
+    # compiles to a two-phase expand, still on that one key set)
+    "eval_split_grouped": {"partial": True, "prune": ["text", "doc_id"]},
+    # binary dedup: the payload is digested in the scan projection and
+    # DROPPED before the exchange — only (modality, digest, n_bytes)
+    # shuffle; both aggregates partial map-side
+    "mm_dedup_binary": {"partial": True, "prune": []},
 }
 
 # blanket coverage for the remaining batch registry: the default
