@@ -372,3 +372,77 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_overlap", F.lit(0)) / TOP_K, 4).alias("recall"),
         )
     )
+
+
+@query(
+    "dedup_embed_cosine_census",
+    oracle=f"""
+    WITH {_O_BASE},
+    bucketed AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_o_cos('a', 'b')} AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON b.bucket = a.bucket AND b.vec_id > a.vec_id),
+    pair_stats AS (
+        SELECT COUNT(*) AS n_candidates,
+               SUM(CASE WHEN cosine >= {NEARDUP_COS} THEN 1 ELSE 0 END)
+                   AS n_dup_pairs,
+               COUNT(DISTINCT CASE WHEN cosine >= {NEARDUP_COS}
+                                   THEN vec_b END) AS n_dropped
+        FROM pairs),
+    bucket_stats AS (
+        SELECT COUNT(*) AS n_buckets, MAX(n) AS max_bucket
+        FROM (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket)),
+    corpus AS (SELECT COUNT(*) AS n_vecs FROM bucketed)
+    SELECT c.n_vecs, b.n_buckets, b.max_bucket,
+           p.n_candidates, p.n_dup_pairs, p.n_dropped
+    FROM corpus c CROSS JOIN bucket_stats b CROSS JOIN pair_stats p
+    """,
+)
+def dedup_embed_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census twin of dedup_embed_cosine: the SAME LSH-bucketed
+    candidate join and exact-cosine verify, aggregated to one summary
+    row (candidates, verified dup pairs, lower-id-wins drops, bucket
+    profile) instead of the raw pair dump. This is the form the sf10+
+    scale rung sweeps — at 100x the pair table is tens of millions of
+    rows, where a strict value-diff measures result canonicalization
+    rather than engine work (sweep_sf10 exclusion policy); the census
+    exercises the identical join plan with an O(1) output.
+
+    Scale shape: candidates partial-count inside the bucket-equi join's
+    exchange; the distinct-drop count is the only second aggregate, and
+    the three 1-row stat tables cross via broadcast (graph_triangles
+    precedent — BNLJ of one-row sides, never a cartesian of data).
+    """
+    bucketed = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = _cosine("a", "b")
+    pairs = a.join(
+        b,
+        (F.col("b.bucket") == F.col("a.bucket"))
+        & (F.col("b.vec_id") > F.col("a.vec_id")),
+    ).select(cos.alias("cosine"), F.col("b.vec_id").alias("vec_b"))
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("cosine") >= NEARDUP_COS, 1).otherwise(0)).alias(
+            "n_dup_pairs"
+        ),
+        F.countDistinct(
+            F.when(F.col("cosine") >= NEARDUP_COS, F.col("vec_b"))
+        ).alias("n_dropped"),
+    )
+    bucket_stats = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n_buckets"), F.max("n").alias("max_bucket"))
+    )
+    corpus = bucketed.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        corpus.crossJoin(F.broadcast(bucket_stats))
+        .crossJoin(F.broadcast(pair_stats))
+    )

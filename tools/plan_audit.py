@@ -554,6 +554,12 @@ AUDITS: dict[str, dict] = {
     # DROPPED before the exchange — only (modality, digest, n_bytes)
     # shuffle; both aggregates partial map-side
     "mm_dedup_binary": {"partial": True, "prune": []},
+    # census twin of dedup_embed_cosine (the sf10-swept form): the pair
+    # join stays EQUI on the LSH bucket; the three 1-row stat tables
+    # cross via broadcast BNLJ (graph_triangles precedent)
+    "dedup_embed_cosine_census": {"no_bnlj": False, "broadcast": True,
+                                  "partial": True,
+                                  "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default

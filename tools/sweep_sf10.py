@@ -42,6 +42,18 @@ EXCLUDE = {
     "join_outer",
     "join_outer_full",
     "ws_tokenize",
+    # math_funcs / udf_scalar: per-row scalar dumps over lineitem — 60M
+    # rows (3.3 GiB serialized for math_funcs) breach driver
+    # maxResultSize; the same expressions are value-exact at sf1 and
+    # scan-local by plan audit.
+    "math_funcs",
+    "udf_scalar",
+    # dedup_embed_cosine: the raw near-dup PAIR dump is ~10M rows at
+    # sf10 (measured ~8-25% of 88.6M candidates) and the oracle-side
+    # pair materialization exceeded 80 GB RSS (killed). The IDENTICAL
+    # join plan is swept at sf10 through dedup_embed_cosine_census
+    # (O(1) census output); the pair dump stays value-exact at sf1.
+    "dedup_embed_cosine",
 }
 
 CHUNK = 12
