@@ -142,6 +142,8 @@ OPTIONAL = [
     "ts_resample_ohlc",
     "eval_split_grouped",
     "mm_dedup_binary",
+    "dedup_embed_cosine_census",
+    "mixture_waterfill",
 ]
 
 N_RUNS = 3

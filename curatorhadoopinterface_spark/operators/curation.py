@@ -1073,3 +1073,127 @@ def eval_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---- water-filling token budget allocation ---------------------------------
+
+
+@query(
+    "mixture_waterfill",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, SUM(LEN(STRING_SPLIT(text, ' '))) AS n
+        FROM documents GROUP BY lang),
+    tot AS (
+        SELECT SUM(n) AS total, COUNT(*) AS nl, SUM(n) // 2 AS b FROM counts),
+    ranked AS (
+        SELECT lang, n,
+               ROW_NUMBER() OVER (ORDER BY n, lang) AS j,
+               SUM(n) OVER (ORDER BY n, lang
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+        FROM counts),
+    star AS (
+        SELECT MAX(CASE WHEN r.prefix + r.n * (t.nl - r.j) <= t.b
+                        THEN r.j ELSE 0 END) AS jstar
+        FROM ranked r CROSS JOIN tot t),
+    lev AS (
+        SELECT s.jstar, t.b, t.nl,
+               COALESCE(MAX(CASE WHEN r.j = s.jstar THEN r.prefix END), 0)
+                   AS pstar
+        FROM tot t CROSS JOIN star s CROSS JOIN ranked r
+        GROUP BY s.jstar, t.b, t.nl),
+    lev2 AS (
+        SELECT jstar, (b - pstar) // (nl - jstar) AS level,
+               (b - pstar) % (nl - jstar) AS rem
+        FROM lev),
+    capped AS (
+        SELECT r.lang, ROW_NUMBER() OVER (ORDER BY r.lang) AS cap_ord
+        FROM ranked r CROSS JOIN lev2 l WHERE r.j > l.jstar)
+    SELECT r.lang, r.n AS n_tokens,
+           CASE WHEN r.j <= l.jstar THEN r.n
+                ELSE l.level + CASE WHEN c.cap_ord <= l.rem
+                                    THEN 1 ELSE 0 END END AS allocated,
+           r.j > l.jstar AS capped
+    FROM ranked r CROSS JOIN lev2 l
+    LEFT JOIN capped c ON c.lang = r.lang
+    """,
+)
+def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact water-filling allocation of a global token budget (half the
+    corpus) across languages: small languages keep ALL their tokens,
+    large languages are capped at a common water level chosen so the
+    allocations sum EXACTLY to the budget — the capped-proportional
+    budget allocator behind 'don't let English eat the mixture'
+    (the hard-cap complement of mixture_temperature's soft n^0.5).
+
+    Entirely integer arithmetic: feasibility of funding the j smallest
+    languages is the cross-multiplied test prefix_j + n_j*(L-j) <= B;
+    the level is one integer floor-division, and the remainder tokens
+    go +1 each to the first (lang-ordered) capped languages, so the
+    invariant sum(allocated) == B holds bit-exactly in any engine.
+
+    Scale shape: ONE partial-aggregated exchange builds the per-language
+    token counts; every later step (rank window, feasibility scan,
+    level, remainder) runs on the |languages|-row table crossed with
+    1-row stat tables via broadcast — corpus volume only ever touches
+    the first aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("nl"),
+        F.expr("sum(n) div 2").alias("b"),
+    )
+    w = Window.orderBy("n", "lang")
+    ranked = counts.select(
+        "lang",
+        "n",
+        F.row_number().over(w).alias("j"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+    )
+    rt = ranked.crossJoin(F.broadcast(tot))
+    star = rt.agg(
+        F.max(
+            F.when(
+                F.col("prefix") + F.col("n") * (F.col("nl") - F.col("j"))
+                <= F.col("b"),
+                F.col("j"),
+            ).otherwise(0)
+        ).alias("jstar")
+    )
+    lev = (
+        rt.crossJoin(F.broadcast(star))
+        .groupBy("jstar", "b", "nl")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("j") == F.col("jstar"), F.col("prefix"))),
+                F.lit(0),
+            ).alias("pstar")
+        )
+        .select(
+            "jstar",
+            F.expr("(b - pstar) div (nl - jstar)").alias("level"),
+            F.expr("(b - pstar) % (nl - jstar)").alias("rem"),
+        )
+    )
+    rl = ranked.crossJoin(F.broadcast(lev))
+    capped = rl.filter(F.col("j") > F.col("jstar")).select(
+        "lang", F.row_number().over(Window.orderBy("lang")).alias("cap_ord")
+    )
+    return (
+        rl.join(F.broadcast(capped), on="lang", how="left")
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.when(F.col("j") <= F.col("jstar"), F.col("n"))
+            .otherwise(
+                F.col("level")
+                + F.when(F.col("cap_ord") <= F.col("rem"), 1).otherwise(0)
+            )
+            .alias("allocated"),
+            (F.col("j") > F.col("jstar")).alias("capped"),
+        )
+    )

@@ -165,3 +165,25 @@ def test_mm_dedup_binary_redundancy_math(spark):
     assert (img.n_payloads, img.n_distinct) == (4, 2)
     assert (img.n_dup_groups, img.n_redundant) == (1, 2)
     assert img.redundant_bytes == 2 * len("samepayload")
+
+
+def test_waterfill_level_and_remainder(spark):
+    """jstar/level/remainder math: small lang fully funded, capped langs
+    share the level, remainder +1 goes to the first capped lang by name,
+    and the allocations sum exactly to the budget."""
+    from curatorhadoopinterface_spark.operators.curation import mixture_waterfill
+
+    # tokens per lang: aa=1, bb=5, cc=6 -> total 12, budget 6
+    # jstar=1 (fund aa), level=(6-1) div 2 = 2, rem=1 -> bb 3, cc 2
+    docs = [
+        (1, "t", "aa", "s", 1),
+        (2, "t t t t t", "bb", "s", 9),
+        (3, "t t t", "cc", "s", 5),
+        (4, "t t t", "cc", "s", 5),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "waterfill")
+    out = {r.lang: r for r in mixture_waterfill(spark, out_dir).collect()}
+    assert (out["aa"].allocated, out["aa"].capped) == (1, False)
+    assert (out["bb"].allocated, out["bb"].capped) == (3, True)
+    assert (out["cc"].allocated, out["cc"].capped) == (2, True)
+    assert sum(r.allocated for r in out.values()) == 6

@@ -560,6 +560,12 @@ AUDITS: dict[str, dict] = {
     "dedup_embed_cosine_census": {"no_bnlj": False, "broadcast": True,
                                   "partial": True,
                                   "forbid": [r"CartesianProduct"]},
+    # water-filling: ONE partial-agged counts exchange; every later
+    # step runs on the |langs|-row table crossed with broadcast 1-row
+    # stats (BNLJ of one-row sides by design)
+    "mixture_waterfill": {"no_bnlj": False, "broadcast": True,
+                          "partial": True,
+                          "prune": ["doc_id", "source", "n_chars"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
