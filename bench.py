@@ -144,6 +144,7 @@ OPTIONAL = [
     "mm_dedup_binary",
     "dedup_embed_cosine_census",
     "mixture_waterfill",
+    "attribution_last_touch",
 ]
 
 N_RUNS = 3

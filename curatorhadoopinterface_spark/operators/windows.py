@@ -465,3 +465,94 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+ATTR_WINDOW_HOURS = 72
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS last_touch_type,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN ts END IGNORE NULLS) OVER w
+                   AS last_touch_ts
+        FROM events
+        WHERE event_type <> 'error'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT COALESCE(CASE WHEN last_touch_ts >=
+                              ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+                         THEN last_touch_type END, 'organic') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR touch event (click/view/signup) within {ATTR_WINDOW_HOURS}
+    hours, else 'organic' — the revenue-attribution rollup every event
+    pipeline feeds back to acquisition.
+
+    The as-of semantics use the union-sort shape (join_asof precedent):
+    ONE (user_id)-partitioned window pass carries the last non-null
+    touch forward — no purchases-x-touches self-join, so cost is one
+    sort of the filtered events, not quadratic in per-user activity.
+    'Prior' is strict (ROWS ... 1 PRECEDING) under the total
+    (ts, event_id) order, so a touch sharing a purchase's timestamp
+    attributes deterministically in both engines.
+
+    Exactness: attributed revenue sums as DECIMAL(18,2) (house money
+    rule), rounded before the double cast; the recency gate is an exact
+    timestamp-interval compare (micros). The error-event filter pushes
+    to the scan; the final census is a tiny second aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_ts"),
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("last_touch_ts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS"),
+                    F.col("last_touch_type"),
+                ),
+                F.lit("organic"),
+            ).alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -187,3 +187,41 @@ def test_waterfill_level_and_remainder(spark):
     assert (out["bb"].allocated, out["bb"].capped) == (3, True)
     assert (out["cc"].allocated, out["cc"].capped) == (2, True)
     assert sum(r.allocated for r in out.values()) == 6
+
+
+def test_attribution_window_and_tie(spark):
+    """A purchase credits the most recent PRIOR touch inside the window;
+    stale touches fall to organic; a same-ts touch with a smaller
+    event_id still counts as prior."""
+    import datetime as dt
+
+    from curatorhadoopinterface_spark.operators.windows import (
+        ATTR_WINDOW_HOURS,
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # user 1: click 1h before purchase -> attributed to click
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "purchase", 10.0, "{}"),
+        # user 2: view OUTSIDE the window -> organic
+        (3, t0 - dt.timedelta(hours=ATTR_WINDOW_HOURS + 1), 2, "view", 0.0, "{}"),
+        (4, t0, 2, "purchase", 5.0, "{}"),
+        # user 3: signup at the SAME ts as the purchase, smaller id -> prior
+        (5, t0, 3, "signup", 0.0, "{}"),
+        (6, t0, 3, "purchase", 2.0, "{}"),
+        # user 4: later click is AFTER the purchase -> organic
+        (7, t0 + dt.timedelta(hours=1), 4, "click", 0.0, "{}"),
+        (8, t0, 4, "purchase", 1.0, "{}"),
+    ]
+    out_dir = _write(
+        spark, rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        "events", "attrib",
+    )
+    out = {r.touch_type: r for r in attribution_last_touch(spark, out_dir).collect()}
+    assert out["click"].n_purchases == 1 and out["click"].attributed_value == 10.0
+    assert out["signup"].n_purchases == 1 and out["signup"].attributed_value == 2.0
+    assert out["organic"].n_purchases == 2 and out["organic"].attributed_value == 6.0

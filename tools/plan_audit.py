@@ -566,6 +566,12 @@ AUDITS: dict[str, dict] = {
     "mixture_waterfill": {"no_bnlj": False, "broadcast": True,
                           "partial": True,
                           "prune": ["doc_id", "source", "n_chars"]},
+    # last-touch attribution: error filter pushes to the scan; ONE
+    # user_id window exchange + the tiny census agg; no self-join
+    "attribution_last_touch": {"pushed": True, "partial": True,
+                               "prune": ["props"],
+                               "forbid": [r"SortMergeJoin",
+                                          r"BroadcastHashJoin"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
