@@ -145,6 +145,8 @@ OPTIONAL = [
     "dedup_embed_cosine_census",
     "mixture_waterfill",
     "attribution_last_touch",
+    "text_vocab_growth",
+    "pack_length_buckets",
 ]
 
 N_RUNS = 3

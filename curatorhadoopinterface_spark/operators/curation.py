@@ -1197,3 +1197,65 @@ def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("j") > F.col("jstar")).alias("capped"),
         )
     )
+
+
+# ---- length-bucketed batching: padding-waste census ------------------------
+
+
+@query(
+    "pack_length_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+    bucketed AS (
+        SELECT lang, n,
+               CASE WHEN n <= 1 THEN 1
+                    ELSE CAST(POWER(2, LENGTH(BIN(n - 1))) AS BIGINT)
+               END AS bucket
+        FROM toks)
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           SUM(n) AS n_tokens,
+           bucket * COUNT(*) AS padded_slots,
+           (bucket * COUNT(*) - SUM(n)) * 1000 // (bucket * COUNT(*))
+               AS waste_permille
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching census: assign every document to the
+    next-power-of-2 length bucket and report per-(lang, bucket) doc
+    count, real tokens, padded slots, and padding waste in exact
+    per-mille — the measurement that decides bucket boundaries before a
+    training job pads sequences (the padding-efficiency complement of
+    pack_sequences' concat packing).
+
+    Exactness: next_pow2(n) = 2^LENGTH(BIN(n-1)) — the BIN-length
+    integer-log2 identity (dedup_semantic_scaledk precedent), no float
+    log; waste is integer cross-multiplied per-mille via floor
+    division. Output is bounded by |langs| x log2(max doc length)
+    buckets regardless of corpus size.
+
+    Scale shape: tokenize+bucket are scan-local expressions; ONE
+    partial-aggregated (lang, bucket) exchange produces the census.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.when(n <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr(
+            "cast(shiftleft(1L, cast(length(bin(size(split(text, ' ')) - 1))"
+            " as int)) as bigint)"
+        )
+    )
+    return (
+        d.select("lang", n.alias("n"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            (F.col("bucket") * F.count(F.lit(1))).alias("padded_slots"),
+            F.expr(
+                "(bucket * count(1) - sum(n)) * 1000 div (bucket * count(1))"
+            ).alias("waste_permille"),
+        )
+    )

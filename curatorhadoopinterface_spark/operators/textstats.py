@@ -1384,3 +1384,98 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").alias("total_score"),
         )
     )
+
+
+# ---- vocabulary growth (Heaps' law) census ---------------------------------
+
+VOCAB_GROWTH_PCTS = (1, 10, 25, 50, 100)
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    firsts AS (SELECT w, MIN(doc_id) AS first_id FROM words GROUP BY w),
+    stats AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    pcts AS (SELECT UNNEST([{', '.join(str(p) for p in VOCAB_GROWTH_PCTS)}]) AS pct),
+    vocab AS (
+        SELECT p.pct,
+               SUM(CASE WHEN f.first_id * 100 <= s.max_id * p.pct
+                        THEN 1 ELSE 0 END) AS vocab_size
+        FROM firsts f CROSS JOIN stats s CROSS JOIN pcts p GROUP BY p.pct),
+    docside AS (
+        SELECT p.pct,
+               SUM(CASE WHEN d.doc_id * 100 <= s.max_id * p.pct
+                        THEN 1 ELSE 0 END) AS n_docs,
+               SUM(CASE WHEN d.doc_id * 100 <= s.max_id * p.pct
+                        THEN LEN(STRING_SPLIT(d.text, ' '))
+                        ELSE 0 END) AS n_tokens
+        FROM documents d CROSS JOIN stats s CROSS JOIN pcts p GROUP BY p.pct)
+    SELECT v.pct, ds.n_docs, ds.n_tokens, v.vocab_size
+    FROM vocab v JOIN docside ds ON ds.pct = v.pct
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth census: distinct-word count after
+    the first 1/10/25/50/100% of the doc-id space, with the doc and
+    token counts at each checkpoint — the sublinearity curve that tells
+    a tokenizer/dedup pipeline whether a crawl is still contributing
+    novel vocabulary or re-crawling the same material.
+
+    Exactness: a word exists at checkpoint p iff its FIRST occurrence
+    doc satisfies first_id*100 <= max_id*p (integer cross-multiplied —
+    no float fraction); all outputs are integers.
+
+    Scale shape: the explode collapses map-side into ONE (word ->
+    min doc_id) partial-aggregated exchange; the five checkpoints are
+    conditional sums inside a single 1-row aggregate of that table
+    (never a x5 row expansion), the doc-side census is a second 1-row
+    aggregate of the base scan, and the 1-row stats table broadcasts
+    onto both. The 5-row output unpivots driver-free via stack().
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(F.max("doc_id").alias("max_id"))
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    vocab = firsts.crossJoin(F.broadcast(stats)).agg(
+        *[
+            F.sum(
+                F.when(F.col("first_id") * 100 <= F.col("max_id") * p, 1).otherwise(0)
+            ).alias(f"v{p}")
+            for p in VOCAB_GROWTH_PCTS
+        ]
+    )
+    docside = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("doc_id") * 100 <= F.col("max_id") * p, 1).otherwise(0)
+                ).alias(f"d{p}")
+                for p in VOCAB_GROWTH_PCTS
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col("doc_id") * 100 <= F.col("max_id") * p, F.col("n_tok")
+                    ).otherwise(0)
+                ).alias(f"t{p}")
+                for p in VOCAB_GROWTH_PCTS
+            ],
+        )
+    )
+    combined = vocab.crossJoin(F.broadcast(docside))
+    stack = ", ".join(
+        f"{p}, d{p}, t{p}, v{p}" for p in VOCAB_GROWTH_PCTS
+    )
+    return combined.select(
+        F.expr(
+            f"stack({len(VOCAB_GROWTH_PCTS)}, {stack})"
+            " as (pct, n_docs, n_tokens, vocab_size)"
+        )
+    )

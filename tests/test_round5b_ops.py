@@ -225,3 +225,40 @@ def test_attribution_window_and_tie(spark):
     assert out["click"].n_purchases == 1 and out["click"].attributed_value == 10.0
     assert out["signup"].n_purchases == 1 and out["signup"].attributed_value == 2.0
     assert out["organic"].n_purchases == 2 and out["organic"].attributed_value == 6.0
+
+
+def test_vocab_growth_first_occurrence(spark):
+    """Vocabulary at a checkpoint counts words whose FIRST occurrence
+    falls inside it; later re-occurrences never recount."""
+    from curatorhadoopinterface_spark.operators.textstats import text_vocab_growth
+
+    docs = [
+        (0, "a b", "en", "s", 3),
+        (1, "b c", "en", "s", 3),
+        (2, "c d", "en", "s", 3),
+        (3, "a e", "en", "s", 3),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "heaps")
+    out = {r.pct: r for r in text_vocab_growth(spark, out_dir).collect()}
+    assert (out[1].n_docs, out[1].n_tokens, out[1].vocab_size) == (1, 2, 2)
+    assert (out[50].n_docs, out[50].n_tokens, out[50].vocab_size) == (2, 4, 3)
+    assert (out[100].n_docs, out[100].n_tokens, out[100].vocab_size) == (4, 8, 5)
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    """next_pow2 via the BIN-length identity: 1->1, 2->2, 3->4, 5->8;
+    waste is exact floor per-mille."""
+    from curatorhadoopinterface_spark.operators.curation import pack_length_buckets
+
+    docs = [
+        (1, "t", "en", "s", 1),
+        (2, "t t", "en", "s", 3),
+        (3, "t t t", "en", "s", 5),
+        (4, "t t t t t", "en", "s", 9),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "lenbuck")
+    out = {r.bucket: r for r in pack_length_buckets(spark, out_dir).collect()}
+    assert set(out) == {1, 2, 4, 8}
+    assert out[4].waste_permille == 250   # (4-3)*1000 // 4
+    assert out[8].waste_permille == 375   # (8-5)*1000 // 8
+    assert out[1].waste_permille == 0 and out[2].waste_permille == 0

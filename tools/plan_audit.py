@@ -572,6 +572,14 @@ AUDITS: dict[str, dict] = {
                                "prune": ["props"],
                                "forbid": [r"SortMergeJoin",
                                           r"BroadcastHashJoin"]},
+    # Heaps census: word explode collapses into ONE partial-agged
+    # (word -> min doc) exchange; checkpoints are conditional sums in
+    # 1-row aggregates crossed via broadcast BNLJ (by design)
+    "text_vocab_growth": {"no_bnlj": False, "partial": True,
+                          "prune": ["lang", "source", "n_chars"]},
+    # length buckets: tokenize+pow2 scan-local, ONE census exchange
+    "pack_length_buckets": {"partial": True, "max_exchange": 1,
+                            "prune": ["doc_id", "source", "n_chars"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
