@@ -147,6 +147,7 @@ OPTIONAL = [
     "attribution_last_touch",
     "text_vocab_growth",
     "pack_length_buckets",
+    "text_span_corruption",
 ]
 
 N_RUNS = 3

@@ -1479,3 +1479,84 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (pct, n_docs, n_tokens, vocab_size)"
         )
     )
+
+
+# ---- denoising-objective mask census ---------------------------------------
+
+MASK_PCT = 15  # T5/BART-style corruption rate
+
+_MASK_SPARK = (
+    "transform(sequence(1, size(split(text, ' '))),"
+    " i -> pmod(cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+    " cast(i as string))), 1, 7), 16, 10) as bigint), 100) < " + str(MASK_PCT) + ")"
+)
+_MASK_ORACLE = (
+    "LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1),"
+    " i -> CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), ':',"
+    " CAST(i AS VARCHAR))), 1, 7)) AS BIGINT) % 100 < " + str(MASK_PCT) + ")"
+)
+
+
+@query(
+    "text_span_corruption",
+    oracle=f"""
+    WITH m AS (
+        SELECT lang,
+               LEN(STRING_SPLIT(text, ' ')) AS n,
+               {_MASK_ORACLE} AS mask
+        FROM documents),
+    per_doc AS (
+        SELECT lang, n,
+               LEN(LIST_FILTER(mask, x -> x)) AS n_masked,
+               LEN(LIST_FILTER(RANGE(1, n + 1),
+                   i -> mask[i] AND (i = 1 OR NOT mask[i-1]))) AS n_spans
+        FROM m)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n) AS n_tokens,
+           SUM(n_masked) AS n_masked,
+           SUM(n_spans) AS n_spans
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective mask census: deterministically mask
+    {MASK_PCT}% of tokens (content-hash per (doc, position) — the
+    reproducible stand-in for the trainer's RNG) and count masked
+    tokens AND contiguous masked SPANS per language — the span/token
+    corruption statistics a T5/BART-style pretraining pipeline asserts
+    before writing sentinel-token targets.
+
+    Exactness: the mask is the md5->bigint idiom (minhash chain
+    precedent), bit-identical in both engines; span starts are
+    positions i with mask[i] AND NOT mask[i-1] — counted array-locally
+    by a positional filter over the boolean mask, all integers.
+
+    Scale shape: mask, token count, and span count are ALL array-local
+    per-row expressions (no explode — a 4k-token doc stays one row);
+    the only exchange is the per-language census aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the mask ONCE per row (the md5-per-token cost), then
+    # count tokens/masked/spans over the cached array
+    masked = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n"),
+        F.expr(_MASK_SPARK).alias("mask"),
+    )
+    per_doc = masked.select(
+        "lang",
+        "n",
+        F.expr("size(filter(mask, x -> x))").alias("n_masked"),
+        F.expr(
+            "size(filter(sequence(1, n),"
+            " i -> element_at(mask, i)"
+            " and (i = 1 or not element_at(mask, i - 1))))"
+        ).alias("n_spans"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.sum("n_masked").alias("n_masked"),
+        F.sum("n_spans").alias("n_spans"),
+    )

@@ -262,3 +262,29 @@ def test_length_buckets_pow2_and_waste(spark):
     assert out[4].waste_permille == 250   # (4-3)*1000 // 4
     assert out[8].waste_permille == 375   # (8-5)*1000 // 8
     assert out[1].waste_permille == 0 and out[2].waste_permille == 0
+
+
+def test_span_corruption_mask_and_spans(spark):
+    """The mask replays the documented md5 formula position-by-position,
+    and adjacent masked tokens count as ONE span."""
+    from curatorhadoopinterface_spark.operators.textstats import (
+        MASK_PCT,
+        text_span_corruption,
+    )
+
+    n_tok, doc_id = 60, 42
+    docs = [(doc_id, " ".join(f"w{i}" for i in range(n_tok)), "en", "s", 100)]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "spancorr")
+    r = text_span_corruption(spark, out_dir).collect()[0]
+
+    mask = [
+        int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:7], 16) % 100
+        < MASK_PCT
+        for i in range(1, n_tok + 1)
+    ]
+    n_masked = sum(mask)
+    n_spans = sum(
+        1 for i in range(n_tok) if mask[i] and (i == 0 or not mask[i - 1])
+    )
+    assert n_masked > 0  # fixture long enough to mask something
+    assert (r.n_tokens, r.n_masked, r.n_spans) == (n_tok, n_masked, n_spans)

@@ -580,6 +580,10 @@ AUDITS: dict[str, dict] = {
     # length buckets: tokenize+pow2 scan-local, ONE census exchange
     "pack_length_buckets": {"partial": True, "max_exchange": 1,
                             "prune": ["doc_id", "source", "n_chars"]},
+    # mask census: md5 mask + span count are array-local (no explode);
+    # ONE per-language census exchange
+    "text_span_corruption": {"partial": True, "max_exchange": 1,
+                             "prune": ["source", "n_chars"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
