@@ -54,6 +54,14 @@ EXCLUDE = {
     # join plan is swept at sf10 through dedup_embed_cosine_census
     # (O(1) census output); the pair dump stays value-exact at sf1.
     "dedup_embed_cosine",
+    # dedup_keep_best: same ORACLE limit as dedup_clusters (documented
+    # above) — the DuckDB side replays connected components as a
+    # recursive reachability CTE, quadratic rows per planted
+    # mega-cluster (>100 GB RSS at 100x, killed twice). The engine's
+    # linear label propagation is the dedup_clusters machinery already
+    # engine-green at 30x; dedup_keep_best is oracle-checked through
+    # sf1 (SCALE.md round-5 rung).
+    "dedup_keep_best",
 }
 
 CHUNK = 12
