@@ -148,6 +148,8 @@ OPTIONAL = [
     "text_vocab_growth",
     "pack_length_buckets",
     "text_span_corruption",
+    "text_boilerplate",
+    "dedup_source_overlap",
 ]
 
 N_RUNS = 3

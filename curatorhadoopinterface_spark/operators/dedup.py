@@ -1207,3 +1207,68 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
     )
+
+
+@query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH sigs AS (
+        SELECT source,
+               MD5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS sig,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_contents,
+           SUM(a.n_docs) AS n_docs_a,
+           SUM(b.n_docs) AS n_docs_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every pair of sources, how
+    many DISTINCT contents they share and how many docs on each side
+    carry them — the provenance census that tells a curation pipeline
+    which feeds mirror each other (syndication, scraping the same
+    upstream) before any cross-source dedup decision. Content key =
+    md5 of the first-10-word LEDE (syndicated copies keep the lede even
+    when trailing boilerplate differs — the fingerprint used by news-
+    dedup pipelines), so near-verbatim mirrors match without any
+    fuzzy-join cost.
+
+    Scale shape: contents collapse to one (source, sig, n_docs) row per
+    source FIRST (map-side partial agg on the content hash — corpus
+    bytes never cross the wire, 32-hex sigs do), then a self equi join
+    on sig. Pair expansion per content is bounded by (sources-per-
+    content choose 2) <= (|sources| choose 2) — a constant (~20 feeds),
+    never corpus-quadratic. The pair census output is O(|sources|^2).
+    All counts are exact BIGINTs; no float anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        d.select(
+            "source",
+            F.md5(
+                F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+            ).alias("sig"),
+        )
+        .groupBy("source", "sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_contents"),
+            F.sum("a.n_docs").alias("n_docs_a"),
+            F.sum("b.n_docs").alias("n_docs_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )

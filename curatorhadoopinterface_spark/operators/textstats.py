@@ -1560,3 +1560,216 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_masked").alias("n_masked"),
         F.sum("n_spans").alias("n_spans"),
     )
+
+
+# -- boilerplate segment removal census (CCNet / RefinedWeb line dedup) ------
+
+_BOILER_SEG = 5  # words per segment ("line" unit; fixture text has no \n)
+_BOILER_MIN_DOCS = 2  # segment in >= this many docs of one source = boilerplate
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   w[i.g * {_BOILER_SEG} + 1 : i.g * {_BOILER_SEG} + {_BOILER_SEG}],
+                   ' ') AS seg
+        FROM toks, LATERAL (
+            SELECT UNNEST(GENERATE_SERIES(
+                0, CAST(CEIL(len(w) / {_BOILER_SEG}.0) AS INT) - 1)) AS g) i),
+    per_seg AS (
+        SELECT source, seg, COUNT(*) AS occ,
+               COUNT(DISTINCT doc_id) AS n_docs_seg
+        FROM segs GROUP BY source, seg)
+    SELECT source,
+           SUM(occ) AS n_segments,
+           COUNT(*) AS n_distinct_segments,
+           SUM(CASE WHEN n_docs_seg >= {_BOILER_MIN_DOCS} THEN occ ELSE 0 END)
+               AS n_boiler_occurrences,
+           SUM(CASE WHEN n_docs_seg >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+               AS n_boiler_segments,
+           ROUND(SUM(CASE WHEN n_docs_seg >= {_BOILER_MIN_DOCS}
+                          THEN occ ELSE 0 END) * 1.0 / SUM(occ), 6)
+               AS boiler_ratio
+    FROM per_seg GROUP BY source
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment census per source — the line-level dedup pass
+    of CCNet/RefinedWeb-style web curation (navbars/footers repeat
+    across pages of one site; here "line" = a fixed 5-word segment since
+    the fixture text has no newlines). A segment occurring in >= 2
+    DISTINCT docs of the same source is boilerplate; the census reports,
+    per source, how much of the corpus that removal pass would delete.
+
+    Scale shape: segmentation is a per-row array expression
+    (sequence+transform+slice — no per-word explode; one output row per
+    segment only after the single explode). ONE wide shuffle on
+    (source, seg) with map-side partial aggregation — repeated segments
+    collapse before the exchange, which is the entire point of the
+    operator — then a source-sized regroup. At 100 TB this is the same
+    two-level shape as a word count; no join, no quadratic term. The
+    per-source census is O(sources). Ratio is a correctly-rounded IEEE
+    double of two exact BIGINTs — identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    k = _BOILER_SEG
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {k}.0)"
+                f" as int) - 1),"
+                f" g -> array_join(slice(split(text, ' '), g * {k} + 1, {k}), ' '))"
+            )
+        ).alias("seg"),
+    )
+    per_seg = segs.groupBy("source", "seg").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("doc_id").alias("n_docs_seg"),
+    )
+    boiler = F.col("n_docs_seg") >= _BOILER_MIN_DOCS
+    return per_seg.groupBy("source").agg(
+        F.sum("occ").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_distinct_segments"),
+        F.sum(F.when(boiler, F.col("occ")).otherwise(F.lit(0))).alias(
+            "n_boiler_occurrences"
+        ),
+        F.sum(F.when(boiler, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_boiler_segments"
+        ),
+        F.round(
+            F.sum(F.when(boiler, F.col("occ")).otherwise(F.lit(0)))
+            / F.sum("occ"),
+            6,
+        ).alias("boiler_ratio"),
+    )
+
+
+# -- PMI collocations ---------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # bigram support floor (standard collocation practice)
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT term, COUNT(*) AS c FROM (
+            SELECT UNNEST(w) AS term FROM toks) GROUP BY term),
+    n_uni AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(w) - 1), i -> w[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(w) - 1), i -> w[i + 1])) AS w2
+            FROM toks WHERE LEN(w) >= 2)
+        GROUP BY w1, w2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    n_bi AS (SELECT SUM(c_ab) AS n FROM (
+        SELECT COUNT(*) AS c_ab FROM (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(w) - 1), i -> w[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(w) - 1), i -> w[i + 1])) AS w2
+            FROM toks WHERE LEN(w) >= 2)
+        GROUP BY w1, w2)),
+    scored AS (
+        SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+               CAST(FLOOR(CAST(b.c_ab AS DOUBLE) * 1e12
+                          / ua.c / ub.c) AS BIGINT) AS rank_key,
+               ROUND(LN(CAST(b.c_ab AS DOUBLE) / ua.c / ub.c
+                        * nu.n / nb.n * nu.n), 6) AS pmi
+        FROM bi b
+        JOIN uni ua ON ua.term = b.w1
+        JOIN uni ub ON ub.term = b.w2
+        CROSS JOIN n_uni nu CROSS JOIN n_bi nb)
+    SELECT w1, w2, c_ab, c_a, c_b, pmi
+    FROM scored ORDER BY rank_key DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI-ranked adjacent-word collocations (support >= 5) —
+    the classic corpus-statistics pass behind phrase mining / tokenizer
+    merge candidates (Mikolov-style phrase detection uses exactly this
+    count ratio).
+
+    Determinism: the RANK KEY is floor(c_ab * 1e12 / c_a / c_b) computed
+    by the identical left-to-right IEEE expression in both engines —
+    every step (int->double conversion, multiply, two divisions, floor)
+    is correctly-rounded and deterministic, so the ordering can never
+    disagree; PMI itself is display-only, LN of identical doubles
+    rounded to 6dp (the text_tfidf contract). Ties total-ordered by
+    (w1, w2).
+
+    Scale shape: unigram and bigram counts are two explode->partial-agg
+    exchanges that collapse to VOCABULARY size map-side (word-count
+    shape); the scoring joins attach unigram counts to the (tiny)
+    supported-bigram table — broadcast-able at any corpus size since
+    vocab, not corpus, bounds them; the two 1-row totals are scalar
+    broadcasts. Final top-50 is a TakeOrdered, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_all = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] as w1, w[i + 1] as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_counts = bi_all.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bi = bi_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    n_uni = uni.agg(F.sum("c").alias("n_u"))
+    n_bi = bi_counts.agg(F.sum("c_ab").alias("n_b"))
+    scored = (
+        bi.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.floor(
+                F.col("c_ab").cast("double")
+                * F.lit(1e12)
+                / F.col("c_a")
+                / F.col("c_b")
+            )
+            .cast("bigint")
+            .alias("rank_key"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    / F.col("c_a")
+                    / F.col("c_b")
+                    * F.col("n_u")
+                    / F.col("n_b")
+                    * F.col("n_u")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("rank_key").desc(), "w1", "w2")
+        .limit(50)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+    )

@@ -1,0 +1,79 @@
+"""Planted-fixture semantics for the round-5c operators: boilerplate
+segment flagging thresholds, lede-fingerprint source-overlap pairing."""
+
+import os
+import tempfile
+
+
+def _write(spark, rows, schema, table, name):
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"curatorhadoopinterface_spark_test_{name}"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"{table}.parquet")
+    )
+    return out_dir
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_boilerplate_same_doc_repeat_not_flagged(spark):
+    """A segment repeated WITHIN one doc is not boilerplate (distinct-doc
+    threshold); the same segment in two docs of one source is; a shared
+    segment across DIFFERENT sources never is."""
+    from curatorhadoopinterface_spark.operators.textstats import text_boilerplate
+
+    nav = "home about contact login search"  # exactly one 5-word segment
+    docs = [
+        # srcA doc 1+2 share the nav segment -> boilerplate in srcA
+        (0, nav + " alpha beta gamma delta eps", "en", "srcA", 1),
+        (1, nav + " one two three four five", "en", "srcA", 1),
+        # srcB: nav appears TWICE in the SAME doc -> occ 2, docs 1 -> clean
+        (2, nav + " " + nav, "en", "srcB", 1),
+        # srcC has the nav once -> no second doc, clean
+        (3, nav, "en", "srcC", 1),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "boiler")
+    out = {r.source: r for r in text_boilerplate(spark, out_dir).collect()}
+    a, b, c = out["srcA"], out["srcB"], out["srcC"]
+    # srcA: 2 docs x 2 segments; the nav segment flagged in both docs
+    assert (a.n_segments, a.n_boiler_segments, a.n_boiler_occurrences) == (4, 1, 2)
+    assert a.boiler_ratio == 0.5
+    # srcB: two occurrences of one segment but ONE doc -> nothing flagged
+    assert (b.n_segments, b.n_distinct_segments, b.n_boiler_occurrences) == (2, 1, 0)
+    assert (c.n_boiler_segments, c.n_boiler_occurrences) == (0, 0)
+
+
+def test_boilerplate_short_tail_segment(spark):
+    """Docs shorter than one segment width still produce exactly one
+    (clipped) segment — ceil sizing, slice clipping."""
+    from curatorhadoopinterface_spark.operators.textstats import text_boilerplate
+
+    docs = [(0, "just three words", "en", "s", 1),
+            (1, "just three words", "en", "s", 1)]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "boiler_tail")
+    r = text_boilerplate(spark, out_dir).collect()[0]
+    assert (r.n_segments, r.n_distinct_segments) == (2, 1)
+    assert r.n_boiler_occurrences == 2  # the clipped segment matched across docs
+
+
+def test_source_overlap_lede_fingerprint(spark):
+    """Overlap keys on the FIRST-10-WORD lede: two sources sharing a lede
+    with different tails still pair; differing ledes never pair; the pair
+    is emitted once with src_a < src_b and per-side doc counts."""
+    from curatorhadoopinterface_spark.operators.dedup import dedup_source_overlap
+
+    lede = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [
+        (0, lede + " tail from feedA", "en", "feedA", 1),
+        (1, lede + " completely different tail", "en", "feedB", 1),
+        (2, lede + " third copy same feedB", "en", "feedB", 1),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 unique", "en", "feedC", 1),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "overlap")
+    rows = dedup_source_overlap(spark, out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b) == ("feedA", "feedB")
+    assert (r.n_shared_contents, r.n_docs_a, r.n_docs_b) == (1, 1, 2)

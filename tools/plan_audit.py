@@ -584,6 +584,17 @@ AUDITS: dict[str, dict] = {
     # ONE per-language census exchange
     "text_span_corruption": {"partial": True, "max_exchange": 1,
                              "prune": ["source", "n_chars"]},
+    # boilerplate census: segmentation is array-local (no per-word
+    # explode); repeated segments collapse map-side before the ONE wide
+    # (source, seg) exchange, then a source-sized regroup
+    "text_boilerplate": {"partial": True, "max_exchange": 3,
+                         "prune": ["lang", "n_chars"]},
+    # source-overlap matrix: corpus collapses to (source, lede-sig)
+    # partial-agged rows BEFORE the self equi join on sig — the join
+    # moves fingerprints, never text; no cartesian/BNLJ anywhere
+    "dedup_source_overlap": {"partial": True,
+                             "prune": ["doc_id", "lang", "n_chars"],
+                             "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
