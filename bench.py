@@ -150,6 +150,8 @@ OPTIONAL = [
     "text_span_corruption",
     "text_boilerplate",
     "dedup_source_overlap",
+    "emb_outliers",
+    "text_pmi_bigrams",
 ]
 
 N_RUNS = 3

@@ -730,3 +730,101 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _DRIFT_CUT * F.col("n_a") * F.col("n_b")
         ).alias("drifted"),
     )
+
+
+# -- per-cluster embedding outlier census -------------------------------------
+
+_OUT_SCALE = 1_000_000  # component -> floor(x * 10^6) BIGINT
+# squared distance (at _OUT_SCALE^2 fixed point) above which a vector is
+# an outlier vs its label centroid; ~p95 of the fixture's distance
+# distribution (mislabeled / corrupted-embedding detection threshold)
+_OUT_CUT = 1_030_000_000_000
+
+
+@query(
+    "emb_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, d.dim,
+               CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * {_OUT_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim) d),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(SUM(qv) * 1.0 / COUNT(*)) AS BIGINT) AS cq
+        FROM q GROUP BY label, dim),
+    per_vec AS (
+        SELECT q.vec_id, q.label,
+               SUM((q.qv - c.cq) * (q.qv - c.cq)) AS dist2
+        FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+        GROUP BY q.vec_id, q.label)
+    SELECT label, COUNT(*) AS n_vecs,
+           SUM(CASE WHEN dist2 > {_OUT_CUT} THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(MIN(dist2) / 1e12, 6) AS min_dist2,
+           ROUND(MAX(dist2) / 1e12, 6) AS max_dist2
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outlier census: squared Euclidean distance
+    of every vector to its LABEL centroid, flagging the far tail —
+    the mislabeled/corrupted-vector detection pass a training pipeline
+    runs before contrastive sampling or ANN index builds.
+
+    Exactness (the emb_drift fixed-point pattern): components quantize
+    to BIGINT (floor(x*1e6)) BEFORE any aggregation, so the centroid
+    numerator is an order-independent integer sum; the per-dim centroid
+    is floor(sum/n) where sum*1.0 stays under 2^53 (exact IEEE division,
+    identical in both engines); dist2 is a pure BIGINT sum (max ~2.6e14,
+    no overflow) and the outlier cut is an integer compare — no float
+    threshold can flip between engines.
+
+    Scale shape: centroids come from ONE explode + partial-agged
+    (label, dim) exchange — output is |labels| x 64 rows, broadcast back
+    onto the corpus for a map-side zip_with/aggregate dist2 (the vector
+    table is never re-shuffled, no per-vec regroup). Census is a
+    |labels|-sized aggregate. At 100 TB: one scan, one tiny exchange,
+    one broadcast join, one census exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv_arr = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(floor(cast(x as double) * {_OUT_SCALE}) as bigint))"
+    )
+    q = e.select(
+        "vec_id", "label", F.posexplode(qv_arr).alias("dim0", "qv")
+    )
+    cent = (
+        q.groupBy("label", F.col("dim0").alias("dim"))
+        .agg(
+            F.floor(F.sum("qv") / F.count(F.lit(1))).cast("bigint").alias("cq")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cq))),"
+                " s -> s.cq)"
+            ).alias("c_arr")
+        )
+    )
+    per_vec = e.select("vec_id", "label", qv_arr.alias("qv_arr")).join(
+        F.broadcast(cent), "label"
+    ).select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(qv_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("dist2") > _OUT_CUT, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.round(F.min("dist2") / F.lit(1e12), 6).alias("min_dist2"),
+            F.round(F.max("dist2") / F.lit(1e12), 6).alias("max_dist2"),
+        )
+        .orderBy("label")
+    )

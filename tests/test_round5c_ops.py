@@ -77,3 +77,59 @@ def test_source_overlap_lede_fingerprint(spark):
     r = rows[0]
     assert (r.src_a, r.src_b) == ("feedA", "feedB")
     assert (r.n_shared_contents, r.n_docs_a, r.n_docs_b) == (1, 1, 2)
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def test_emb_outliers_fixed_point_census(spark):
+    """Centroid is the per-dim floor-mean of quantized components; the
+    planted far vector is flagged, the tight cluster is not."""
+    from curatorhadoopinterface_spark.operators.mlops import (
+        _EMB_DIM,
+        emb_outliers,
+    )
+
+    # centroid of cluster 0 = 0.2 per dim; base dist2 = 64*0.1^2 = 0.64
+    # (under the 1.03 cut), far dist2 = 64*0.3^2 = 5.76 (flagged)
+    base = [0.1] * _EMB_DIM
+    far = [0.5] * _EMB_DIM
+    embs = [
+        (0, base, 0),
+        (1, base, 0),
+        (2, base, 0),
+        (3, far, 0),
+        (4, base, 1),  # singleton cluster: zero distance, never flagged
+    ]
+    out_dir = _write(spark, embs, EMB_SCHEMA, "embeddings", "outliers")
+    out = {r.label: r for r in emb_outliers(spark, out_dir).collect()}
+    assert out[0].n_vecs == 4 and out[0].n_outliers == 1
+    assert out[1].n_vecs == 1 and out[1].n_outliers == 0
+    assert out[1].min_dist2 == 0.0 and out[1].max_dist2 == 0.0
+    # cluster 0 centroid sits 1/4 of the way to the far vector; the
+    # three base vectors share one exact min distance
+    assert out[0].min_dist2 < out[0].max_dist2
+
+
+def test_pmi_collocation_outranks_frequency(spark):
+    """A pair that ALWAYS co-occurs (low unigram counts) outranks a
+    frequent-but-independent pair; support < 5 is dropped."""
+    from curatorhadoopinterface_spark.operators.textstats import text_pmi_bigrams
+
+    # "hong kong" appears 5x, each word ONLY in that bigram;
+    # "the cat" appears 6x but 'the' also floods the corpus solo-adjacent
+    # to other words; "rare pair" appears 4x -> below support floor.
+    docs = []
+    for i in range(5):
+        docs.append((i, "hong kong filler" + str(i) + " end", "en", "s", 1))
+    for i in range(6):
+        docs.append((10 + i, "the cat the dog the fox", "en", "s", 1))
+    for i in range(4):
+        docs.append((20 + i, "rare pair", "en", "s", 1))
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "pmi")
+    rows = text_pmi_bigrams(spark, out_dir).collect()
+    names = [(r.w1, r.w2) for r in rows]
+    assert ("rare", "pair") not in names           # support floor
+    assert names.index(("hong", "kong")) < names.index(("the", "cat"))
+    hk = next(r for r in rows if (r.w1, r.w2) == ("hong", "kong"))
+    assert hk.c_ab == 5 and hk.c_a == 5 and hk.c_b == 5

@@ -595,6 +595,18 @@ AUDITS: dict[str, dict] = {
     "dedup_source_overlap": {"partial": True,
                              "prune": ["doc_id", "lang", "n_chars"],
                              "forbid": [r"CartesianProduct"]},
+    # outlier census: centroid = ONE explode->partial-agged (label,dim)
+    # exchange (|labels| x 64 rows) broadcast back; dist2 is map-side
+    # zip_with — the vector table is never re-shuffled per vec
+    "emb_outliers": {"partial": True, "broadcast": True,
+                     "forbid": [r"CartesianProduct"]},
+    # PMI: two word-count-shaped partial-agged exchanges; unigram
+    # attach joins bounded by vocab; totals are 1-row broadcast BNLJs
+    # (by design); top-50 is TakeOrdered, no global sort
+    "text_pmi_bigrams": {"no_bnlj": False, "partial": True,
+                         "prune": ["doc_id", "lang", "source", "n_chars"],
+                         "require": [r"TakeOrderedAndProject"],
+                         "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
