@@ -1094,18 +1094,22 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangles",
     oracle="""
-    WITH basket AS (
+    -- MATERIALIZED: the final SELECT references each CTE from several
+    -- scalar subqueries; DuckDB's default inlining re-computes the
+    -- whole basket-self-join chain per reference (OOM/timeout at sf10;
+    -- materialized the oracle runs in ~43 s there).
+    WITH basket AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.p AS p1, b.p AS p2, COUNT(*) AS together
         FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p),
-    edges AS (SELECT p1, p2 FROM pairs WHERE together >= 2),
-    deg AS (
+    edges AS MATERIALIZED (SELECT p1, p2 FROM pairs WHERE together >= 2),
+    deg AS MATERIALIZED (
         SELECT node, COUNT(*) AS d FROM (
             SELECT p1 AS node FROM edges
             UNION ALL SELECT p2 AS node FROM edges) GROUP BY node),
-    oriented AS (
+    oriented AS MATERIALIZED (
         SELECT CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
                     THEN e.p1 ELSE e.p2 END AS src,
                CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
@@ -1113,10 +1117,10 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM edges e
         JOIN deg da ON da.node = e.p1
         JOIN deg db ON db.node = e.p2),
-    wedges AS (
+    wedges AS MATERIALIZED (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM oriented e1 JOIN oriented e2 ON e2.src = e1.dst),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT w.a FROM wedges w
         JOIN oriented e3 ON e3.src = w.a AND e3.dst = w.c)
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
