@@ -152,6 +152,7 @@ OPTIONAL = [
     "dedup_source_overlap",
     "emb_outliers",
     "text_pmi_bigrams",
+    "contamination_semantic",
 ]
 
 N_RUNS = 3

@@ -1259,3 +1259,99 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_permille"),
         )
     )
+
+
+# -- semantic (embedding-space) decontamination -------------------------------
+
+_SEM_EVAL_MOD = 100  # vec_id % 100 == 0 -> held-out benchmark embedding
+_SEM_COS = 0.35  # match threshold (calibrated to the synthetic fixture,
+#                  same constant as similarity.NEARDUP_COS; real: ~0.95)
+
+
+@query(
+    "contamination_semantic",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS norm,
+               LIST_AGGREGATE(LIST_TRANSFORM(embedding[1:8],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+        FROM embeddings),
+    ev AS (SELECT * FROM base WHERE vec_id % {_SEM_EVAL_MOD} = 0),
+    corpus AS (SELECT * FROM base WHERE vec_id % {_SEM_EVAL_MOD} <> 0),
+    hits AS (
+        SELECT c.vec_id, c.label FROM corpus c
+        WHERE EXISTS (
+            SELECT 1 FROM ev q
+            WHERE q.bucket = c.bucket
+              AND ROUND(list_dot_product(q.e, c.e) / (q.norm * c.norm), 6)
+                  >= {_SEM_COS}))
+    SELECT c.label, COUNT(*) AS n_corpus,
+           (SELECT COUNT(*) FROM hits h WHERE h.label = c.label)
+               AS n_contaminated,
+           (SELECT COUNT(*) FROM hits h WHERE h.label = c.label) * 1000
+               // COUNT(*) AS contamination_permille
+    FROM corpus c GROUP BY c.label ORDER BY c.label
+    """,
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination census — the third leg of the
+    decontamination trio (contamination_ngram: surface n-grams;
+    contamination_minhash: doc-level MinHash; this: SEMANTIC near-match
+    a paraphrased benchmark leaks through). A corpus vector is
+    contaminated if ANY held-out benchmark vector in its 8-bit sign-LSH
+    bucket has cosine >= the near-dup threshold.
+
+    Scale shape: the benchmark side is tiny (1% here; real decontam is
+    a few eval suites) and BROADCAST — the corpus never shuffles for
+    candidate generation, exactly the contamination_ngram contract.
+    The bucket equality keeps the per-row probe list at ~1/256 of the
+    broadcast side; the match test is a broadcast LEFT SEMI join
+    (existence, no pair materialization, output bounded by the corpus).
+    Census is one |labels|-sized exchange with integer-exact per-mille."""
+    from curatorhadoopinterface_spark.operators.similarity import (
+        _SPARK_BUCKET,
+        _dot,
+        _with_norm,
+    )
+
+    base = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    ev = base.filter(F.col("vec_id") % _SEM_EVAL_MOD == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = base.filter(F.col("vec_id") % _SEM_EVAL_MOD != 0)
+    cos = F.round(
+        _dot("embedding", "q_emb") / (F.col("norm") * F.col("q_norm")), 6
+    )
+    hits = corpus.join(
+        F.broadcast(ev),
+        (F.col("bucket") == F.col("q_bucket")) & (cos >= _SEM_COS),
+        "left_semi",
+    )
+    census = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("n_corpus"))
+    hit_census = hits.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        census.join(hit_census, "label", "left")
+        .select(
+            "label",
+            "n_corpus",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            # integral DIV, not double-divide-then-cast: a correctly-
+            # rounded double quotient can land ON an integer boundary at
+            # big counts; DuckDB's // is exact integer floor division
+            F.expr(
+                "coalesce(n_contaminated, 0L) * 1000 div n_corpus"
+            ).alias("contamination_permille"),
+        )
+        .orderBy("label")
+    )

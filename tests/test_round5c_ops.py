@@ -133,3 +133,29 @@ def test_pmi_collocation_outranks_frequency(spark):
     assert names.index(("hong", "kong")) < names.index(("the", "cat"))
     hk = next(r for r in rows if (r.w1, r.w2) == ("hong", "kong"))
     assert hk.c_ab == 5 and hk.c_a == 5 and hk.c_b == 5
+
+
+def test_contamination_semantic_bucket_gate(spark):
+    """A corpus vector identical to a benchmark vector is contaminated;
+    one in a DIFFERENT sign bucket is invisible even at cosine 1.0 with
+    nothing; census per-mille is exact integer division."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        contamination_semantic,
+    )
+    from curatorhadoopinterface_spark.operators.mlops import _EMB_DIM
+
+    bench = [1.0] * _EMB_DIM            # vec_id 100 -> eval slice
+    same = [1.0] * _EMB_DIM             # exact copy -> contaminated
+    flipped = [-1.0] * 8 + [1.0] * (_EMB_DIM - 8)  # other bucket
+    embs = [
+        (100, bench, 0),   # benchmark (vec_id % 100 == 0)
+        (1, same, 0),      # hit
+        (2, flipped, 0),   # bucket-gated away despite high |cos|
+        (3, same, 1),      # hit in another label
+    ]
+    out_dir = _write(spark, embs, EMB_SCHEMA, "embeddings", "sem_contam")
+    out = {r.label: r for r in contamination_semantic(spark, out_dir).collect()}
+    assert (out[0].n_corpus, out[0].n_contaminated) == (2, 1)
+    assert out[0].contamination_permille == 500
+    assert (out[1].n_corpus, out[1].n_contaminated) == (1, 1)
+    assert out[1].contamination_permille == 1000

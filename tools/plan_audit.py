@@ -607,6 +607,13 @@ AUDITS: dict[str, dict] = {
                          "prune": ["doc_id", "lang", "source", "n_chars"],
                          "require": [r"TakeOrderedAndProject"],
                          "forbid": [r"CartesianProduct"]},
+    # semantic decontam: benchmark side broadcast, corpus never
+    # shuffles for candidates — existence via broadcast LEFT SEMI on
+    # the sign-bucket key, no pair materialization
+    "contamination_semantic": {"partial": True, "broadcast": True,
+                               "require": [r"BroadcastHashJoin.*LeftSemi"],
+                               "forbid": [r"CartesianProduct",
+                                          r"SortMergeJoin"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
