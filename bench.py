@@ -153,6 +153,7 @@ OPTIONAL = [
     "emb_outliers",
     "text_pmi_bigrams",
     "contamination_semantic",
+    "privacy_ldiversity",
 ]
 
 N_RUNS = 3

@@ -1355,3 +1355,63 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- privacy: l-diversity audit ---------------------------------------------
+
+LDIV_L = 3  # minimum distinct sensitive values per released cell
+
+
+@query(
+    "privacy_ldiversity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+               AS n_sensitive_values,
+           COUNT(*) >= {KANON_K}
+               AND COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                   >= {LDIV_L} AS released
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit on top of the k-anonymity gate: a
+    (nation, segment) cell may be released only if it has >= k members
+    AND its members span >= l distinct SENSITIVE values (balance
+    brackets of 1000) — the refinement that stops a k-anonymous cell
+    from leaking a sensitive attribute every member shares (homogeneity
+    attack; Machanavajjhala et al.). Published as an audit table: every
+    cell with both counts and its release verdict.
+
+    Exactness: the bracket is floor(x/1000) over IDENTICAL double
+    inputs — one correctly-rounded IEEE division then floor, the same
+    value in both engines; counts and both thresholds are integers.
+
+    Plan shape: ONE hash-partitioned groupBy carrying a count and a
+    distinct-count (Spark plans the distinct as a two-phase partial
+    aggregate on (cell, bracket) — still a single exchange family, no
+    join); output is |nations| x |segments| rows. At 100 TB: one scan,
+    one exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    bracket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct(bracket).alias("n_sensitive_values"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            "n_sensitive_values",
+            (
+                (F.col("n_members") >= KANON_K)
+                & (F.col("n_sensitive_values") >= LDIV_L)
+            ).alias("released"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

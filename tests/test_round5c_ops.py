@@ -159,3 +159,39 @@ def test_contamination_semantic_bucket_gate(spark):
     assert out[0].contamination_permille == 500
     assert (out[1].n_corpus, out[1].n_contaminated) == (1, 1)
     assert out[1].contamination_permille == 1000
+
+
+CUST_SCHEMA = (
+    "c_custkey long, c_name string, c_address string, c_nationkey int,"
+    " c_phone string, c_acctbal double, c_mktsegment string, c_comment string"
+)
+
+
+def test_ldiversity_homogeneity_gate(spark):
+    """A cell with k members but ONE balance bracket is NOT released
+    (homogeneity attack); the same size with 3 brackets is."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        KANON_K,
+        privacy_ldiversity,
+    )
+
+    rows = []
+    # cell (1, HOMOG): k members, all in bracket 1 -> suppressed
+    for i in range(KANON_K):
+        rows.append((i, "n", "a", 1, "p", 1500.0, "HOMOG", "c"))
+    # cell (2, DIVERSE): k members across brackets 0/1/2 -> released
+    for i in range(KANON_K):
+        rows.append((100 + i, "n", "a", 2, "p", float(500 + (i % 3) * 1000), "DIVERSE", "c"))
+    # cell (3, SMALL): diverse but k-1 members -> suppressed
+    for i in range(KANON_K - 1):
+        rows.append((200 + i, "n", "a", 3, "p", float(500 + (i % 3) * 1000), "SMALL", "c"))
+    out_dir = _write(spark, rows, CUST_SCHEMA, "customer", "ldiv")
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in privacy_ldiversity(spark, out_dir).collect()
+    }
+    assert out[(1, "HOMOG")].n_sensitive_values == 1
+    assert out[(1, "HOMOG")].released is False
+    assert out[(2, "DIVERSE")].n_sensitive_values == 3
+    assert out[(2, "DIVERSE")].released is True
+    assert out[(3, "SMALL")].released is False

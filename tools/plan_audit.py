@@ -614,6 +614,12 @@ AUDITS: dict[str, dict] = {
                                "require": [r"BroadcastHashJoin.*LeftSemi"],
                                "forbid": [r"CartesianProduct",
                                           r"SortMergeJoin"]},
+    # l-diversity audit: one scan, one exchange family (count +
+    # two-phase distinct on the same cell key); no join anywhere
+    "privacy_ldiversity": {"partial": True,
+                           "prune": ["c_custkey", "c_name", "c_address",
+                                     "c_phone", "c_comment"],
+                           "forbid": [r"Join"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
