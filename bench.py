@@ -154,6 +154,8 @@ OPTIONAL = [
     "text_pmi_bigrams",
     "contamination_semantic",
     "privacy_ldiversity",
+    "events_dedup_window",
+    "ts_gap_census",
 ]
 
 N_RUNS = 3

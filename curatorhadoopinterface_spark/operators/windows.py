@@ -556,3 +556,152 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+# -- telemetry duplicate suppression (debounce) census ------------------------
+
+DEBOUNCE_US = 60_000_000  # two same-key events within 60s = retransmit
+
+
+@query(
+    "events_dedup_window",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= {DEBOUNCE_US}
+                    THEN 1 ELSE 0 END AS suppressed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(suppressed) AS n_suppressed,
+           COUNT(*) - SUM(suppressed) AS n_kept,
+           CAST(ROUND(SUM(CASE WHEN suppressed = 0
+                               THEN CAST(value AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS kept_value
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry retransmit suppression (debounce): an event within 60s
+    of the PREVIOUS event of the same (user, type) key is a duplicate —
+    the at-least-once-delivery cleanup pass every event pipeline runs
+    before metrics (the batch twin of stream_dedup's watermark
+    semantics, with an explicit census instead of a dropped-row dump).
+
+    Scale shape: ONE shuffle on (user_id, event_type) feeds the lag
+    window; the census regroups by type (5 groups). The gap test is
+    integer micros (epoch_us both sides); the kept-value sum is exact
+    DECIMAL rounded before the double cast (house money rule — a 2dp
+    double-sum round flips cents at 100x).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = e.select(
+        "event_type",
+        "value",
+        F.when(gap <= DEBOUNCE_US, 1).otherwise(0).alias("suppressed"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("suppressed").alias("n_suppressed"),
+            (F.count(F.lit(1)) - F.sum("suppressed")).alias("n_kept"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("suppressed") == 0,
+                        F.col("value").cast("decimal(18,2)"),
+                    ).otherwise(zero)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("kept_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- time-series gap census (availability monitor) ----------------------------
+
+GAP_OVER_US = 600_000_000  # a silence > 10 min counts as an outage gap
+_GAP_BUCKET_US = 3_600_000_000  # 1-hour shards for the two-level plan
+
+
+@query(
+    "ts_gap_census",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        FROM events)
+    SELECT event_type,
+           COUNT(*) + 1 AS n_events,
+           SUM(CASE WHEN gap_us > {GAP_OVER_US} THEN 1 ELSE 0 END)
+               AS n_gaps_over,
+           MAX(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream silence/outage census: for every event type, how many
+    inter-event gaps exceed 10 minutes and the longest silence — the
+    data-freshness monitor a feed pipeline alarms on.
+
+    Scale-first decomposition (the reason this is NOT one global window
+    per type): a window partitioned by event_type alone puts an entire
+    stream's history in ONE task — the classic low-cardinality-window
+    trap. Instead, adjacent-pair gaps split exactly into (a) intra-shard
+    gaps inside 1-hour buckets — a window over (type, hour), millions of
+    bounded partitions — and (b) boundary gaps between consecutive
+    non-empty shards, a lag over the per-shard min/max SUMMARY table
+    (|types| x |hours| rows). The union is precisely the global window's
+    gap multiset, at any scale, with no unbounded partition anywhere.
+    The oracle replays the single-window form — same multiset, so the
+    equivalence is value-checked, not asserted. All arithmetic is
+    integer micros."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    base = e.select(
+        "event_type",
+        "event_id",
+        ts_us.alias("ts_us"),
+        (ts_us.cast("bigint") - (ts_us.cast("bigint") % _GAP_BUCKET_US)).alias(
+            "bucket"
+        ),
+    )
+    w_in = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts_us", "event_id"
+    )
+    intra = base.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(w_in)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    shard = base.groupBy("event_type", "bucket").agg(
+        F.min("ts_us").alias("bmin"), F.max("ts_us").alias("bmax")
+    )
+    w_b = Window.partitionBy("event_type").orderBy("bucket")
+    boundary = shard.select(
+        "event_type",
+        (F.col("bmin") - F.lag("bmax").over(w_b)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gaps = intra.unionByName(boundary)
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.sum(
+                F.when(F.col("gap_us") > GAP_OVER_US, 1).otherwise(0)
+            ).alias("n_gaps_over"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

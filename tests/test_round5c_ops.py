@@ -195,3 +195,59 @@ def test_ldiversity_homogeneity_gate(spark):
     assert out[(2, "DIVERSE")].n_sensitive_values == 3
     assert out[(2, "DIVERSE")].released is True
     assert out[(3, "SMALL")].released is False
+
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_events_debounce_window(spark):
+    """An event 60s or less after its same-key predecessor is suppressed;
+    the gap chains off the PREVIOUS event (not the last kept one), and
+    other keys never interact."""
+    from curatorhadoopinterface_spark.operators.windows import events_dedup_window
+
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "click", 10.0, "{}"),
+        (2, _ts("2024-01-01 00:00:30"), 1, "click", 5.0, "{}"),   # +30s dup
+        (3, _ts("2024-01-01 00:01:15"), 1, "click", 7.0, "{}"),   # +45s after PREV dup -> dup
+        (4, _ts("2024-01-01 00:05:00"), 1, "click", 2.0, "{}"),   # +225s kept
+        (5, _ts("2024-01-01 00:00:10"), 2, "click", 1.0, "{}"),   # other user: kept
+        (6, _ts("2024-01-01 00:00:20"), 1, "view", 3.0, "{}"),    # other type: kept
+    ]
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "debounce")
+    out = {r.event_type: r for r in events_dedup_window(spark, out_dir).collect()}
+    c = out["click"]
+    assert (c.n_events, c.n_suppressed, c.n_kept) == (5, 2, 3)
+    assert c.kept_value == 13.0  # 10 + 2 + 1
+    assert out["view"].n_suppressed == 0
+
+
+def test_gap_census_shard_boundaries(spark):
+    """Gaps that straddle the 1-hour shard boundary are found by the
+    summary-table lag — the two-level plan reproduces the global-window
+    multiset (events placed in different hours on purpose)."""
+    from curatorhadoopinterface_spark.operators.windows import ts_gap_census
+
+    rows = [
+        (1, _ts("2024-01-01 00:10:00"), 1, "ping", 0.0, "{}"),
+        (2, _ts("2024-01-01 00:12:00"), 1, "ping", 0.0, "{}"),   # 2min intra
+        # 3h48m boundary gap spanning three empty shards
+        (3, _ts("2024-01-01 04:00:00"), 1, "ping", 0.0, "{}"),
+        (4, _ts("2024-01-01 04:59:59"), 1, "ping", 0.0, "{}"),   # 59m59s intra
+        (5, _ts("2024-01-01 05:00:01"), 1, "ping", 0.0, "{}"),   # 2s boundary
+    ]
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "gaps")
+    r = ts_gap_census(spark, out_dir).collect()[0]
+    assert r.n_events == 5
+    # gaps: 120s, 13680s, 3599s, 2s -> two above the 600s cut
+    assert r.n_gaps_over == 2
+    assert r.max_gap_us == 13_680 * 1_000_000

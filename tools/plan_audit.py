@@ -620,6 +620,16 @@ AUDITS: dict[str, dict] = {
                            "prune": ["c_custkey", "c_name", "c_address",
                                      "c_phone", "c_comment"],
                            "forbid": [r"Join"]},
+    # debounce census: one (user,type) window exchange + a 5-row
+    # census regroup; no join
+    "events_dedup_window": {"partial": True, "prune": ["props"],
+                            "forbid": [r"Join"]},
+    # gap census: two-level decomposition — windows over (type, hour)
+    # shards + a summary-table lag; NO window partitioned by the
+    # 5-value event_type over base rows (the low-cardinality trap)
+    "ts_gap_census": {"partial": True, "prune": ["props", "value",
+                                                 "user_id"],
+                      "forbid": [r"Join"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
