@@ -156,6 +156,7 @@ OPTIONAL = [
     "privacy_ldiversity",
     "events_dedup_window",
     "ts_gap_census",
+    "dedup_method_agreement",
 ]
 
 N_RUNS = 3

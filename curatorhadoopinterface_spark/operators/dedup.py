@@ -1272,3 +1272,90 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    ebase AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS norm,
+               LIST_AGGREGATE(LIST_TRANSFORM(embedding[1:8],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+        FROM embeddings),
+    epairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM ebase a JOIN ebase b
+          ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+              >= 0.35),
+    m AS (SELECT COUNT(*) AS n_m FROM pairs),
+    e AS (SELECT COUNT(*) AS n_e FROM epairs),
+    b AS (SELECT COUNT(*) AS n_b
+          FROM pairs p JOIN epairs q
+            ON q.doc_a = p.doc_a AND q.doc_b = p.doc_b)
+    SELECT m.n_m AS n_minhash_pairs, e.n_e AS n_embed_pairs,
+           b.n_b AS n_both,
+           CASE WHEN m.n_m + e.n_e - b.n_b = 0 THEN 0
+                ELSE b.n_b * 1000 // (m.n_m + e.n_e - b.n_b)
+           END AS agreement_permille
+    FROM m, e, b
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-vs-semantic dedup agreement census: the pair-set overlap
+    between MinHash+LSH verified near-dups (text 3-shingles) and
+    embedding-space near-dups (sign-LSH + cosine) over the SAME corpus
+    (doc_id == vec_id) — the measure-the-measurer audit a pipeline runs
+    before trusting one method's recall claims (SemDedup's core finding
+    is precisely that the two sets diverge). One row: each method's
+    pair count, the intersection, and the pair-set Jaccard in exact
+    integer per-mille.
+
+    Scale shape: both pair generators are the engine's existing bounded
+    machinery (LSH band equi join; sign-bucket equi join) — no new
+    quadratic anywhere; the agreement join keys on (doc_a, doc_b) pairs,
+    both sides candidate-bounded; the three counts are 1-row scalar
+    aggregates crossed via broadcast (the graph_triangles pattern)."""
+    from curatorhadoopinterface_spark.operators.similarity import (
+        _SPARK_BUCKET,
+        _cosine,
+        _with_norm,
+        NEARDUP_COS,
+    )
+
+    pm = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bucketed = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("b.bucket") == F.col("a.bucket"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(_cosine("a", "b") >= NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    both = pm.join(pe, ["doc_a", "doc_b"])
+    return (
+        pm.agg(F.count(F.lit(1)).alias("n_minhash_pairs"))
+        .crossJoin(pe.agg(F.count(F.lit(1)).alias("n_embed_pairs")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+        .select(
+            "n_minhash_pairs",
+            "n_embed_pairs",
+            "n_both",
+            F.expr(
+                "case when n_minhash_pairs + n_embed_pairs - n_both = 0"
+                " then 0L else n_both * 1000"
+                " div (n_minhash_pairs + n_embed_pairs - n_both) end"
+            ).alias("agreement_permille"),
+        )
+    )

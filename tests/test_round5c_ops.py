@@ -251,3 +251,35 @@ def test_gap_census_shard_boundaries(spark):
     # gaps: 120s, 13680s, 3599s, 2s -> two above the 600s cut
     assert r.n_gaps_over == 2
     assert r.max_gap_us == 13_680 * 1_000_000
+
+
+def test_method_agreement_pair_set_jaccard(spark):
+    """Planted corpus where one pair is a text near-dup AND an embedding
+    near-dup, one is text-only, one is embedding-only: agreement is
+    exactly 1/3 in per-mille."""
+    from curatorhadoopinterface_spark.operators.dedup import dedup_method_agreement
+    from curatorhadoopinterface_spark.operators.mlops import _EMB_DIM
+
+    dup_text = "spark shuffles partitions across the cluster " * 4
+    docs = [
+        (0, dup_text, "en", "s", 1),
+        (1, dup_text, "en", "s", 1),          # text pair (0,1)
+        (2, "totally different words here one", "en", "s", 1),
+        (3, "unrelated corpus text two three four", "en", "s", 1),
+    ]
+    v = [1.0] * _EMB_DIM
+    far = [1.0] * 8 + [-1.0] * (_EMB_DIM - 8)   # same bucket as v, cos < 0
+    other = [-1.0] * _EMB_DIM                   # different bucket
+    embs = [
+        (0, v, 0),
+        (1, v, 0),       # embed pair (0,1) -> agreement with text
+        (2, v, 0),       # embed pairs (0,2) and (1,2) -> embed-only
+        (3, other, 0),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "agree")
+    _write(spark, embs, EMB_SCHEMA, "embeddings", "agree")
+    r = dedup_method_agreement(spark, out_dir).collect()[0]
+    assert r.n_minhash_pairs == 1
+    assert r.n_embed_pairs == 3
+    assert r.n_both == 1
+    assert r.agreement_permille == 1000 // 3

@@ -630,6 +630,11 @@ AUDITS: dict[str, dict] = {
     "ts_gap_census": {"partial": True, "prune": ["props", "value",
                                                  "user_id"],
                       "forbid": [r"Join"]},
+    # agreement census: both pair sets LSH-bounded (band equi /
+    # sign-bucket equi); 1-row scalar aggregates crossed via broadcast
+    # (graph_triangles pattern, not a cartesian)
+    "dedup_method_agreement": {"no_bnlj": False, "partial": True,
+                               "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
