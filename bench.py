@@ -157,6 +157,8 @@ OPTIONAL = [
     "events_dedup_window",
     "ts_gap_census",
     "dedup_method_agreement",
+    "diag_partition_balance",
+    "events_rolling_actives",
 ]
 
 N_RUNS = 3

@@ -537,3 +537,142 @@ def agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_within_5pct"),
         )
     )
+
+
+# -- partition-balance diagnosis ----------------------------------------------
+
+_PB_BUCKETS = 32  # candidate shuffle width being diagnosed
+
+
+@query(
+    "diag_partition_balance",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(CONCAT('0x',
+                   SUBSTR(MD5(CAST(l_orderkey AS VARCHAR)), 1, 7))
+               AS BIGINT) % {_PB_BUCKETS} AS bucket
+        FROM lineitem),
+    per AS (SELECT bucket, COUNT(*) AS rows_in FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(rows_in) AS total, MAX(rows_in) AS max_r,
+                   MIN(rows_in) AS min_r, COUNT(*) AS n_used FROM per)
+    SELECT n_used AS n_buckets_used,
+           total AS n_rows,
+           min_r AS min_rows,
+           max_r AS max_rows,
+           max_r * 1000 // (total // {_PB_BUCKETS}) AS max_vs_even_permille,
+           max_r * 1000 // total AS top_share_permille
+    FROM tot
+    """,
+)
+def diag_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-balance diagnosis for a candidate partition key: hash
+    l_orderkey into the target shuffle width (32) and report the
+    straggler ratio — max bucket vs the even share — BEFORE paying for
+    the real shuffle. The one-row census a pipeline runs when choosing
+    between partition keys (the companion of diag_key_skew, which ranks
+    the hot KEYS; this measures the resulting TASK imbalance).
+
+    Determinism: the bucket is md5-derived (the mixture_sample idiom),
+    NOT Spark's internal murmur hash — so the oracle replays it exactly
+    and the census is engine-independent; Spark's own hash partitioner
+    has the same uniformity class. Integer per-milles throughout.
+
+    Scale shape: map-side partial agg collapses to <= 32 rows before
+    one exchange; the census is a 1-row aggregate. Cost: one scan of
+    ONE column."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        f"pmod(cast(conv(substring(md5(cast(l_orderkey as string)), 1, 7),"
+        f" 16, 10) as bigint), {_PB_BUCKETS})"
+    )
+    per = l.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_in")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum("rows_in").alias("n_rows"),
+        F.min("rows_in").alias("min_rows"),
+        F.max("rows_in").alias("max_rows"),
+    ).select(
+        "n_buckets_used",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.expr(
+            f"max_rows * 1000 div (n_rows div {_PB_BUCKETS})"
+        ).alias("max_vs_even_permille"),
+        F.expr("max_rows * 1000 div n_rows").alias("top_share_permille"),
+    )
+
+
+# -- rolling distinct actives (DAU / 3-day WAU / stickiness) ------------------
+
+_ROLL_DAYS = 3
+
+
+@query(
+    "events_rolling_actives",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+        SELECT DISTINCT user_id, day + CAST(o.off AS INT) AS day
+        FROM ud, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+            0, {_ROLL_DAYS - 1})) AS off) o),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    roll AS (SELECT day, COUNT(*) AS actives_3d FROM cover GROUP BY day)
+    SELECT d.day, dau.dau, r.actives_3d,
+           dau.dau * 1000 // r.actives_3d AS stickiness_permille
+    FROM days d
+    JOIN dau ON dau.day = d.day
+    JOIN roll r ON r.day = d.day
+    ORDER BY d.day
+    """,
+)
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + rolling 3-day distinct actives + DAU/WAU-style
+    stickiness per day — the engagement dashboard every event pipeline
+    serves. Rolling DISTINCT counts are NOT window-expressible (a frame
+    can sum, not dedupe), so this uses the coverage trick: each
+    (user, day) pair covers days d..d+2; a second distinct collapses
+    multi-day users; a plain count per covered day IS the rolling
+    distinct count. Phantom trailing days are dropped by joining back
+    to observed days.
+
+    Scale shape: two distinct exchanges on (user, day) — the first
+    collapses event volume to active-pairs (partial agg map-side), the
+    explode is a fixed x{_ROLL_DAYS}, never event-volume; all counts
+    integer, stickiness is exact integer per-mille. At 100 TB the
+    exchanges carry user-day pairs (days x actives), orders of
+    magnitude under event volume."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_ROLL_DAYS - 1}),"
+                    f" o -> date_add(day, o))"
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    roll = cover.groupBy("day").agg(F.count(F.lit(1)).alias("actives_3d"))
+    return (
+        days.join(dau, "day")
+        .join(roll, "day")
+        .select(
+            "day",
+            "dau",
+            "actives_3d",
+            F.expr("dau * 1000 div actives_3d").alias("stickiness_permille"),
+        )
+        .orderBy("day")
+    )

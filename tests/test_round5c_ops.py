@@ -283,3 +283,53 @@ def test_method_agreement_pair_set_jaccard(spark):
     assert r.n_embed_pairs == 3
     assert r.n_both == 1
     assert r.agreement_permille == 1000 // 3
+
+
+def test_rolling_actives_coverage_trick(spark):
+    """A user active on two days inside one 3-day window counts ONCE in
+    the rolling distinct; phantom days past the data edge are dropped."""
+    from curatorhadoopinterface_spark.operators.advanced import (
+        events_rolling_actives,
+    )
+
+    rows = [
+        # user 1 active on day1 AND day2; user 2 only day1; user 3 only day3
+        (1, _ts("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+        (2, _ts("2024-01-02 10:00:00"), 1, "click", 0.0, "{}"),
+        (3, _ts("2024-01-01 11:00:00"), 2, "click", 0.0, "{}"),
+        (4, _ts("2024-01-03 09:00:00"), 3, "click", 0.0, "{}"),
+    ]
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "rolling")
+    out = {str(r.day): r for r in events_rolling_actives(spark, out_dir).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert out["2024-01-01"].dau == 2 and out["2024-01-01"].actives_3d == 2
+    # day2 window covers day1+day2: users {1,2} -> user 1 counted once
+    assert out["2024-01-02"].dau == 1 and out["2024-01-02"].actives_3d == 2
+    # day3 window covers days 1-3: users {1,2,3}
+    assert out["2024-01-03"].dau == 1 and out["2024-01-03"].actives_3d == 3
+    assert out["2024-01-03"].stickiness_permille == 333
+
+
+def test_partition_balance_planted_skew(spark):
+    """All rows on one key -> one bucket holds everything: the census
+    reports 1 bucket used and 1000 per-mille top share."""
+    from curatorhadoopinterface_spark.operators.advanced import (
+        diag_partition_balance,
+    )
+
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date"
+    )
+    import datetime
+
+    d = datetime.date(2024, 1, 1)
+    rows = [(7, i, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d) for i in range(50)]
+    out_dir = _write(spark, rows, li_schema, "lineitem", "balance")
+    r = diag_partition_balance(spark, out_dir).collect()[0]
+    assert r.n_buckets_used == 1
+    assert r.n_rows == 50 and r.max_rows == 50
+    assert r.top_share_permille == 1000
+    # max vs the even share (50/32 -> floor 1): heavily over
+    assert r.max_vs_even_permille == 50 * 1000

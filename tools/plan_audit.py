@@ -635,6 +635,20 @@ AUDITS: dict[str, dict] = {
     # (graph_triangles pattern, not a cartesian)
     "dedup_method_agreement": {"no_bnlj": False, "partial": True,
                                "forbid": [r"CartesianProduct"]},
+    # balance diagnosis: one single-column scan, partial agg to <=32
+    # rows, 1-row census; no join
+    "diag_partition_balance": {"partial": True,
+                               "prune": ["l_partkey", "l_suppkey",
+                                         "l_quantity", "l_extendedprice",
+                                         "l_discount", "l_tax",
+                                         "l_returnflag", "l_linestatus",
+                                         "l_shipdate"],
+                               "forbid": [r"Join"]},
+    # rolling actives: two (user, day) distinct exchanges; explode is
+    # fixed x3 over active-pairs, never event volume
+    "events_rolling_actives": {"partial": True,
+                               "prune": ["event_type", "value", "props"],
+                               "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
