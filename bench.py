@@ -159,6 +159,7 @@ OPTIONAL = [
     "dedup_method_agreement",
     "diag_partition_balance",
     "events_rolling_actives",
+    "orders_backlog",
 ]
 
 N_RUNS = 3

@@ -333,3 +333,49 @@ def test_partition_balance_planted_skew(spark):
     assert r.top_share_permille == 1000
     # max vs the even share (50/32 -> floor 1): heavily over
     assert r.max_vs_even_permille == 50 * 1000
+
+
+def test_orders_backlog_eventization(spark):
+    """Backlog = running sum of +1 at placement month / -1 the month
+    after last shipment; an order spanning several months stays open in
+    each; multi-lineitem orders close at the LATEST ship month."""
+    from curatorhadoopinterface_spark.operators.analytics import orders_backlog
+
+    import datetime
+
+    O_SCHEMA = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    L_SCHEMA = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date"
+    )
+
+    def ts(y, m, d):
+        return datetime.datetime(y, m, d)
+
+    def dt(y, m, d):
+        return datetime.date(y, m, d)
+
+    orders = [
+        (1, 1, "O", 1.0, ts(2024, 1, 5), "1-URGENT"),   # ships Jan+Mar
+        (2, 1, "O", 1.0, ts(2024, 2, 1), "1-URGENT"),   # ships Feb
+    ]
+    items = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 1, 20)),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 3, 10)),
+        (2, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 2, 15)),
+    ]
+    out_dir = _write(spark, orders, O_SCHEMA, "orders", "backlog")
+    _write(spark, items, L_SCHEMA, "lineitem", "backlog")
+    out = {str(r.month): r for r in orders_backlog(spark, out_dir).collect()}
+    # Jan: order 1 opens. Feb: order 2 opens. Mar: order 2 closed.
+    # Apr: order 1 closed (latest ship month Mar -> -1 lands in Apr).
+    assert out["2024-01-01"].backlog == 1
+    assert out["2024-02-01"].backlog == 2
+    assert out["2024-03-01"].backlog == 1   # order 2 closed, order 1 open
+    assert out["2024-04-01"].backlog == 0
+    assert out["2024-04-01"].closed == 1

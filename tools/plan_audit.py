@@ -649,6 +649,14 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # backlog: orders collapse to <=2 events -> months-sized table
+    # BEFORE the single running-sum window; never months x orders
+    "orders_backlog": {"partial": True,
+                       "prune": ["o_custkey", "o_totalprice",
+                                 "o_orderstatus", "o_orderpriority",
+                                 "l_partkey", "l_quantity",
+                                 "l_extendedprice"],
+                       "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
