@@ -160,6 +160,7 @@ OPTIONAL = [
     "diag_partition_balance",
     "events_rolling_actives",
     "orders_backlog",
+    "dedup_containment",
 ]
 
 N_RUNS = 3

@@ -1359,3 +1359,61 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement_permille"),
         )
     )
+
+
+# -- asymmetric containment (quote / excerpt detection) ------------------------
+
+CONTAIN_T_NUM, CONTAIN_T_DEN = 4, 5  # containment >= 4/5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT c.doc_a, c.doc_b,
+           LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common,
+           LEN(sa.s) AS n_a, LEN(sb.s) AS n_b,
+           LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 / LEN(sa.s) AS contain_a,
+           LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 / LEN(sb.s) AS contain_b
+    FROM cands c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * {CONTAIN_T_DEN}
+          >= {CONTAIN_T_NUM} * LEAST(LEN(sa.s), LEN(sb.s))
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder's other resemblance
+    measure): |A n B| / min(|A|, |B|) >= 4/5 — catches a short document
+    quoted inside a long one, which symmetric Jaccard structurally
+    misses (a 30-shingle doc inside a 300-shingle doc has J <= 0.1 but
+    containment 1.0). The excerpt/quote-detection pass of a curation
+    pipeline, sharing the MinHash+LSH candidate machinery so candidate
+    generation stays bucketed. (LSH banding recall is tuned for J, so
+    extreme size ratios can evade the bands — the standard caveat,
+    carried by construction; candidates are the SAME bounded set as
+    dedup_minhash.)
+
+    Exactness: the threshold is integer cross-multiplication
+    (n_common * 5 >= 4 * min(|A|,|B|)) — no float ratio; the reported
+    containments are int/int divisions of identical ints (bit-identical
+    across engines, the dedup_minhash jaccard note)."""
+    cands, sets = _minhash_core(spark, sf_dir)
+    n_common = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    n_a, n_b = F.size(F.col("sa.s")), F.size(F.col("sb.s"))
+    return (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            n_common * CONTAIN_T_DEN >= CONTAIN_T_NUM * F.least(n_a, n_b)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            (n_common / n_a).alias("contain_a"),
+            (n_common / n_b).alias("contain_b"),
+        )
+    )

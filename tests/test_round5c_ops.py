@@ -379,3 +379,31 @@ def test_orders_backlog_eventization(spark):
     assert out["2024-03-01"].backlog == 1   # order 2 closed, order 1 open
     assert out["2024-04-01"].backlog == 0
     assert out["2024-04-01"].closed == 1
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: Jaccard is tiny but
+    containment fires; two unrelated docs never pair."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_containment,
+        dedup_minhash,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"word{i}" for i in range(120))
+    docs = [
+        (0, quote, "en", "s", 1),                      # the short original
+        (1, quote + " " + filler, "en", "s", 1),       # quotes doc 0 verbatim
+        (2, "completely unrelated text body here now", "en", "s", 1),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "contain")
+    rows = dedup_containment(spark, out_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r.contain_a == 1.0           # every shingle of the quote is in doc 1
+    assert r.contain_b < 0.5
+    assert not any(2 in p for p in pairs)
+    # and symmetric Jaccard at 0.5 does NOT pair them
+    jrows = dedup_minhash(spark, out_dir).collect()
+    assert all((r.doc_a, r.doc_b) != (0, 1) for r in jrows)

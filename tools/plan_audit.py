@@ -649,6 +649,11 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # containment: the SAME bounded LSH candidate set as dedup_minhash
+    # (band equi join); threshold is integer cross-multiplication
+    "dedup_containment": {"partial": True,
+                          "prune": ["lang", "source", "n_chars"],
+                          "forbid": [r"CartesianProduct"]},
     # backlog: orders collapse to <=2 events -> months-sized table
     # BEFORE the single running-sum window; never months x orders
     "orders_backlog": {"partial": True,
