@@ -389,8 +389,14 @@ def test_containment_catches_quote_jaccard_misses(spark):
         dedup_minhash,
     )
 
+    # Fixture chosen so the pair IS an LSH candidate (bands 0 and 2 of
+    # the minhash signatures match — verified by replaying the md5+
+    # affine chain offline) while Jaccard = 8/17 = 0.471 < 0.5, i.e.
+    # below dedup_minhash's emit threshold. Containment of the quote
+    # is 8/8 = 1.0. LSH banding is deterministic (md5), so this holds
+    # on every run.
     quote = "the quick brown fox jumps over the lazy dog today"
-    filler = " ".join(f"word{i}" for i in range(120))
+    filler = " ".join(f"w0x{i}" for i in range(9))
     docs = [
         (0, quote, "en", "s", 1),                      # the short original
         (1, quote + " " + filler, "en", "s", 1),       # quotes doc 0 verbatim
