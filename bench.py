@@ -161,6 +161,8 @@ OPTIONAL = [
     "events_rolling_actives",
     "orders_backlog",
     "dedup_containment",
+    "graph_degree_distribution",
+    "text_zipf_slope",
 ]
 
 N_RUNS = 3

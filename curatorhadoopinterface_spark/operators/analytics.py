@@ -1859,3 +1859,73 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closed",
         F.sum("net").over(w).cast("bigint").alias("backlog"),
     ).orderBy("month")
+
+
+# -- degree distribution of the co-purchase graph -----------------------------
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.p AS p1, b.p AS p2
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT p1 AS node FROM edges
+            UNION ALL SELECT p2 AS node FROM edges) GROUP BY node)
+    SELECT CAST(POWER(2, LENGTH(BIN(d)) - 1) AS BIGINT) AS degree_bucket,
+           COUNT(*) AS n_nodes,
+           MIN(d) AS min_degree,
+           MAX(d) AS max_degree,
+           SUM(d) AS sum_degree
+    FROM deg GROUP BY degree_bucket ORDER BY degree_bucket
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the co-purchase graph — the
+    power-law check that decides every downstream graph plan (a heavy
+    tail means degree-oriented triangle counting and skew-aware joins
+    are mandatory; a flat histogram means plain hash partitioning is
+    fine). The diagnostic twin of graph_triangles' orientation trick.
+
+    Exactness: the bucket is the floor power of two via the BIN-length
+    identity (2^(len(bin(d))-1), pack_length_buckets precedent) —
+    integer in both engines, no log() float.
+
+    Scale shape: shares graph_triangles' pair generation (order-bounded
+    basket self-join, hash-only shuffles); degrees are one partial-agged
+    exchange over edge endpoints; the histogram output is
+    O(log(max_degree)) rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("p1", "p2")
+    )
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = F.expr("cast(power(2, length(bin(d)) - 1) as bigint)")
+    return (
+        deg.groupBy(bucket.alias("degree_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+            F.sum("d").alias("sum_degree"),
+        )
+        .orderBy("degree_bucket")
+    )

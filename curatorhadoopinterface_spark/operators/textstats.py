@@ -1773,3 +1773,82 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
     )
+
+
+# -- Zipf rank-frequency fit ---------------------------------------------------
+
+_ZIPF_TOP = 1000  # fit over the head of the vocabulary
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH uni AS (
+        SELECT term, COUNT(*) AS c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+        FROM uni ORDER BY c DESC, term LIMIT {_ZIPF_TOP}),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(LN(rk)) AS sx, SUM(LN(c)) AS sy,
+               SUM(LN(rk) * LN(c)) AS sxy, SUM(LN(rk) * LN(rk)) AS sxx
+        FROM top)
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6)
+               AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the vocabulary head: the least-
+    squares slope of ln(count) vs ln(rank) for the top-1000 terms —
+    natural language sits near -1; machine-generated spam, templated
+    boilerplate, and tokenizer damage bend it. The single-number
+    corpus-health check (companion of text_vocab_growth's Heaps curve).
+
+    Determinism: ln() inputs are identical integers in both engines;
+    the five regression sums run over <= 1000 rows of O(10) values, so
+    cross-engine summation-order dust is ~1e-12 against O(1) slopes —
+    far inside the 6dp round (the text_tfidf LN contract).
+
+    Scale shape: the word count is the text_vocab word-count shape
+    (vocabulary-sized after map-side partial agg); the top-1000 is a
+    TakeOrdered; the regression is ONE 1-row aggregate over 1000 rows.
+    Corpus size only affects the first exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        uni.orderBy(F.col("c").desc(), "term")
+        .limit(_ZIPF_TOP)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "term"))
+            .alias("rk"),
+        )
+    )
+    lx, ly = F.log(F.col("rk")), F.log(F.col("c"))
+    s = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6
+        ).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
+        ).alias("zipf_intercept"),
+    )

@@ -413,3 +413,67 @@ def test_containment_catches_quote_jaccard_misses(spark):
     # and symmetric Jaccard at 0.5 does NOT pair them
     jrows = dedup_minhash(spark, out_dir).collect()
     assert all((r.doc_a, r.doc_b) != (0, 1) for r in jrows)
+
+
+def test_degree_distribution_buckets(spark):
+    """Floor-pow2 bucketing of degrees on a planted K4 + pendant-free
+    graph: every K4 node has degree 3 -> bucket 2."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        graph_degree_distribution,
+    )
+
+    import datetime
+
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date"
+    )
+    d = datetime.date(2024, 1, 1)
+    rows = []
+    oid = 0
+    # each pair of parts {1..4} co-occurs in TWO orders -> K4, degree 3 each
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            for _ in range(2):
+                rows.append((oid, a, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+                rows.append((oid, b, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+                oid += 1
+    out_dir = _write(spark, rows, li_schema, "lineitem", "degdist")
+    out = {r.degree_bucket: r for r in graph_degree_distribution(spark, out_dir).collect()}
+    assert set(out) == {2}
+    assert out[2].n_nodes == 4
+    assert out[2].min_degree == 3 and out[2].max_degree == 3
+    assert out[2].sum_degree == 12
+
+
+def test_zipf_slope_planted_power_law(spark):
+    """A corpus built so count(rank r) = 2^(10-r) has slope exactly
+    -ln(2) on the log-log fit (perfect power law with base-2 decay)."""
+    from curatorhadoopinterface_spark.operators.textstats import text_zipf_slope
+
+    import math
+
+    docs = []
+    did = 0
+    for r in range(1, 9):          # 8 terms, counts 2^8 .. 2^1
+        word = f"t{r}"
+        text = " ".join([word] * (2 ** (9 - r)))
+        docs.append((did, text, "en", "s", 1))
+        did += 1
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "zipf")
+    r = text_zipf_slope(spark, out_dir).collect()[0]
+    assert r.n_terms == 8
+    # ln(count) = ln(2)*(9-rank)... but x-axis is ln(rank), not rank:
+    # this fixture is geometric in RANK, so the fit slope is the
+    # regression of a convex curve — pin the sign and the exact value
+    # computed offline from the same closed-form sums
+    xs = [math.log(i) for i in range(1, 9)]
+    ys = [math.log(2 ** (9 - i)) for i in range(1, 9)]
+    n = 8
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    expect = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert abs(r.zipf_slope - expect) < 1e-5
+    assert r.zipf_slope < 0

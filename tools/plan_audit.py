@@ -649,6 +649,18 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # degree histogram: shares graph_triangles' order-bounded pair gen;
+    # histogram output is O(log max_degree)
+    "graph_degree_distribution": {"partial": True,
+                                  "prune": ["l_suppkey", "l_quantity",
+                                            "l_extendedprice",
+                                            "l_returnflag"],
+                                  "forbid": [r"CartesianProduct"]},
+    # zipf fit: word-count exchange, TakeOrdered head, 1-row regression
+    "text_zipf_slope": {"partial": True,
+                        "prune": ["doc_id", "lang", "source", "n_chars"],
+                        "require": [r"TakeOrderedAndProject"],
+                        "forbid": [r"CartesianProduct"]},
     # containment: the SAME bounded LSH candidate set as dedup_minhash
     # (band equi join); threshold is integer cross-multiplication
     "dedup_containment": {"partial": True,
