@@ -163,6 +163,7 @@ OPTIONAL = [
     "dedup_containment",
     "graph_degree_distribution",
     "text_zipf_slope",
+    "query_bm25_prf",
 ]
 
 N_RUNS = 3

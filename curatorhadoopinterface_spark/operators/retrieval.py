@@ -578,3 +578,147 @@ def query_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(RRF_TOP)
     )
+
+
+# ---- pseudo-relevance feedback (RM3-lite query expansion) -------------------
+
+PRF_FB_DOCS = BM25_TOP  # feedback set = pass-1 top-10
+PRF_EXP_TERMS = 3       # expansion terms added to the query
+PRF_MIN_FB_DF = 2       # expansion term must appear in >= 2 feedback docs
+
+_O_FB = f"""
+    SELECT tf.doc_id,
+           ROUND({' + '.join(_o_contrib(t) for t in BM25_TERMS)}, 6) AS score
+    FROM tf CROSS JOIN s
+    WHERE {' + '.join(f'tf.tf_{t}' for t in BM25_TERMS)} > 0
+    ORDER BY score DESC, tf.doc_id
+    LIMIT {PRF_FB_DOCS}
+"""
+
+_O_GEN_CONTRIB = (
+    f"LN((s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)"
+    f" * (tfq.tf * ({BM25_K1} + 1) / (tfq.tf + {BM25_K1} *"
+    f" (1 - {BM25_B} + {BM25_B} * dl.dl / (s.sum_dl * 1.0 / s.n_docs))))"
+)
+
+
+@query(
+    "query_bm25_prf",
+    oracle=f"""
+    WITH tf AS (
+    {_O_TF}),
+    s AS (
+    {_O_STATS}),
+    fb AS ({_O_FB}),
+    fbw AS (
+        SELECT d.doc_id, UNNEST(STRING_SPLIT(d.text, ' ')) AS term
+        FROM documents d JOIN fb ON fb.doc_id = d.doc_id),
+    exp AS (
+        SELECT term FROM fbw
+        WHERE term NOT IN ({', '.join(f"'{t}'" for t in BM25_TERMS)})
+        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= {PRF_MIN_FB_DF}
+        ORDER BY COUNT(DISTINCT doc_id) DESC, term LIMIT {PRF_EXP_TERMS}),
+    terms AS (
+        SELECT UNNEST([{', '.join(f"'{t}'" for t in BM25_TERMS)}]) AS term
+        UNION SELECT term FROM exp),
+    w AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        FROM documents),
+    tfq AS (
+        SELECT w.doc_id, w.term, COUNT(*) AS tf
+        FROM w JOIN terms USING (term) GROUP BY w.doc_id, w.term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+    dl AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+    scored AS (
+        SELECT tfq.doc_id,
+               CAST(FLOOR(ROUND({_O_GEN_CONTRIB}, 6) * 1000000 + 0.5)
+                    AS BIGINT) AS cs
+        FROM tfq
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tfq.doc_id
+        CROSS JOIN s)
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           ROUND(SUM(cs) / 1000000.0, 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def query_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass retrieval with pseudo-relevance feedback (RM3-lite):
+    pass 1 is query_bm25's fixed-term top-10; the query expands with the
+    {PRF_EXP_TERMS} most-frequent new terms of that feedback set (>= 2
+    feedback docs, ties on term); pass 2 re-scores the corpus with the
+    expanded term set through a GENERALIZED BM25 — per-(doc, term) tf
+    from an explode + join against the (broadcast, <= 6-row) term table
+    rather than fixed tf columns, since the terms are now data-dependent.
+
+    Determinism: the cross-term score is a sum of integer-scaled
+    pre-rounded contributions (floor(round(c,6)*1e6+0.5) as BIGINT) —
+    aggregation ORDER cannot move it, unlike a double sum over a
+    variable term set; expansion selection is total-ordered.
+
+    Scale shape: pass 1 is the query_bm25 shape (1-row broadcast
+    stats); feedback-doc word extraction touches 10 docs; pass-2
+    scoring explodes the corpus ONCE, immediately semi-joins against
+    the broadcast 6-term table (surviving rows ~ docs x 6), then one
+    (doc, term) partial-agged exchange and a doc-level rollup. The
+    inverted-index alternative (index_inverted) serves the same pass at
+    scale if the corpus is pre-indexed."""
+    d = load_table(spark, sf_dir, "documents")
+    fb = query_bm25(spark, sf_dir).select("doc_id")
+    fbw = d.join(F.broadcast(fb), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    exp = (
+        fbw.filter(~F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fb"))
+        .filter(F.col("df_fb") >= PRF_MIN_FB_DF)
+        .orderBy(F.col("df_fb").desc(), "term")
+        .limit(PRF_EXP_TERMS)
+        .select("term")
+    )
+    terms = (
+        spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+        .union(exp)
+        .distinct()
+    )
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfq = (
+        w.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf0 = _tf_cols_spark(d)
+    stats = tf0.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    )
+    cs = F.floor(F.round(idf * tfn, 6) * 1_000_000 + 0.5).cast("bigint")
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", cs.alias("cs"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum("cs") / 1_000_000.0, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

@@ -477,3 +477,32 @@ def test_zipf_slope_planted_power_law(spark):
     expect = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
     assert abs(r.zipf_slope - expect) < 1e-5
     assert r.zipf_slope < 0
+
+
+def test_prf_expansion_changes_ranking(spark):
+    """A doc with NO original query terms but saturated in the feedback
+    set's co-occurring vocabulary enters the PRF top-10; expansion terms
+    are the most frequent NEW terms of the pass-1 winners."""
+    from curatorhadoopinterface_spark.operators.retrieval import (
+        query_bm25,
+        query_bm25_prf,
+    )
+
+    docs = []
+    # 5 feedback winners: original terms + the co-occurring term "shuffle"
+    for i in range(5):
+        docs.append((i, "spark join filter shuffle shuffle", "en", "s", 1))
+    # the PRF catch: no original term at all, pure "shuffle"
+    docs.append((10, "shuffle shuffle shuffle shuffle", "en", "s", 1))
+    # background noise docs (unique words, no overlap)
+    for i in range(20, 40):
+        docs.append((i, f"n{i}a n{i}b n{i}c n{i}d", "en", "s", 1))
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "prf")
+    base_ids = {r.doc_id for r in query_bm25(spark, out_dir).collect()}
+    prf = query_bm25_prf(spark, out_dir).collect()
+    prf_ids = {r.doc_id for r in prf}
+    assert 10 not in base_ids          # invisible to the fixed query
+    assert 10 in prf_ids               # surfaced by the expansion
+    ten = next(r for r in prf if r.doc_id == 10)
+    assert ten.n_terms_matched == 1    # matched only the expansion term
+    assert ten.score > 0

@@ -649,6 +649,13 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # PRF: pass-1 stats + term/df/stats joins all broadcast; the only
+    # wide exchanges are the (doc, term) partial aggs; top-10 TakeOrdered
+    "query_bm25_prf": {"no_bnlj": False, "partial": True,
+                       "broadcast": True,
+                       "prune": ["lang", "source", "n_chars"],
+                       "require": [r"TakeOrderedAndProject"],
+                       "forbid": [r"CartesianProduct"]},
     # degree histogram: shares graph_triangles' order-bounded pair gen;
     # histogram output is O(log max_degree)
     "graph_degree_distribution": {"partial": True,
