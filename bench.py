@@ -164,6 +164,7 @@ OPTIONAL = [
     "graph_degree_distribution",
     "text_zipf_slope",
     "query_bm25_prf",
+    "audit_referential",
 ]
 
 N_RUNS = 3

@@ -2243,3 +2243,74 @@ def flagship_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("qty"), 2).alias("dominated_qty"),
         )
     )
+
+
+# -- referential-integrity audit ----------------------------------------------
+
+
+@query(
+    "audit_referential",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY relation
+    """,
+)
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (child rows whose parent key is missing) — the
+    load-time data-quality gate a warehouse runs before exposing a
+    snapshot, and the first thing to check when a join "loses" rows.
+
+    Plan shape: each orphan count is a LEFT ANTI join — the parent side
+    of nation-keyed edges broadcasts (25 rows), the fact-fact edge
+    (lineitem->orders) anti-joins on the same key the tables would be
+    bucketed by at scale, so a bucketed layout makes it shuffle-free;
+    counts are 1-row aggregates unioned into a 4-row report. No
+    CartesianProduct; nothing wide survives the anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def edge(name, child, parent, ck, pk, bcast_parent):
+        p = parent.select(pk)
+        if bcast_parent:
+            p = F.broadcast(p)
+        orphans = child.join(
+            p, child[ck] == p[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_child", "n_orphans"
+        )
+
+    return (
+        edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey", False)
+        .unionByName(edge("orders->customer", o, c, "o_custkey", "c_custkey", False))
+        .unionByName(edge("customer->nation", c, n, "c_nationkey", "n_nationkey", True))
+        .unionByName(edge("supplier->nation", s, n, "s_nationkey", "n_nationkey", True))
+        .orderBy("relation")
+    )

@@ -506,3 +506,44 @@ def test_prf_expansion_changes_ranking(spark):
     ten = next(r for r in prf if r.doc_id == 10)
     assert ten.n_terms_matched == 1    # matched only the expansion term
     assert ten.score > 0
+
+
+def test_referential_audit_counts_orphans(spark):
+    """A lineitem pointing at a missing order is an orphan; intact edges
+    report zero."""
+    from curatorhadoopinterface_spark.operators.relational import (
+        audit_referential,
+    )
+
+    import datetime
+
+    d, t = datetime.date(2024, 1, 1), datetime.datetime(2024, 1, 1)
+    _write(spark, [(1, 1, "O", 1.0, t, "1-URGENT")],
+           "o_orderkey long, o_custkey long, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+           "orders", "fk")
+    out_dir = _write(
+        spark,
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+         (9, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)],  # order 9 missing
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+        "lineitem", "fk")
+    _write(spark, [(1, "n", "a", 0, "p", 1.0, "B", "c")],
+           "c_custkey long, c_name string, c_address string, c_nationkey int,"
+           " c_phone string, c_acctbal double, c_mktsegment string,"
+           " c_comment string", "customer", "fk")
+    _write(spark, [(0, "NATION", 0, "c")],
+           "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+           "nation", "fk")
+    _write(spark, [(1, "s", "a", 7, "p", 1.0, "c")],
+           "s_suppkey long, s_name string, s_address string, s_nationkey int,"
+           " s_phone string, s_acctbal double, s_comment string",
+           "supplier", "fk")
+    out = {r.relation: r for r in audit_referential(spark, out_dir).collect()}
+    assert out["lineitem->orders"].n_orphans == 1
+    assert out["orders->customer"].n_orphans == 0
+    assert out["customer->nation"].n_orphans == 0
+    assert out["supplier->nation"].n_orphans == 1  # nation 7 missing

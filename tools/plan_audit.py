@@ -649,6 +649,11 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # FK audit: anti joins (nation edges broadcast); 1-row aggregates
+    # crossed via broadcast; 4-row report
+    "audit_referential": {"no_bnlj": False, "partial": True,
+                          "require": [r"LeftAnti"],
+                          "forbid": [r"CartesianProduct"]},
     # PRF: pass-1 stats + term/df/stats joins all broadcast; the only
     # wide exchanges are the (doc, term) partial aggs; top-10 TakeOrdered
     "query_bm25_prf": {"no_bnlj": False, "partial": True,
