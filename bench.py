@@ -165,6 +165,8 @@ OPTIONAL = [
     "text_zipf_slope",
     "query_bm25_prf",
     "audit_referential",
+    "orders_fulfillment_latency",
+    "mixture_dedup_drift",
 ]
 
 N_RUNS = 3

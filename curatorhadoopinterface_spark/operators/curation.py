@@ -1415,3 +1415,77 @@ def privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---- mixture drift under deduplication ---------------------------------------
+
+
+@query(
+    "mixture_dedup_drift",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang, MD5(text) AS sig,
+               LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+    before_t AS (
+        SELECT lang, SUM(n) AS toks_before FROM per_doc GROUP BY lang),
+    uniq AS (
+        SELECT lang, sig, MIN(n) AS n
+        FROM per_doc GROUP BY lang, sig),
+    after_t AS (
+        SELECT lang, SUM(n) AS toks_after FROM uniq GROUP BY lang),
+    tot AS (
+        SELECT SUM(toks_before) AS tb,
+               (SELECT SUM(toks_after) FROM after_t) AS ta
+        FROM before_t)
+    SELECT b.lang, b.toks_before, a.toks_after,
+           b.toks_before * 1000 // t.tb AS share_before_permille,
+           a.toks_after * 1000 // t.ta AS share_after_permille,
+           a.toks_after * 1000 // t.ta - b.toks_before * 1000 // t.tb
+               AS drift_permille
+    FROM before_t b
+    JOIN after_t a ON a.lang = b.lang
+    CROSS JOIN tot t
+    ORDER BY b.lang
+    """,
+)
+def mixture_dedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How exact dedup SHIFTS the language mixture: per-language token
+    shares before vs after within-language exact dedup, in exact
+    integer per-mille — the audit that catches "our 30% zh target became
+    24% because zh was the most duplicated feed" BEFORE training on a
+    mixture computed from pre-dedup counts. (Duplication rates are never
+    uniform across sources — the reason mixture targets must be set on
+    DEDUPED token counts.)
+
+    Plan shape: ONE scan computes (lang, content-hash, token-count)
+    rows; the before-census is a lang groupBy and the after-census
+    adds one (lang, sig) partial-agged exchange where duplicates
+    collapse map-side (the dedup_exact shape); totals are two 1-row
+    broadcasts. All arithmetic integer."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.md5("text").alias("sig"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    before = per_doc.groupBy("lang").agg(F.sum("n").alias("toks_before"))
+    uniq = per_doc.groupBy("lang", "sig").agg(F.min("n").alias("n"))
+    after = uniq.groupBy("lang").agg(F.sum("n").alias("toks_after"))
+    tot = before.agg(F.sum("toks_before").alias("tb")).crossJoin(
+        after.agg(F.sum("toks_after").alias("ta"))
+    )
+    return (
+        before.join(after, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "toks_before",
+            "toks_after",
+            F.expr("toks_before * 1000 div tb").alias("share_before_permille"),
+            F.expr("toks_after * 1000 div ta").alias("share_after_permille"),
+            F.expr(
+                "toks_after * 1000 div ta - toks_before * 1000 div tb"
+            ).alias("drift_permille"),
+        )
+        .orderBy("lang")
+    )

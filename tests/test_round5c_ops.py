@@ -547,3 +547,58 @@ def test_referential_audit_counts_orphans(spark):
     assert out["orders->customer"].n_orphans == 0
     assert out["customer->nation"].n_orphans == 0
     assert out["supplier->nation"].n_orphans == 1  # nation 7 missing
+
+
+def test_fulfillment_latency_and_anomaly(spark):
+    """First-ship (not last-ship) defines latency; a line shipped before
+    its order date counts as a pre-ship anomaly with negative days."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        orders_fulfillment_latency,
+    )
+
+    import datetime
+
+    t, dt = datetime.datetime, datetime.date
+    _write(spark, [
+        (1, 1, "O", 1.0, t(2024, 1, 10), "1-URGENT"),
+        (2, 1, "O", 1.0, t(2024, 1, 10), "1-URGENT"),
+    ], "o_orderkey long, o_custkey long, o_orderstatus string,"
+       " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+       "orders", "sla")
+    out_dir = _write(spark, [
+        # order 1: ships day+5 and day+20 -> latency 5
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 1, 15)),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 1, 30)),
+        # order 2: shipped 3 days BEFORE the order date -> anomaly, -3
+        (2, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(2024, 1, 7)),
+    ], "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+       " l_quantity double, l_extendedprice double, l_discount double,"
+       " l_tax double, l_returnflag string, l_linestatus string,"
+       " l_shipdate date", "lineitem", "sla")
+    r = orders_fulfillment_latency(spark, out_dir).collect()[0]
+    assert (r.n_orders, r.min_days, r.max_days) == (2, -3, 5)
+    assert r.median_days == 1.0      # (-3 + 5) / 2
+    assert r.n_preship_anomalies == 1
+
+
+def test_mixture_drift_duplicated_language_shrinks(spark):
+    """A language whose corpus is pure duplicates loses share after
+    dedup; shares are integer per-mille of the respective totals."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        mixture_dedup_drift,
+    )
+
+    docs = [
+        (0, "a b c d", "en", "s", 1),      # en: 3 copies of 4 tokens
+        (1, "a b c d", "en", "s", 1),
+        (2, "a b c d", "en", "s", 1),
+        (3, "x y z w", "zh", "s", 1),      # zh: 1 unique doc of 4 tokens
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "mixdrift")
+    out = {r.lang: r for r in mixture_dedup_drift(spark, out_dir).collect()}
+    en, zh = out["en"], out["zh"]
+    assert (en.toks_before, en.toks_after) == (12, 4)
+    assert (zh.toks_before, zh.toks_after) == (4, 4)
+    assert en.share_before_permille == 750 and en.share_after_permille == 500
+    assert zh.share_before_permille == 250 and zh.share_after_permille == 500
+    assert en.drift_permille == -250 and zh.drift_permille == 250

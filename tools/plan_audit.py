@@ -649,6 +649,17 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # fulfillment latency: one groupBy on the join key, 5-row census
+    "orders_fulfillment_latency": {"partial": True,
+                                   "prune": ["o_custkey", "o_totalprice",
+                                             "l_partkey", "l_quantity",
+                                             "l_extendedprice"],
+                                   "forbid": [r"CartesianProduct"]},
+    # mixture drift: one scan; before-census lang groupBy + after via
+    # a (lang, sig) partial-agged exchange; totals broadcast 1-row
+    "mixture_dedup_drift": {"no_bnlj": False, "partial": True,
+                            "prune": ["doc_id", "source", "n_chars"],
+                            "forbid": [r"CartesianProduct"]},
     # FK audit: anti joins (nation edges broadcast); 1-row aggregates
     # crossed via broadcast; 4-row report
     "audit_referential": {"no_bnlj": False, "partial": True,
