@@ -167,6 +167,7 @@ OPTIONAL = [
     "audit_referential",
     "orders_fulfillment_latency",
     "mixture_dedup_drift",
+    "join_asof_nearest",
 ]
 
 N_RUNS = 3

@@ -2314,3 +2314,102 @@ def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("supplier->nation", s, n, "s_nationkey", "n_nationkey", True))
         .orderBy("relation")
     )
+
+
+# -- as-of join, NEAREST direction --------------------------------------------
+
+ASOF_NEAREST_TOL_US = 7 * 24 * 3600 * 1_000_000  # 7-day match window
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH b AS (
+        SELECT e.event_id, MAX(o.o_orderdate) AS bt
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id),
+    f AS (
+        SELECT e.event_id, MIN(o.o_orderdate) AS ft
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+        GROUP BY e.event_id),
+    j AS (
+        SELECT e.event_id,
+               epoch_us(e.ts) - epoch_us(b.bt) AS db,
+               epoch_us(f.ft) - epoch_us(e.ts) AS df
+        FROM events e
+        JOIN b ON b.event_id = e.event_id
+        JOIN f ON f.event_id = e.event_id),
+    v AS (
+        SELECT event_id,
+               db IS NOT NULL AND db <= {ASOF_NEAREST_TOL_US} AS vb,
+               df IS NOT NULL AND df <= {ASOF_NEAREST_TOL_US} AS vf,
+               db, df
+        FROM j)
+    SELECT event_id,
+           CASE WHEN vb AND (NOT vf OR db <= df) THEN 'backward'
+                WHEN vf THEN 'forward' ELSE 'none' END AS direction,
+           CASE WHEN vb AND (NOT vf OR db <= df) THEN db
+                WHEN vf THEN df END AS delta_us
+    FROM v
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join in the NEAREST direction (the pandas
+    merge_asof(direction='nearest') / polars join_asof 'nearest' mode):
+    each event matches the closest order of the same user within a
+    7-day tolerance on EITHER side; ties at equal distance go backward.
+
+    Plan: the SAME union-sort trick as join_asof, but one merged sort
+    serves BOTH directions — a running last(order_ts) (backward) and a
+    reversed-frame first(order_ts) (forward) over one shuffle on the
+    key and one sort. A naive formulation is two range joins; this is
+    zero joins. Equal-timestamp semantics match the oracle exactly
+    because order rows sort BEFORE event rows at the same instant
+    (backward <=, forward >). Distances are exact integer micros; the
+    tolerance and tie rules are integer compares."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    order_side = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    event_side = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("order_ts"),
+    )
+    merged = order_side.unionByName(event_side)
+    base = Window.partitionBy("uid").orderBy("ts", "kind", "order_ts")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tol = F.lit(ASOF_NEAREST_TOL_US)
+    out = (
+        merged.withColumn(
+            "bt", F.last("order_ts", ignorenulls=True).over(w_back)
+        )
+        .withColumn("ft", F.first("order_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            (F.unix_micros("ts") - F.unix_micros("bt")).alias("db"),
+            (F.unix_micros("ft") - F.unix_micros("ts")).alias("df"),
+        )
+    )
+    vb = F.col("db").isNotNull() & (F.col("db") <= tol)
+    vf = F.col("df").isNotNull() & (F.col("df") <= tol)
+    back_wins = vb & (~vf | (F.col("db") <= F.col("df")))
+    return out.select(
+        "event_id",
+        F.when(back_wins, F.lit("backward"))
+        .when(vf, F.lit("forward"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+        F.when(back_wins, F.col("db")).when(vf, F.col("df")).alias("delta_us"),
+    )

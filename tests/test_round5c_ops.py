@@ -602,3 +602,42 @@ def test_mixture_drift_duplicated_language_shrinks(spark):
     assert en.share_before_permille == 750 and en.share_after_permille == 500
     assert zh.share_before_permille == 250 and zh.share_after_permille == 500
     assert en.drift_permille == -250 and zh.drift_permille == 250
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """Nearest picks the closer side; exact ties go backward; an order
+    at the event instant is backward with delta 0; outside the 7-day
+    tolerance on both sides -> none."""
+    from curatorhadoopinterface_spark.operators.relational import (
+        join_asof_nearest,
+    )
+
+    import datetime
+
+    t = datetime.datetime
+    _write(spark, [
+        (1, 7, "O", 1.0, t(2024, 1, 1, 0, 0, 0), "1"),   # uid 7
+        (2, 7, "O", 1.0, t(2024, 1, 1, 4, 0, 0), "1"),
+        (3, 8, "O", 1.0, t(2024, 1, 1, 0, 0, 0), "1"),   # uid 8: tie setup
+        (4, 8, "O", 1.0, t(2024, 1, 1, 2, 0, 0), "1"),
+        (5, 9, "O", 1.0, t(2023, 1, 1, 0, 0, 0), "1"),   # uid 9: far away
+    ], "o_orderkey long, o_custkey long, o_orderstatus string,"
+       " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+       "orders", "asofn")
+    out_dir = _write(spark, [
+        # uid 7 at 03:00 -> backward 3h vs forward 1h: forward wins
+        (100, t(2024, 1, 1, 3, 0, 0), 7, "click", 0.0, "{}"),
+        # uid 8 at 01:00 -> 1h both sides: tie -> backward
+        (101, t(2024, 1, 1, 1, 0, 0), 8, "click", 0.0, "{}"),
+        # uid 8 at exactly an order instant -> backward, delta 0
+        (102, t(2024, 1, 1, 2, 0, 0), 8, "click", 0.0, "{}"),
+        # uid 9: only order is a year away -> none
+        (103, t(2024, 1, 1, 0, 0, 0), 9, "click", 0.0, "{}"),
+    ], EVENT_SCHEMA, "events", "asofn")
+    out = {r.event_id: r for r in join_asof_nearest(spark, out_dir).collect()}
+    assert out[100].direction == "forward"
+    assert out[100].delta_us == 3600 * 1_000_000
+    assert out[101].direction == "backward"
+    assert out[101].delta_us == 3600 * 1_000_000
+    assert out[102].direction == "backward" and out[102].delta_us == 0
+    assert out[103].direction == "none" and out[103].delta_us is None

@@ -649,6 +649,12 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # nearest as-of: ONE union-sort exchange serves BOTH directions;
+    # zero joins (the naive form is two range joins)
+    "join_asof_nearest": {"partial": False,
+                          "prune": ["event_type", "value", "props",
+                                    "o_totalprice", "o_orderstatus"],
+                          "forbid": [r"Join", r"CartesianProduct"]},
     # fulfillment latency: one groupBy on the join key, 5-row census
     "orders_fulfillment_latency": {"partial": True,
                                    "prune": ["o_custkey", "o_totalprice",

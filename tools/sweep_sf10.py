@@ -39,6 +39,10 @@ EXCLUDE = {
     "scan_thrift_records",
     "join_asof",
     "join_asof_tolerance",
+    # join_asof_nearest: same raw-dump class as join_asof (one row per
+    # event, 10M at sf10); value-exact at sf1 (10x, 1M rows) and the
+    # plan is the identical union-sort exchange join_asof exercises.
+    "join_asof_nearest",
     "join_outer",
     "join_outer_full",
     "ws_tokenize",
