@@ -168,6 +168,7 @@ OPTIONAL = [
     "orders_fulfillment_latency",
     "mixture_dedup_drift",
     "join_asof_nearest",
+    "dedup_minhash_recall",
 ]
 
 N_RUNS = 3

@@ -1417,3 +1417,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_common / n_b).alias("contain_b"),
         )
     )
+
+
+# -- measured LSH recall (the honest-ANN trade, text side) ---------------------
+
+RECALL_SAMPLE_MOD = 10  # doc_id % 10 == 0 -> ground-truth query sample
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    q AS (SELECT * FROM sets WHERE doc_id % {RECALL_SAMPLE_MOD} = 0),
+    truth AS (
+        SELECT q.doc_id AS q_id, c.doc_id AS c_id
+        FROM q JOIN sets c ON c.doc_id <> q.doc_id
+        WHERE LEN(LIST_INTERSECT(q.s, c.s)) * 1.0 /
+              LEN(LIST_DISTINCT(q.s || c.s)) >= {VERIFY_J}),
+    found_dir AS (
+        SELECT doc_a AS q_id, doc_b AS c_id FROM cands
+        WHERE doc_a % {RECALL_SAMPLE_MOD} = 0
+        UNION
+        SELECT doc_b AS q_id, doc_a AS c_id FROM cands
+        WHERE doc_b % {RECALL_SAMPLE_MOD} = 0),
+    hit AS (
+        SELECT COUNT(*) AS n_found
+        FROM truth t JOIN found_dir f
+          ON f.q_id = t.q_id AND f.c_id = t.c_id),
+    tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT tot.n_truth, hit.n_found,
+           CASE WHEN tot.n_truth = 0 THEN 1000
+                ELSE hit.n_found * 1000 // tot.n_truth END AS recall_permille
+    FROM tot, hit
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the MinHash+LSH candidate stage against exact
+    ground truth on a 10% deterministic doc sample: of the pairs whose
+    true shingle Jaccard clears the verify threshold, how many does the
+    banding actually propose? The text-side twin of sim_ann_recall —
+    the honest number behind every "LSH finds the duplicates" claim
+    (4 bands x 3 rows gives P(candidate) = 1-(1-J^3)^4, ~93% at J=0.7,
+    ~50% at J=0.5; this query reports what the corpus actually gets).
+
+    Scale shape: ground truth needs a sample x corpus verify — the
+    sample side (10%) broadcasts against the shared shingle-set
+    exchange, acceptable for an AUDIT query (the production dedup path
+    never does this; sf10 uses the candidate machinery alone). The
+    LSH side reuses the exact _minhash_core candidates. Counts crossed
+    as 1-row aggregates; recall is exact integer per-mille."""
+    cands, sets = _minhash_core(spark, sf_dir)
+    q = sets.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("doc_id").alias("q_id"), F.col("s").alias("qs")
+    )
+    c = sets.select(F.col("doc_id").alias("c_id"), F.col("s").alias("cs"))
+    jac = F.size(F.array_intersect(F.col("qs"), F.col("cs"))) / F.size(
+        F.array_union(F.col("qs"), F.col("cs"))
+    )
+    truth = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter((F.col("c_id") != F.col("q_id")) & (jac >= VERIFY_J))
+        .select("q_id", "c_id")
+    )
+    found = (
+        cands.filter(F.col("doc_a") % RECALL_SAMPLE_MOD == 0)
+        .select(F.col("doc_a").alias("q_id"), F.col("doc_b").alias("c_id"))
+        .unionByName(
+            cands.filter(F.col("doc_b") % RECALL_SAMPLE_MOD == 0).select(
+                F.col("doc_b").alias("q_id"), F.col("doc_a").alias("c_id")
+            )
+        )
+        .distinct()
+    )
+    hit = truth.join(found, ["q_id", "c_id"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return tot.crossJoin(hit).select(
+        "n_truth",
+        "n_found",
+        F.expr(
+            "case when n_truth = 0 then 1000L"
+            " else n_found * 1000 div n_truth end"
+        ).alias("recall_permille"),
+    )

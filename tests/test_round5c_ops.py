@@ -641,3 +641,27 @@ def test_asof_nearest_direction_and_ties(spark):
     assert out[101].delta_us == 3600 * 1_000_000
     assert out[102].direction == "backward" and out[102].delta_us == 0
     assert out[103].direction == "none" and out[103].delta_us is None
+
+
+def test_minhash_recall_counts(spark):
+    """Exact-duplicate pairs in the sample are both truth and LSH-found
+    (identical signatures always share every band): recall 1000 on a
+    pure-duplicate fixture; a near-miss pair (J < 0.5) is neither."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_minhash_recall,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (0, dup, "en", "s", 1),          # doc 0 -> in the 10% sample
+        (1, dup, "en", "s", 1),          # exact dup of 0
+        (10, dup, "en", "s", 1),         # also sampled, also dup
+        (3, "one two three four five six seven", "en", "s", 1),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "mhrecall")
+    r = dedup_minhash_recall(spark, out_dir).collect()[0]
+    # directed truth pairs from sampled docs {0, 10}: 0->1, 0->10,
+    # 10->0, 10->1 = 4; identical sigs band-match, so all are found
+    assert r.n_truth == 4
+    assert r.n_found == 4
+    assert r.recall_permille == 1000

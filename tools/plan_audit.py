@@ -649,6 +649,10 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # recall audit: ground truth is a deliberate broadcast-sample
+    # cross verify (audit-only); candidates reuse _minhash_core
+    "dedup_minhash_recall": {"no_bnlj": False, "partial": True,
+                             "prune": ["lang", "source", "n_chars"]},
     # nearest as-of: ONE union-sort exchange serves BOTH directions;
     # zero joins (the naive form is two range joins)
     "join_asof_nearest": {"partial": False,

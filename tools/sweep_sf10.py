@@ -43,6 +43,12 @@ EXCLUDE = {
     # event, 10M at sf10); value-exact at sf1 (10x, 1M rows) and the
     # plan is the identical union-sort exchange join_asof exercises.
     "join_asof_nearest",
+    # dedup_minhash_recall: the ground-truth side is an AUDIT-only
+    # sample x corpus exact verify (10% x all) — quadratic by intent;
+    # at sf10 that is 50k x 500k set intersections on BOTH engines.
+    # The production candidate machinery it measures IS swept at sf10
+    # (dedup_minhash, dedup_clusters census). Value-exact through sf0.1.
+    "dedup_minhash_recall",
     "join_outer",
     "join_outer_full",
     "ws_tokenize",
