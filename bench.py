@@ -169,6 +169,7 @@ OPTIONAL = [
     "mixture_dedup_drift",
     "join_asof_nearest",
     "dedup_minhash_recall",
+    "text_langid_confusion",
 ]
 
 N_RUNS = 3

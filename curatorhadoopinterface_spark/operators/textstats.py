@@ -1852,3 +1852,57 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
         ).alias("zipf_intercept"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+{_LANGID_SCORES_ORACLE}
+        FROM documents),
+    pred AS (
+        SELECT lang AS actual_lang,
+               {_LANGID_PRED_ORACLE} AS pred_lang
+        FROM scored),
+    cell AS (
+        SELECT actual_lang, pred_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY actual_lang, pred_lang),
+    tot AS (
+        SELECT actual_lang, SUM(n_docs) AS n_actual
+        FROM cell GROUP BY actual_lang)
+    SELECT c.actual_lang, c.pred_lang, c.n_docs,
+           c.n_docs * 1000 // t.n_actual AS cell_permille,
+           c.actual_lang = c.pred_lang AS correct
+    FROM cell c JOIN tot t ON t.actual_lang = c.actual_lang
+    ORDER BY c.actual_lang, c.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language classifier
+    against the labeled lang column — the classifier-evaluation census
+    (which language pairs get confused, per-cell rate in exact integer
+    per-mille). The evaluation pass any heuristic filter needs before
+    its output gates a corpus; diagonal cells are the per-language
+    recall.
+
+    Scale shape: scoring is per-row column algebra (the text_langid
+    path — no explode); the matrix is ONE partial-agged exchange to
+    |langs|^2 cells; per-actual totals re-aggregate the 25-cell table,
+    not the corpus."""
+    per_doc = text_langid(spark, sf_dir).select("actual_lang", "pred_lang")
+    cell = per_doc.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("actual_lang").agg(F.sum("n_docs").alias("n_actual"))
+    return (
+        cell.join(tot, "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000 div n_actual").alias("cell_permille"),
+            (F.col("actual_lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )

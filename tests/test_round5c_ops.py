@@ -665,3 +665,29 @@ def test_minhash_recall_counts(spark):
     assert r.n_truth == 4
     assert r.n_found == 4
     assert r.recall_permille == 1000
+
+
+def test_langid_confusion_cells(spark):
+    """Diagonal cells carry the correctly-identified docs; an en-looking
+    doc labeled zh lands in the (zh, en) off-diagonal cell with an exact
+    per-mille rate."""
+    from curatorhadoopinterface_spark.operators.textstats import (
+        text_langid_confusion,
+    )
+
+    en_text = "the of and to in is it for " * 3       # English stopwords
+    docs = [
+        (0, en_text, "en", "s", 1),
+        (1, en_text, "en", "s", 1),
+        (2, en_text, "zh", "s", 1),   # mislabeled: predicted en
+        (3, en_text, "zh", "s", 1),
+        (4, en_text + " extra", "zh", "s", 1),
+    ]
+    out_dir = _write(spark, docs, DOC_SCHEMA, "documents", "langconf")
+    out = {(r.actual_lang, r.pred_lang): r
+           for r in text_langid_confusion(spark, out_dir).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "en")].correct is True
+    assert out[("zh", "en")].n_docs == 3
+    assert out[("zh", "en")].cell_permille == 1000
+    assert out[("zh", "en")].correct is False

@@ -649,6 +649,11 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # langid confusion: per-row scoring (no explode), one exchange to
+    # |langs|^2 cells, totals from the 25-cell table
+    "text_langid_confusion": {"partial": True,
+                              "prune": ["source", "n_chars"],
+                              "forbid": [r"CartesianProduct"]},
     # recall audit: ground truth is a deliberate broadcast-sample
     # cross verify (audit-only); candidates reuse _minhash_core
     "dedup_minhash_recall": {"no_bnlj": False, "partial": True,
