@@ -170,6 +170,7 @@ OPTIONAL = [
     "join_asof_nearest",
     "dedup_minhash_recall",
     "text_langid_confusion",
+    "orders_cohort_ltv",
 ]
 
 N_RUNS = 3

@@ -1995,3 +1995,77 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# -- cohort LTV curve ----------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_o AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+        FROM orders GROUP BY o_custkey),
+    aged AS (
+        SELECT CAST(DATE_TRUNC('month', f.fd) AS DATE) AS cohort_month,
+               (YEAR(o.o_orderdate) - YEAR(f.fd)) * 12
+                   + (MONTH(o.o_orderdate) - MONTH(f.fd)) AS age_months,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey),
+    cell AS (
+        SELECT cohort_month, age_months,
+               COUNT(*) AS n_orders, SUM(rev) AS revenue
+        FROM aged GROUP BY cohort_month, age_months)
+    SELECT cohort_month, age_months, n_orders,
+           CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(revenue) OVER (
+               PARTITION BY cohort_month ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
+    FROM cell ORDER BY cohort_month, age_months
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue accumulated by cohort age in months — the
+    growth-accounting complement of retention_cohort (that one counts
+    RETURNING customers; this one accumulates MONEY).
+
+    Exactness: cohort age is pure integer year/month arithmetic
+    (identical in both engines — no interval/months_between float);
+    revenue sums are exact DECIMAL(18,2) including the CUMULATIVE
+    window sum, each rounded to 2dp only at the final double cast
+    (house money rule).
+
+    Scale shape: first-order is one partial-agged groupBy on the
+    customer key; the cohort attach is an equi join on the same key
+    (bucketable); cells collapse to cohorts x ages BEFORE the running
+    sum, so the window input is calendar-bounded, not order-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("fd")
+    )
+    aged = o.join(first_o, "o_custkey").select(
+        F.trunc("fd", "mm").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("fd")) * 12
+            + (F.month("o_orderdate") - F.month("fd"))
+        ).alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cell = aged.groupBy("cohort_month", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("revenue")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(F.sum("revenue").over(w), 2).cast("double").alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort_month", "age_months")

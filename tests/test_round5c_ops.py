@@ -691,3 +691,36 @@ def test_langid_confusion_cells(spark):
     assert out[("zh", "en")].n_docs == 3
     assert out[("zh", "en")].cell_permille == 1000
     assert out[("zh", "en")].correct is False
+
+
+def test_cohort_ltv_accumulation(spark):
+    """Age is integer month arithmetic from the customer's FIRST order;
+    cum_revenue accumulates exactly within the cohort."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        orders_cohort_ltv,
+    )
+
+    import datetime
+
+    t = datetime.datetime
+    out_dir = _write(spark, [
+        # customer 1: first order Jan, repeat in Mar (age 2)
+        (1, 1, "O", 100.00, t(2024, 1, 15), "1"),
+        (2, 1, "O", 50.00, t(2024, 3, 2), "1"),
+        # customer 2: first order Jan too -> same cohort, age 0
+        (3, 2, "O", 25.00, t(2024, 1, 31), "1"),
+        # customer 3: cohort Feb
+        (4, 3, "O", 10.00, t(2024, 2, 1), "1"),
+    ], "o_orderkey long, o_custkey long, o_orderstatus string,"
+       " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+       "orders", "ltv")
+    out = {(str(r.cohort_month), r.age_months): r
+           for r in orders_cohort_ltv(spark, out_dir).collect()}
+    jan0 = out[("2024-01-01", 0)]
+    assert jan0.n_orders == 2 and jan0.revenue == 125.0
+    assert jan0.cum_revenue == 125.0
+    jan2 = out[("2024-01-01", 2)]
+    assert jan2.revenue == 50.0 and jan2.cum_revenue == 175.0
+    feb0 = out[("2024-02-01", 0)]
+    assert feb0.cum_revenue == 10.0
+    assert ("2024-01-01", 1) not in out   # no orders at age 1

@@ -649,6 +649,11 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # cohort LTV: first-order groupBy + equi join on the customer key;
+    # cells collapse to cohorts x ages before the running sum
+    "orders_cohort_ltv": {"partial": True,
+                          "prune": ["o_orderstatus", "o_orderpriority"],
+                          "forbid": [r"CartesianProduct"]},
     # langid confusion: per-row scoring (no explode), one exchange to
     # |langs|^2 cells, totals from the 25-cell table
     "text_langid_confusion": {"partial": True,
