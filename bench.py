@@ -171,6 +171,7 @@ OPTIONAL = [
     "dedup_minhash_recall",
     "text_langid_confusion",
     "orders_cohort_ltv",
+    "events_ab_test",
 ]
 
 N_RUNS = 3

@@ -676,3 +676,94 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- A/B experiment readout -----------------------------------------------------
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH q AS (
+        SELECT user_id % 2 AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+        FROM events),
+    s AS (
+        SELECT
+            SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+            SUM(CASE WHEN grp = 0 THEN qv ELSE 0 END) AS s_a,
+            SUM(CASE WHEN grp = 0 THEN qv * qv ELSE 0 END) AS ss_a,
+            SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+            SUM(CASE WHEN grp = 1 THEN qv ELSE 0 END) AS s_b,
+            SUM(CASE WHEN grp = 1 THEN qv * qv ELSE 0 END) AS ss_b
+        FROM q),
+    d AS (
+        SELECT n_a, n_b,
+               s_a * 1.0 / n_a AS m_a,
+               s_b * 1.0 / n_b AS m_b,
+               (ss_a - s_a * 1.0 * s_a / n_a) / (n_a - 1) AS v_a,
+               (ss_b - s_b * 1.0 * s_b / n_b) / (n_b - 1) AS v_b
+        FROM s)
+    SELECT n_a, n_b,
+           ROUND(m_a / 100, 6) AS mean_a,
+           ROUND(m_b / 100, 6) AS mean_b,
+           ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6) AS t_stat,
+           ABS(ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6)) > 1.96
+               AS significant
+    FROM d
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B readout (Welch t statistic) over a deterministic
+    user split (user_id parity = assignment) — the experimentation
+    census every event pipeline serves, reduced to engine-exact
+    sufficient statistics.
+
+    Exactness (the emb_drift pattern): the metric quantizes to integer
+    cents BEFORE aggregation, so n/sum/sum-of-squares are
+    order-independent BIGINTs; means and variances derive from those
+    exact integers through one fixed chain of correctly-rounded IEEE
+    ops (s*1.0*s stays under 2^53 where it must be exact), and the t
+    statistic is rounded to 6dp before the significance compare —
+    identical in both engines by construction, not by luck.
+
+    Scale shape: ONE scan, one 6-column conditional aggregate with
+    map-side partials, a 1-row report. The entire test costs a
+    word-count."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("qv"),
+    )
+    is_a, is_b = F.col("grp") == 0, F.col("grp") == 1
+    s = q.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, F.col("qv")).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(
+            F.when(is_a, F.col("qv") * F.col("qv")).otherwise(F.lit(0))
+        ).alias("ss_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_b, F.col("qv")).otherwise(F.lit(0))).alias("s_b"),
+        F.sum(
+            F.when(is_b, F.col("qv") * F.col("qv")).otherwise(F.lit(0))
+        ).alias("ss_b"),
+    )
+    m_a = F.col("s_a") * 1.0 / F.col("n_a")
+    m_b = F.col("s_b") * 1.0 / F.col("n_b")
+    v_a = (F.col("ss_a") - F.col("s_a") * 1.0 * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("ss_b") - F.col("s_b") * 1.0 * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = F.round(
+        (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")), 6
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(m_a / 100, 6).alias("mean_a"),
+        F.round(m_b / 100, 6).alias("mean_b"),
+        t.alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

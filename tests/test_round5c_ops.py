@@ -724,3 +724,38 @@ def test_cohort_ltv_accumulation(spark):
     feb0 = out[("2024-02-01", 0)]
     assert feb0.cum_revenue == 10.0
     assert ("2024-01-01", 1) not in out   # no orders at age 1
+
+
+def test_ab_test_planted_effect(spark):
+    """A planted mean shift between the parity groups produces the
+    closed-form Welch t (replayed offline from the same integer
+    sufficient statistics); equal groups are not significant."""
+    from curatorhadoopinterface_spark.operators.advanced import events_ab_test
+
+    import math
+
+    rows = []
+    # group A (even users): values 10.00 +- 1; group B (odd): 12.00 +- 1
+    eid = 0
+    for i in range(50):
+        rows.append((eid, _ts("2024-01-01 00:00:00"), 2 * i, "x",
+                     10.0 + (i % 3) - 1, "{}")); eid += 1
+        rows.append((eid, _ts("2024-01-01 00:00:00"), 2 * i + 1, "x",
+                     12.0 + (i % 3) - 1, "{}")); eid += 1
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "abtest")
+    r = events_ab_test(spark, out_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (50, 50)
+    # offline replay: qv cents, var of {900,1000,1100}-ish pattern
+    qa = [1000 + ((i % 3) - 1) * 100 for i in range(50)]
+    qb = [1200 + ((i % 3) - 1) * 100 for i in range(50)]
+    def stats(q):
+        n, s, ss = len(q), sum(q), sum(x * x for x in q)
+        m = s * 1.0 / n
+        v = (ss - s * 1.0 * s / n) / (n - 1)
+        return n, m, v
+    na, ma, va = stats(qa); nb, mb, vb = stats(qb)
+    assert r.mean_a == round(ma / 100, 6)   # 9.98: 50 % 3 != 0
+    assert r.mean_b == round(mb / 100, 6)
+    expect = round((ma - mb) / math.sqrt(va / na + vb / nb), 6)
+    assert r.t_stat == expect
+    assert r.significant is True

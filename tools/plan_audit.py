@@ -649,6 +649,11 @@ AUDITS: dict[str, dict] = {
     "events_rolling_actives": {"partial": True,
                                "prune": ["event_type", "value", "props"],
                                "forbid": [r"CartesianProduct"]},
+    # A/B readout: one scan, one partial-agged 6-column conditional
+    # aggregate, 1-row report; no join, no window
+    "events_ab_test": {"partial": True,
+                       "prune": ["event_type", "props", "ts", "event_id"],
+                       "forbid": [r"Join", r"Window"]},
     # cohort LTV: first-order groupBy + equi join on the customer key;
     # cells collapse to cohorts x ages before the running sum
     "orders_cohort_ltv": {"partial": True,
