@@ -8,6 +8,13 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "planaudit: live physical-plan invariant audits (pytest -m planaudit)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from curatorhadoopinterface_spark.session import get_spark

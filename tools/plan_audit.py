@@ -37,12 +37,20 @@ AUDITS: dict[str, dict] = {
     "join_asof": {},
     "topk_per_group": {},
     "udf_scalar": {"pushed": True, "prune": ["l_comment"]},
-    "dedup_minhash": {},
+    # LSH equi self-join on (band, key): signatures partial-aggregate
+    # before the band exchange; the pair join is hash, never nested-loop
+    "dedup_minhash": {"partial": True, "broadcast": True,
+                      "prune": ["lang", "source", "n_chars"],
+                      "forbid": [r"CartesianProduct"]},
     # sim_topk's candidate join is non-equi (vec_id <>) against a
     # broadcast-tiny query side: BroadcastNestedLoopJoin IS the intended
     # physical strategy (map-side, no shuffle of the corpus)
     "sim_topk": {"no_bnlj": False},
-    "sim_lsh_topk": {},
+    # sign-bucket equi join (broadcast hash on the tiny query side):
+    # candidate generation never degrades to a nested-loop/cartesian
+    "sim_lsh_topk": {"broadcast": True,
+                     "forbid": [r"CartesianProduct",
+                                r"BroadcastNestedLoopJoin"]},
     "text_stats": {"prune": ["doc_id"]},  # profiling reads text/lang/source, never doc_id
     "annotate_pipeline": {},
     # one user_id exchange feeds both window passes AND the final agg
@@ -755,6 +763,41 @@ for _n in _BLANKET:
 for _n in ("join_range", "join_interval", "span_interval_join"):
     AUDITS.setdefault(_n, {"no_bnlj": False})
 
+# Explicit exemptions: queries whose registered callable executes a
+# Structured Streaming pipeline to completion (availableNow trigger) and
+# returns the batch READBACK of the sink — the DataFrame handed back has
+# no streaming physical plan left to assert. Their scale invariants are
+# checked elsewhere: multi-batch pytests (tests/test_streaming*.py,
+# test_rocksdb_state.py) drive real micro-batches, and bench.py records
+# per-batch processing time from StreamingQueryProgress. AUDITS | EXEMPT
+# must equal the registry — coverage_gaps() enforces it (pytest
+# tests/test_plan_audit.py) so a new query can't land unaudited.
+EXEMPT: dict[str, str] = {
+    n: "streaming: registered callable returns the batch readback of an "
+       "executed availableNow pipeline; invariants covered by multi-batch "
+       "pytests + StreamingQueryProgress batch_ms in BENCH_DETAIL"
+    for n in (
+        "stream_annotate stream_contamination stream_dedup "
+        "stream_file_source stream_outer_join stream_session "
+        "stream_sink_parquet stream_sliding_agg stream_stateful_count "
+        "stream_static_join stream_stream_join stream_transform_with_state "
+        "stream_upsert_store stream_watermark stream_window_agg"
+    ).split()
+}
+
+
+def coverage_gaps(registry_names) -> tuple[list[str], list[str]]:
+    """(registered-but-unaudited, audited-but-unregistered) name lists.
+
+    Both must be empty: every registered query needs an AUDITS entry or
+    an EXEMPT reason, and stale AUDITS entries must be pruned when a
+    query is renamed. The A19 verify-everything discipline applied to
+    the audit registry itself.
+    """
+    names = set(registry_names)
+    covered = set(AUDITS) | set(EXEMPT)
+    return sorted(names - covered), sorted((set(AUDITS) & set(EXEMPT)) | (covered - names))
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -821,6 +864,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    unaudited, stale = coverage_gaps(qs.keys())
+    if unaudited or stale:
+        print(f"COVERAGE GAP — unaudited: {unaudited}; stale/dual: {stale}")
+
     lines = [
         "# PLANS — physical-plan audit evidence",
         "",
@@ -866,12 +913,22 @@ def main() -> None:
         lines.append("")
         del scans
     if append_names:
-        # replace-or-append the audited sections in the existing file
+        # replace-or-append the audited sections in the existing file.
+        # Header boundary located by the first section marker (not a
+        # fixed line count) and names re.escape'd so a header-format
+        # change or a metacharacter in a name can't corrupt PLANS.md.
         existing = open("/root/repo/PLANS.md").read()
-        body = "\n".join(lines[5:])  # drop the regenerated header
+        first = next(
+            (i for i, ln in enumerate(lines) if ln.startswith("## ")),
+            len(lines),
+        )
+        body = "\n".join(lines[first:])
         for nm in append_names:
             existing = re.sub(
-                rf"## {nm} — .*?(?=\n## |\Z)", "", existing, flags=re.S
+                rf"## {re.escape(nm)} — .*?(?=\n## |\Z)",
+                "",
+                existing,
+                flags=re.S,
             )
         with open("/root/repo/PLANS.md", "w") as f:
             f.write(existing.rstrip("\n") + "\n\n" + body)
