@@ -1422,24 +1422,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- measured LSH recall (the honest-ANN trade, text side) ---------------------
 
 RECALL_SAMPLE_MOD = 10  # doc_id % 10 == 0 -> ground-truth query sample
+# posting-list cap for the ground-truth inverted index: shingles shared
+# by more than this many documents are dropped from the TRUTH side (and
+# the drop is reported in the output row). Without it one stopword-like
+# hot shingle makes the exact-truth join quadratic in its document
+# frequency; with it the join fans out at most RECALL_DF_CAP per posting
+# — the standard bounded-posting trade, honest because the cap and the
+# number of dropped shingles ship in the result. sf0.01/sf0.1 max df is
+# single/double-digit, so nothing drops at driver scale and the recall
+# number is the uncapped one there.
+RECALL_DF_CAP = 64
 
 
 @query(
     "dedup_minhash_recall",
     oracle=f"""
     WITH {_PAIRS_CTES},
-    tcand AS (
-        SELECT DISTINCT a.doc_id AS q_id, b.doc_id AS c_id
-        FROM shingles a JOIN shingles b
+    dfc AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+    nhot AS (
+        SELECT COUNT(CASE WHEN df > {RECALL_DF_CAP} THEN 1 END)
+               AS n_hot_shingles
+        FROM dfc),
+    cold AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN dfc d
+          ON d.shingle = s.shingle AND d.df <= {RECALL_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cold GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS q_id, b.doc_id AS c_id, COUNT(*) AS n_inter
+        FROM cold a JOIN cold b
           ON b.shingle = a.shingle AND b.doc_id <> a.doc_id
-        WHERE a.doc_id % {RECALL_SAMPLE_MOD} = 0),
+        WHERE a.doc_id % {RECALL_SAMPLE_MOD} = 0
+        GROUP BY 1, 2),
     truth AS (
-        SELECT t.q_id, t.c_id
-        FROM tcand t
-        JOIN sets q ON q.doc_id = t.q_id
-        JOIN sets c ON c.doc_id = t.c_id
-        WHERE LEN(LIST_INTERSECT(q.s, c.s)) * 1.0 /
-              LEN(LIST_DISTINCT(q.s || c.s)) >= {VERIFY_J}),
+        SELECT i.q_id, i.c_id
+        FROM inter i
+        JOIN sizes sq ON sq.doc_id = i.q_id
+        JOIN sizes sc ON sc.doc_id = i.c_id
+        WHERE i.n_inter * 1.0 / (sq.n_sh + sc.n_sh - i.n_inter)
+              >= {VERIFY_J}),
     found_dir AS (
         SELECT doc_a AS q_id, doc_b AS c_id FROM cands
         WHERE doc_a % {RECALL_SAMPLE_MOD} = 0
@@ -1453,11 +1474,15 @@ RECALL_SAMPLE_MOD = 10  # doc_id % 10 == 0 -> ground-truth query sample
     tot AS (SELECT COUNT(*) AS n_truth FROM truth)
     SELECT tot.n_truth, hit.n_found,
            CASE WHEN tot.n_truth = 0 THEN 1000
-                ELSE hit.n_found * 1000 // tot.n_truth END AS recall_permille
-    FROM tot, hit
+                ELSE hit.n_found * 1000 // tot.n_truth END AS recall_permille,
+           CAST({RECALL_DF_CAP} AS BIGINT) AS df_cap,
+           nhot.n_hot_shingles
+    FROM tot, hit, nhot
     """,
 )
-def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_recall(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """MEASURED recall of the MinHash+LSH candidate stage against exact
     ground truth on a 10% deterministic doc sample: of the pairs whose
     true shingle Jaccard clears the verify threshold, how many does the
@@ -1466,41 +1491,86 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 bands x 3 rows gives P(candidate) = 1-(1-J^3)^4, ~93% at J=0.7,
     ~50% at J=0.5; this query reports what the corpus actually gets).
 
-    Scale shape: ground truth needs a sample x corpus verify — the
-    sample side (10%) broadcasts against the shared shingle-set
-    exchange, acceptable for an AUDIT query (the production dedup path
-    never does this; sf10 uses the candidate machinery alone). The
-    LSH side reuses the exact _minhash_core candidates. Counts crossed
-    as 1-row aggregates; recall is exact integer per-mille."""
-    cands, sets = _minhash_core(spark, sf_dir)
-    # EXACT truth prefilter: J >= 0.5 > 0 forces >= 1 shared shingle,
-    # so the ground-truth candidate set is an EQUI join on the shingle
-    # key (inverted-index shape) instead of a sample x corpus cross
-    # verify — 25x fewer exact-Jaccard evaluations on the fixture and
-    # the only formulation that survives a big corpus at all.
-    sh = sets.select("doc_id", F.explode("s").alias("shingle"))
-    qsh = sh.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0).select(
-        F.col("doc_id").alias("q_id"), "shingle"
-    )
-    tcand = (
-        qsh.join(sh.select(F.col("doc_id").alias("c_id"), "shingle"), "shingle")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id")
+    Scale shape: ground truth is an EQUI join on the shingle key
+    (inverted-index posting lists; J >= 0.5 > 0 forces >= 1 shared
+    shingle, so no sample x corpus cross verify), with two bounds that
+    make it safe at 100 TB: (1) posting lists longer than RECALL_DF_CAP
+    are DROPPED from the truth index — the join fans out at most
+    cap-per-posting, and the cap plus dropped-shingle count are
+    reported in the output row so the recall's scope is explicit;
+    (2) intersection sizes come from counting shared postings
+    (groupBy), never from shuffling the shingle ARRAYS — Jaccard is
+    n_inter / (|q| + |c| - n_inter) over the capped shingle space,
+    exact integers in both engines. The LSH side reuses the exact
+    _minhash_core candidates. Counts crossed as 1-row aggregates;
+    recall is exact integer per-mille.
+
+    The signature aggregate feeds SIX consumers (LSH self-join sides,
+    posting self-join sides, sizes, hot census); left lazy, Catalyst
+    re-derives the whole scan+shingle+signature pipeline per consumer
+    (~26 duplicate scans measured). ``localCheckpoint`` materializes it
+    once — the dedup_fuzzy_edit/graph_pagerank pattern; corpus-sized
+    but compact (signatures + distinct shingles), disk-spillable.
+    ``checkpoint=False`` returns the fully lazy plan for plan audits."""
+    doc_agg = _minhash_doc_agg(spark, sf_dir)
+    if checkpoint:
+        doc_agg = doc_agg.localCheckpoint(eager=True)
+    bands = _band_explode(doc_agg)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = F.size(F.array_intersect(F.col("qs"), F.col("cs"))) / F.size(
-        F.array_union(F.col("qs"), F.col("cs"))
+    sh = doc_agg.select("doc_id", F.explode("s").alias("shingle"))
+    # document frequency + one-row-per-shingle marker in ONE window over
+    # the shingle exchange — the very exchange the posting self-join
+    # needs, so both cap filter and join sides share a single shuffle
+    # (a separate df groupBy + semi join would add two more)
+    w = Window.partitionBy("shingle")
+    posted = sh.select(
+        "doc_id",
+        "shingle",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.row_number()
+        .over(w.orderBy("doc_id"))
+        .alias("rn"),
+    )
+    n_hot = posted.agg(
+        F.count(
+            F.when((F.col("df") > RECALL_DF_CAP) & (F.col("rn") == 1), 1)
+        ).alias("n_hot_shingles")
+    )
+    cold = posted.filter(F.col("df") <= RECALL_DF_CAP)
+    sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cold.select(F.col("doc_id").alias("q_id"), "shingle")
+        .filter(F.col("q_id") % RECALL_SAMPLE_MOD == 0)
+        .join(
+            cold.select(F.col("doc_id").alias("c_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     truth = (
-        tcand.join(
-            sets.select(F.col("doc_id").alias("q_id"), F.col("s").alias("qs")),
+        inter.join(
+            sizes.select(F.col("doc_id").alias("q_id"), F.col("n_sh").alias("nq")),
             "q_id",
         )
         .join(
-            sets.select(F.col("doc_id").alias("c_id"), F.col("s").alias("cs")),
+            sizes.select(F.col("doc_id").alias("c_id"), F.col("n_sh").alias("nc")),
             "c_id",
         )
-        .filter(jac >= VERIFY_J)
+        .filter(
+            F.col("n_inter") / (F.col("nq") + F.col("nc") - F.col("n_inter"))
+            >= VERIFY_J
+        )
         .select("q_id", "c_id")
     )
     found = (
@@ -1517,11 +1587,17 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_found")
     )
     tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    return tot.crossJoin(hit).select(
-        "n_truth",
-        "n_found",
-        F.expr(
-            "case when n_truth = 0 then 1000L"
-            " else n_found * 1000 div n_truth end"
-        ).alias("recall_permille"),
+    return (
+        tot.crossJoin(hit)
+        .crossJoin(n_hot)
+        .select(
+            "n_truth",
+            "n_found",
+            F.expr(
+                "case when n_truth = 0 then 1000L"
+                " else n_found * 1000 div n_truth end"
+            ).alias("recall_permille"),
+            F.lit(RECALL_DF_CAP).cast("long").alias("df_cap"),
+            "n_hot_shingles",
+        )
     )

@@ -85,7 +85,12 @@ CRITICAL = [
 
 # query builders that execute eager work (iteration/writes) unless told
 # to return the un-checkpointed lazy plan
-_LAZY_KWARG = {"graph_pagerank", "pack_sequences_hier", "dedup_fuzzy_edit"}
+_LAZY_KWARG = {
+    "graph_pagerank",
+    "pack_sequences_hier",
+    "dedup_fuzzy_edit",
+    "dedup_minhash_recall",
+}
 
 
 def test_audit_coverage_complete():

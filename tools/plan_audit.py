@@ -881,7 +881,8 @@ def main() -> None:
             continue
         if append_names and name not in append_names:
             continue
-        if name in ("graph_pagerank", "pack_sequences_hier", "dedup_fuzzy_edit"):
+        if name in ("graph_pagerank", "pack_sequences_hier",
+                    "dedup_fuzzy_edit", "dedup_minhash_recall"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
