@@ -701,15 +701,22 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_a, n_b,
                s_a * 1.0 / n_a AS m_a,
                s_b * 1.0 / n_b AS m_b,
-               (ss_a - s_a * 1.0 * s_a / n_a) / (n_a - 1) AS v_a,
-               (ss_b - s_b * 1.0 * s_b / n_b) / (n_b - 1) AS v_b
+               CASE WHEN n_a > 1 THEN
+                   (ss_a - s_a * 1.0 * s_a / n_a) / (n_a - 1) END AS v_a,
+               CASE WHEN n_b > 1 THEN
+                   (ss_b - s_b * 1.0 * s_b / n_b) / (n_b - 1) END AS v_b
         FROM s)
     SELECT n_a, n_b,
            ROUND(m_a / 100, 6) AS mean_a,
            ROUND(m_b / 100, 6) AS mean_b,
-           ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6) AS t_stat,
-           ABS(ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6)) > 1.96
-               AS significant
+           CASE WHEN n_a > 1 AND n_b > 1 AND v_a / n_a + v_b / n_b > 0
+                THEN ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6)
+           END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND v_a / n_a + v_b / n_b > 0
+                THEN ABS(ROUND((m_a - m_b) /
+                               SQRT(v_a / n_a + v_b / n_b), 6)) > 1.96
+                ELSE FALSE
+           END AS significant
     FROM d
     """,
 )
@@ -750,14 +757,28 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_a = F.col("s_a") * 1.0 / F.col("n_a")
     m_b = F.col("s_b") * 1.0 / F.col("n_b")
-    v_a = (F.col("ss_a") - F.col("s_a") * 1.0 * F.col("s_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # variance defined only past one observation (the n-1 divisor);
+    # NULL propagates through the guard below, so a degenerate split
+    # (an arm with <=1 row, or zero pooled variance) reports an
+    # explicit NULL t and significant=false instead of Inf/NaN
+    v_a = F.when(
+        F.col("n_a") > 1,
+        (F.col("ss_a") - F.col("s_a") * 1.0 * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1),
     )
-    v_b = (F.col("ss_b") - F.col("s_b") * 1.0 * F.col("s_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    v_b = F.when(
+        F.col("n_b") > 1,
+        (F.col("ss_b") - F.col("s_b") * 1.0 * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1),
     )
-    t = F.round(
-        (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")), 6
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (v_a / F.col("n_a") + v_b / F.col("n_b") > 0)
+    )
+    t = F.when(
+        ok,
+        F.round((m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")), 6),
     )
     return s.select(
         "n_a",
@@ -765,5 +786,5 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m_a / 100, 6).alias("mean_a"),
         F.round(m_b / 100, 6).alias("mean_b"),
         t.alias("t_stat"),
-        (F.abs(t) > 1.96).alias("significant"),
+        F.when(ok, F.abs(t) > 1.96).otherwise(F.lit(False)).alias("significant"),
     )

@@ -425,6 +425,13 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocked edit-distance near-dedup (the fuzzy tier between exact-hash
 # and minhash: catches small in-place edits)
 # --------------------------------------------------------------------------
+# below this corpus size the rep-pair localCheckpoint costs more than
+# the DP it avoids (sf0.1 = 5k docs measured 1.87x the lazy shape); at
+# 50k+ docs the blocked-pair count crosses where re-inlined Levenshtein
+# dominates (the 17-min sf10 task) and the barrier is mandatory
+FUZZY_CHECKPOINT_MIN_DOCS = 50_000
+
+
 @query(
     "dedup_fuzzy_edit",
     oracle="""
@@ -455,7 +462,7 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_edit(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+    spark: SparkSession, sf_dir: str, checkpoint: bool | None = None
 ) -> DataFrame:
     """Near-dup pairs by bounded edit distance, REP-FACTORED: the
     O(len^2)-per-pair Levenshtein runs once per DISTINCT 200-char text
@@ -471,7 +478,19 @@ def dedup_fuzzy_edit(
     once as (min_id, max_id); docs sharing a rep orient by id, docs in
     different reps orient by the rep hash canonical order then min/max.
     Distance on a 200-char cap: per-rep-pair cost bounded no matter how
-    long documents get. JVM-side F.levenshtein (no Python)."""
+    long documents get. JVM-side F.levenshtein (no Python).
+
+    ``checkpoint=None`` (default) gates the rep-pair barrier on corpus
+    size: below FUZZY_CHECKPOINT_MIN_DOCS the lazy r1-r4 plan wins (the
+    barrier pays fixed materialization cost a small fixture never
+    recoups — the lone 1.87x bench grazer of round 5); at scale the
+    barrier is what keeps the DP once-per-distinct-pair. The size probe
+    is a parquet metadata COUNT (row-group stats, no data read).
+    ``True``/``False`` force either branch (False also serves plan
+    audits, which need the un-checkpointed lazy plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if checkpoint is None:
+        checkpoint = docs.count() >= FUZZY_CHECKPOINT_MIN_DOCS
     m = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring("text", 1, 20).alias("blk_prefix"),
@@ -1110,9 +1129,9 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p1 AS node FROM edges
             UNION ALL SELECT p2 AS node FROM edges) GROUP BY node),
     oriented AS MATERIALIZED (
-        SELECT CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
                     THEN e.p1 ELSE e.p2 END AS src,
-               CASE WHEN da.d * 1000000000 + e.p1 < db.d * 1000000000 + e.p2
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
                     THEN e.p2 ELSE e.p1 END AS dst
         FROM edges e
         JOIN deg da ON da.node = e.p1
@@ -1131,7 +1150,9 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (SELECT COUNT(*) FROM wedges), 6) AS closure
     """,
 )
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangles(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Triangle count + global closure coefficient over the co-purchase
     graph (parts sharing >= 2 orders), using the DEGREE-ORIENTATION
     algorithm (Schank-Wagner / the MapReduce classic): every undirected
@@ -1145,10 +1166,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: pair-gen shares graph_copurchase_topk's basket self-join
     (order-bounded); orientation is two broadcast-able degree joins;
     wedge+closure are two equi joins on node keys — all shuffles
-    hash-partitioned, no cartesian anywhere. The tie-break encodes
-    (degree, id) as one BIGINT (d*1e9 + id) — identical integer
-    arithmetic in both engines, no struct-comparison semantics to
-    cross-check.
+    hash-partitioned, no cartesian anywhere. The tie-break compares
+    (degree, id) lexicographically as explicit boolean algebra — valid
+    for ANY id domain (the earlier d*1e9+id packing silently collided
+    for ids >= 1e9), and the identical CASE replays in the oracle.
     """
     l = load_table(spark, sf_dir, "lineitem")
     basket = l.select(
@@ -1161,10 +1182,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("together"))
     )
     edges = pairs.filter(F.col("together") >= 2).select("p1", "p2")
-    return triangle_stats(edges)
+    return triangle_stats(edges, checkpoint=checkpoint)
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Degree-oriented triangle tally over undirected (p1 < p2) edges —
     the core of graph_triangles, factored so planted tests can feed
     known graphs (K4 -> 4 triangles, star -> 0)."""
@@ -1177,21 +1198,24 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     e = (
         edges.join(deg.alias("da"), F.col("p1") == F.col("da.node"))
         .join(deg.alias("db"), F.col("p2") == F.col("db.node"))
-        .select(
-            "p1",
-            "p2",
-            (F.col("da.d") * F.lit(1_000_000_000) + F.col("p1")).alias("k1"),
-            (F.col("db.d") * F.lit(1_000_000_000) + F.col("p2")).alias("k2"),
-        )
+        .select("p1", "p2", F.col("da.d").alias("d1"), F.col("db.d").alias("d2"))
+    )
+    # lexicographic (degree, id) — injective for any id domain, unlike
+    # an integer packing which collides once ids reach its radix
+    lt = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
     oriented = e.select(
-        F.when(F.col("k1") < F.col("k2"), F.col("p1"))
-        .otherwise(F.col("p2"))
-        .alias("src"),
-        F.when(F.col("k1") < F.col("k2"), F.col("p2"))
-        .otherwise(F.col("p1"))
-        .alias("dst"),
-    ).persist()
+        F.when(lt, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    )
+    if checkpoint:
+        # oriented feeds FOUR consumers (both wedge sides, the closure
+        # join, the edge census): localCheckpoint materializes it once
+        # and — unlike a persist() with no unpersist — its blocks are
+        # freed by the ContextCleaner when the returned plan is dropped,
+        # so a 137-query bench session doesn't accumulate cached edges
+        oriented = oriented.localCheckpoint(eager=False)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst")).select(
         F.col("e1.src").alias("a"),

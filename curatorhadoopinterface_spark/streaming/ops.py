@@ -96,10 +96,30 @@ def run_to_sink(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # availableNow overran the drain budget: stop rather than read a
+        # partially written sink back as if it were complete
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_s}s for sink {name}"
+        )
     return df.sparkSession.table(name)
+
+
+def drain_query(q, timeout_s: int = 300) -> None:
+    """Await an availableNow query's own termination, surfacing BOTH
+    failure modes: a query exception, and an overrun of the drain budget
+    (awaitTermination returning False) — falling through on timeout
+    would read a partially written sink/store back as if complete."""
+    finished = q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"streaming drain exceeded {timeout_s}s")
 
 
 @query(
@@ -474,9 +494,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    drain_query(q)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
@@ -562,9 +580,7 @@ def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    drain_query(q)
 
     deltas = spark.read.parquet(store)
     w = Window.partitionBy("user_id").orderBy(
@@ -648,9 +664,7 @@ def stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    drain_query(q)
     back = spark.read.parquet(store)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -891,9 +905,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    drain_query(q)
     back = spark.read.parquet(store)
     return back.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_contaminated_docs"),

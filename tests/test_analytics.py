@@ -96,6 +96,28 @@ def test_fuzzy_edit_finds_planted_near_dup_only(spark):
     assert pairs == {(1, 2)}
 
 
+def test_fuzzy_edit_checkpoint_gate_branches_agree(spark):
+    """The size-gated rep-pair barrier (checkpoint=None picks a branch
+    by corpus row count) must be a pure physical choice: forced-on,
+    forced-off, and auto all emit the identical pair set and distances."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        FUZZY_CHECKPOINT_MIN_DOCS,
+        dedup_fuzzy_edit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    runs = {
+        mode: sorted(
+            (r["doc_id"], r["dup_id"], r["edit_dist"])
+            for r in dedup_fuzzy_edit(spark, sf_dir, checkpoint=mode).collect()
+        )
+        for mode in (True, False, None)
+    }
+    assert runs[True] == runs[False] == runs[None]
+    # the sf0.001 fixture sits far below the gate: auto means lazy here
+    assert FUZZY_CHECKPOINT_MIN_DOCS > 1_000
+
+
 def test_native_array_collect_and_percentile(spark):
     """The native-array variant of agg_collect_list (docstring claim):
     collect_list/sort_array kept as real ARRAY columns (the driver

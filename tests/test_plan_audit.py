@@ -90,6 +90,7 @@ _LAZY_KWARG = {
     "pack_sequences_hier",
     "dedup_fuzzy_edit",
     "dedup_minhash_recall",
+    "graph_triangles",
 }
 
 

@@ -759,3 +759,34 @@ def test_ab_test_planted_effect(spark):
     expect = round((ma - mb) / math.sqrt(va / na + vb / nb), 6)
     assert r.t_stat == expect
     assert r.significant is True
+
+
+def test_ab_test_degenerate_split_yields_null_t(spark):
+    """An arm with a single observation (variance undefined) and a
+    zero-variance split must both report t_stat NULL and
+    significant=False — never Inf/NaN (the ADVICE r5 guard)."""
+    from curatorhadoopinterface_spark.operators.advanced import events_ab_test
+
+    # B arm has exactly one row: n_b = 1 -> v_b undefined
+    rows = [
+        (0, _ts("2024-01-01 00:00:00"), 0, "x", 10.0, "{}"),
+        (1, _ts("2024-01-01 00:00:00"), 2, "x", 11.0, "{}"),
+        (2, _ts("2024-01-01 00:00:00"), 1, "x", 12.0, "{}"),
+    ]
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "abtest_degen")
+    r = events_ab_test(spark, out_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.t_stat is None and r.significant is False
+
+    # both arms constant: variances exactly zero -> guard trips on the
+    # pooled-variance > 0 clause
+    rows = [
+        (0, _ts("2024-01-01 00:00:00"), 0, "x", 10.0, "{}"),
+        (1, _ts("2024-01-01 00:00:00"), 2, "x", 10.0, "{}"),
+        (2, _ts("2024-01-01 00:00:00"), 1, "x", 12.0, "{}"),
+        (3, _ts("2024-01-01 00:00:00"), 3, "x", 12.0, "{}"),
+    ]
+    out_dir = _write(spark, rows, EVENT_SCHEMA, "events", "abtest_zerovar")
+    r = events_ab_test(spark, out_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.t_stat is None and r.significant is False

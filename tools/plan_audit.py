@@ -882,7 +882,8 @@ def main() -> None:
         if append_names and name not in append_names:
             continue
         if name in ("graph_pagerank", "pack_sequences_hier",
-                    "dedup_fuzzy_edit", "dedup_minhash_recall"):
+                    "dedup_fuzzy_edit", "dedup_minhash_recall",
+                    "graph_triangles"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
