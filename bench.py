@@ -213,11 +213,18 @@ def _stage_snapshot(spark) -> dict:
 
 def run_one(qfn, spark, sf_dir: str) -> dict:
     """N_RUNS end-to-end executions; min is the reported cost, the final
-    run's stage/shuffle delta is the plan fingerprint."""
+    run's stage/shuffle delta is the plan fingerprint. For streaming
+    queries the final run's per-micro-batch triggerExecution times
+    (StreamingQueryProgress, via streaming.ops.BATCH_LOG) ride along —
+    wall time is drain/orchestration latency; batch_ms is the number
+    that regresses when an operator INSIDE the stream regresses."""
+    from curatorhadoopinterface_spark.streaming import ops as stream_ops
+
     samples = []
     stages = shuffle_read = shuffle_write = 0
     for i in range(N_RUNS):
         before = _stage_snapshot(spark) if i == N_RUNS - 1 else None
+        stream_ops.BATCH_LOG.clear()
         t0 = time.time()
         df = qfn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -231,7 +238,7 @@ def run_one(qfn, spark, sf_dir: str) -> dict:
             stages = len(new)
             shuffle_read = sum(v[0] for v in new.values())
             shuffle_write = sum(v[1] for v in new.values())
-    return {
+    out = {
         "min": round(min(samples), 3),
         "median": round(statistics.median(samples), 3),
         "max": round(max(samples), 3),
@@ -239,6 +246,16 @@ def run_one(qfn, spark, sf_dir: str) -> dict:
         "shuffle_read_mb": round(shuffle_read / 1e6, 2),
         "shuffle_write_mb": round(shuffle_write / 1e6, 2),
     }
+    batches = [b for b in stream_ops.BATCH_LOG if b.get("trigger_ms") is not None]
+    if batches:
+        ms = [b["trigger_ms"] for b in batches]
+        out["batch_ms"] = {
+            "n_batches": len(ms),
+            "sum": sum(ms),
+            "max": max(ms),
+            "per_batch": ms,
+        }
+    return out
 
 
 def main() -> None:

@@ -52,6 +52,30 @@ _SINK_IDS = itertools.count()
 GAP = "30 minutes"
 DELAY = "1 hour"
 
+# Per-process log of completed availableNow drains: one entry per
+# micro-batch, from StreamingQueryProgress. Wall time of a drain is
+# mostly trigger/watermark ORCHESTRATION latency; per-batch
+# triggerExecution is the number that regresses when an operator inside
+# the stream regresses — bench.py snapshots this around each
+# orchestration-tagged query and versions it in BENCH_DETAIL.json.
+BATCH_LOG: list[dict] = []
+
+
+def _log_progress(q) -> None:
+    try:
+        for p in q.recentProgress:
+            BATCH_LOG.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "trigger_ms": (p.get("durationMs") or {}).get(
+                        "triggerExecution"
+                    ),
+                    "rows": p.get("numInputRows"),
+                }
+            )
+    except Exception:
+        pass  # instrumentation only — never fail the drain for it
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (stream_file_source core).
@@ -106,6 +130,7 @@ def run_to_sink(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
         raise TimeoutError(
             f"streaming drain exceeded {timeout_s}s for sink {name}"
         )
+    _log_progress(q)
     return df.sparkSession.table(name)
 
 
@@ -120,6 +145,7 @@ def drain_query(q, timeout_s: int = 300) -> None:
     if not finished:
         q.stop()
         raise TimeoutError(f"streaming drain exceeded {timeout_s}s")
+    _log_progress(q)
 
 
 @query(
