@@ -172,6 +172,8 @@ OPTIONAL = [
     "text_langid_confusion",
     "orders_cohort_ltv",
     "events_ab_test",
+    # round 6
+    "dedup_containment_census",
 ]
 
 N_RUNS = 3

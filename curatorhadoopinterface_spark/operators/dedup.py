@@ -1419,6 +1419,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_census",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common,
+               LEN(sa.s) AS n_a, LEN(sb.s) AS n_b
+        FROM cands c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b),
+    kept AS (
+        SELECT *, CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END
+               AS contained_doc
+        FROM scored
+        WHERE n_common * {CONTAIN_T_DEN} >= {CONTAIN_T_NUM} * LEAST(n_a, n_b))
+    SELECT (SELECT COUNT(*) FROM scored) AS n_candidates,
+           (SELECT COUNT(*) FROM kept) AS n_pairs,
+           (SELECT COUNT(DISTINCT contained_doc) FROM kept)
+               AS n_docs_contained,
+           (SELECT COUNT(*) FROM kept
+            WHERE n_common * 2 < n_a + n_b - n_common)
+               AS n_jaccard_blind_pairs,
+           (SELECT COALESCE(SUM(n_common), 0) FROM kept) AS sum_common
+    """,
+)
+def dedup_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row census of dedup_containment — the sf10-sweep form (the
+    dedup_embed_cosine_census precedent): at 100x the raw pair DUMP is
+    tens of millions of rows and the strict compare measures result
+    canonicalization, not engine work, so the census twin carries the
+    scale rung while the dump stays value-exact at driver SFs.
+
+    ``n_jaccard_blind_pairs`` counts kept pairs whose symmetric Jaccard
+    is UNDER the 0.5 verify cut (integer cross-multiplied) — the
+    quote-inside-a-long-doc population that containment exists to
+    catch; if it reads zero the operator is redundant with
+    dedup_minhash on that corpus. All counts exact integers; same
+    bounded LSH candidate set, aggregates crossed as 1-row scalar
+    subqueries (graph_triangles pattern)."""
+    cands, sets = _minhash_core(spark, sf_dir)
+    n_common = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    n_a, n_b = F.size(F.col("sa.s")), F.size(F.col("sb.s"))
+    scored = (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+    )
+    kept = scored.filter(
+        F.col("n_common") * CONTAIN_T_DEN
+        >= CONTAIN_T_NUM * F.least("n_a", "n_b")
+    ).withColumn(
+        "contained_doc",
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+            F.col("doc_b")
+        ),
+    )
+    return (
+        scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("contained_doc").alias("n_docs_contained"),
+                F.count(
+                    F.when(
+                        F.col("n_common") * 2
+                        < F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                        1,
+                    )
+                ).alias("n_jaccard_blind_pairs"),
+                F.coalesce(F.sum("n_common"), F.lit(0)).alias("sum_common"),
+            )
+        )
+    )
+
+
 # -- measured LSH recall (the honest-ANN trade, text side) ---------------------
 
 RECALL_SAMPLE_MOD = 10  # doc_id % 10 == 0 -> ground-truth query sample

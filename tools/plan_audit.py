@@ -722,6 +722,11 @@ AUDITS: dict[str, dict] = {
     "dedup_containment": {"partial": True,
                           "prune": ["lang", "source", "n_chars"],
                           "forbid": [r"CartesianProduct"]},
+    # census twin: same candidate machinery, 1-row scalar aggregates
+    # crossed via broadcast BNLJ (graph_triangles pattern)
+    "dedup_containment_census": {"no_bnlj": False, "partial": True,
+                                 "prune": ["lang", "source", "n_chars"],
+                                 "forbid": [r"CartesianProduct"]},
     # backlog: orders collapse to <=2 events -> months-sized table
     # BEFORE the single running-sum window; never months x orders
     "orders_backlog": {"partial": True,
