@@ -174,6 +174,10 @@ OPTIONAL = [
     "events_ab_test",
     # round 6
     "dedup_containment_census",
+    "dedup_incremental_minhash",
+    "basket_association_rules",
+    "emb_silhouette",
+    "text_kl_divergence",
 ]
 
 N_RUNS = 3

@@ -1317,6 +1317,89 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "basket_association_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM basket),
+    supp AS (SELECT p, COUNT(*) AS s FROM basket GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS together
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= 2),
+    scored AS (
+        SELECT p1, p2, together,
+               together * 1000 // s1.s AS conf_1to2_permille,
+               together * 1000 // s2.s AS conf_2to1_permille,
+               together * 1000000 * n.n_orders // (s1.s * s2.s) AS lift_ppm
+        FROM pairs
+        JOIN supp s1 ON s1.p = p1
+        JOIN supp s2 ON s2.p = p2
+        CROSS JOIN n)
+    SELECT p1, p2, together, conf_1to2_permille, conf_2to1_permille,
+           lift_ppm
+    FROM scored
+    ORDER BY lift_ppm DESC, together DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets — support, directional
+    confidence, and lift for the top-20 part pairs by lift (min support
+    2 orders): the Apriori-style readout behind "customers who bought X
+    also bought Y", one rung above graph_copurchase_topk's symmetric
+    Jaccard (lift normalizes by BOTH marginals, so a pair of merely
+    popular items scores ~1 while a true association scores >> 1).
+
+    Exactness: confidence is exact integer per-mille (together*1000 div
+    supp); lift is the integer rank key together*1e6*N div (s1*s2) —
+    the PMI pattern, identical integer arithmetic in both engines, so
+    the TakeOrdered ranking can never flip on float dust (products stay
+    under 2^63 through sf30: together<=1e5, N<=5e7, 1e6 scale).
+
+    Scale shape: identical to graph_copurchase_topk — pair blowup is
+    basket-local, pair counts partial-aggregate before their exchange,
+    the support table broadcasts back, the 1-row order count crosses
+    broadcast, and top-20 is TakeOrdered (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = basket.agg(F.countDistinct("o").alias("n_orders"))
+    supp = basket.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    pairs = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    s1 = supp.select(F.col("p").alias("p1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "together",
+            F.expr("together * 1000 div s1").alias("conf_1to2_permille"),
+            F.expr("together * 1000 div s2").alias("conf_2to1_permille"),
+            F.expr("together * 1000000 * n_orders div (s1 * s2)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), F.desc("together"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@query(
     "agg_histogram_equidepth",
     oracle="""
     WITH ranked AS (

@@ -1420,6 +1420,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    icands AS (
+        SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS store_doc
+        FROM bands b JOIN bands s
+          ON s.band_id = b.band_id AND s.band_key = b.band_key
+        WHERE b.doc_id % {INGEST_MOD} <> 0 AND s.doc_id % {INGEST_MOD} = 0)
+    SELECT i.batch_doc, i.store_doc,
+           LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+                 LEN(LIST_DISTINCT(sa.s || sb.s)) AS jaccard
+    FROM icands i
+    JOIN sets sa ON sa.doc_id = i.batch_doc
+    JOIN sets sb ON sb.doc_id = i.store_doc
+    WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+          LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J}
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup rejection for continuous ingest — the LSH tier of
+    dedup_incremental (which is exact-hash only): an arriving batch doc
+    is rejected when it LSH-collides with an already-ingested store doc
+    AND the exact shingle Jaccard clears the verify cut. Emits the
+    (batch_doc, store_doc, jaccard) reject evidence. Fixture: even
+    doc_ids play the store, odd the arriving batch (INGEST_MOD).
+
+    Scale shape: the store side is the persisted (band_id, band_key,
+    doc_id) index — at 100 TB it lives hash-bucketed on the band key
+    (join_bucketed layout) so only the BATCH's bands shuffle; candidates
+    are band collisions only (never batch x store), and the exact
+    verify touches candidate shingle sets alone. Batch-side signatures
+    are days of data; the store index append is the emitted bands of
+    accepted docs (not recomputed). Same affine-minhash machinery as
+    dedup_minhash (one scan, one doc_id exchange for sig+set)."""
+    doc_agg = _minhash_doc_agg(spark, sf_dir)
+    bands = _band_explode(doc_agg)
+    batch = bands.filter(F.col("doc_id") % INGEST_MOD != 0)
+    store = bands.filter(F.col("doc_id") % INGEST_MOD == 0)
+    cands = (
+        batch.alias("b")
+        .join(
+            store.alias("s"),
+            (F.col("b.band_id") == F.col("s.band_id"))
+            & (F.col("b.band_key") == F.col("s.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("s.doc_id").alias("store_doc"),
+        )
+        .distinct()
+    )
+    sets = doc_agg.select("doc_id", "s")
+    jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
+        F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    return (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("batch_doc"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("store_doc"))
+        .filter(jac >= VERIFY_J)
+        .select("batch_doc", "store_doc", jac.alias("jaccard"))
+    )
+
+
+@query(
     "dedup_containment_census",
     oracle=f"""
     WITH {_PAIRS_CTES},

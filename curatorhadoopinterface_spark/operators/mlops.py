@@ -828,3 +828,138 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_silhouette",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, d.dim,
+               CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * {_OUT_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim) d),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(SUM(qv) * 1.0 / COUNT(*)) AS BIGINT) AS cq
+        FROM q GROUP BY label, dim),
+    per_vec AS (
+        SELECT q.vec_id, q.label,
+               SUM((q.qv - c.cq) * (q.qv - c.cq)) // 1000 AS dist2m
+        FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+        GROUP BY q.vec_id, q.label),
+    intra AS (
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(dist2m) // COUNT(*) AS BIGINT) AS intra_milli
+        FROM per_vec GROUP BY label),
+    cpair AS (
+        SELECT a.label AS label, b.label AS other_label,
+               SUM((a.cq - b.cq) * (a.cq - b.cq)) AS d2
+        FROM cent a JOIN cent b
+          ON b.dim = a.dim AND b.label <> a.label
+        GROUP BY a.label, b.label),
+    nearest AS (
+        SELECT label, other_label AS nearest_label, d2 AS nearest_d2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                           ORDER BY d2, other_label) AS rk
+              FROM cpair)
+        WHERE rk = 1)
+    SELECT i.label, i.n_vecs,
+           ROUND(i.intra_milli / 1e9, 6) AS intra_d2,
+           n.nearest_label,
+           ROUND(n.nearest_d2 / 1e12, 6) AS nearest_centroid_d2,
+           n.nearest_d2 // GREATEST(i.intra_milli, 1) AS separation_permille
+    FROM intra i JOIN nearest n ON n.label = i.label
+    ORDER BY i.label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation audit (silhouette-lite): per label, the mean
+    squared distance of members to their OWN centroid vs the squared
+    distance to the NEAREST OTHER centroid — the one-table answer to
+    "are these labels actually separated, or is the ANN index built on
+    mush?". separation_permille >> 1000 = compact well-separated
+    clusters; ~1000 or below = label overlap (IVF probes will leak,
+    SemDedup clusters will mix).
+
+    Exactness: the emb_outliers fixed-point chain end-to-end — BIGINT
+    quantization before any sum, per-vector dist2 scaled to milli-units
+    BEFORE the per-label sum (keeps the sum under 2^63 at 100x+ while
+    the division stays pure integer: sum div n, never a float mean),
+    centroid-pair distances exact BIGINT, nearest-centroid tie broken
+    (d2, label), ratio an integer per-mille.
+
+    Scale shape: centroids from the ONE (label, dim) partial-agged
+    exchange emb_outliers already pays; the centroid-pair matrix is
+    |labels|^2 x 64 — dims-bounded, never corpus-bounded; per-vector
+    distances are the same broadcast zip_with map pass; census output
+    is |labels| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv_arr = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(floor(cast(x as double) * {_OUT_SCALE}) as bigint))"
+    )
+    q = e.select("vec_id", "label", F.posexplode(qv_arr).alias("dim0", "qv"))
+    cent_dim = q.groupBy("label", F.col("dim0").alias("dim")).agg(
+        F.floor(F.sum("qv") / F.count(F.lit(1))).cast("bigint").alias("cq")
+    )
+    cent = cent_dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cq))), s -> s.cq)"
+        ).alias("c_arr")
+    )
+    per_vec = (
+        e.select("vec_id", "label", qv_arr.alias("qv_arr"))
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.expr(
+                "aggregate(zip_with(qv_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x) div 1000"
+            ).alias("dist2m"),
+        )
+    )
+    intra = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr("sum(dist2m) div count(1)").cast("bigint").alias("intra_milli"),
+    )
+    a = cent.select(F.col("label"), F.col("c_arr").alias("ca"))
+    b = cent.select(
+        F.col("label").alias("other_label"), F.col("c_arr").alias("cb")
+    )
+    cpair = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other_label"))
+        .select(
+            "label",
+            "other_label",
+            F.expr(
+                "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+    )
+    nearest = (
+        cpair.groupBy("label")
+        .agg(F.min(F.struct("d2", "other_label")).alias("m"))
+        .select(
+            "label",
+            F.col("m.other_label").alias("nearest_label"),
+            F.col("m.d2").alias("nearest_d2"),
+        )
+    )
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("intra_milli") / F.lit(1e9), 6).alias("intra_d2"),
+            "nearest_label",
+            F.round(F.col("nearest_d2") / F.lit(1e12), 6).alias(
+                "nearest_centroid_d2"
+            ),
+            F.expr("nearest_d2 div greatest(intra_milli, 1L)").alias(
+                "separation_permille"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1906,3 +1906,88 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+@query(
+    "text_kl_divergence",
+    oracle="""
+    WITH w AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS term
+        FROM documents),
+    sc AS (SELECT source, term, COUNT(*) AS c_sw
+           FROM w GROUP BY source, term),
+    stot AS (SELECT source, SUM(c_sw) AS n_s FROM sc GROUP BY source),
+    cw AS (SELECT term, SUM(c_sw) AS c_w FROM sc GROUP BY term),
+    ctot AS (SELECT SUM(c_w) AS n_c FROM cw),
+    terms AS (
+        -- explicit DOUBLE casts: a bare `* 1.0` is DECIMAL arithmetic
+        -- in DuckDB, which rounds differently from Spark's double chain
+        SELECT sc.source,
+               sc.c_sw * CAST(FLOOR(LN(
+                   (CAST(sc.c_sw AS DOUBLE) * CAST(ctot.n_c AS DOUBLE)) /
+                   (CAST(stot.n_s AS DOUBLE) * CAST(cw.c_w AS DOUBLE))
+               ) * 1e9) AS BIGINT) AS tq
+        FROM sc
+        JOIN stot ON stot.source = sc.source
+        JOIN cw ON cw.term = sc.term
+        CROSS JOIN ctot)
+    SELECT t.source,
+           stot.n_s AS n_tokens,
+           ROUND(SUM(t.tq) / 1e9 / stot.n_s, 6) AS kl_nats
+    FROM terms t JOIN stot ON stot.source = t.source
+    GROUP BY t.source, stot.n_s
+    ORDER BY t.source
+    """,
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide unigram
+    distribution, KL(P_source || P_corpus) in nats — the mixture-audit
+    number behind "is this feed drifting away from the rest of the
+    crawl?" (0 = indistinguishable; the same census drives domain
+    re-weighting and contamination triage). Every source term appears
+    in the corpus distribution by construction, so no smoothing term is
+    needed and the divergence is finite.
+
+    Exactness (the emb_outliers/PMI fixed-point composition): the
+    per-term contribution c_sw * ln(c_sw*n_c / (n_s*c_w)) quantizes its
+    LOG to integer nano-nats FIRST (floor(ln*1e9) — the ln argument is
+    the identical left-associated double chain in both engines), then
+    multiplies by the integer count, so the per-source reduction is an
+    order-independent BIGINT sum (|tq| <= ~2e10 * c_sw, under 2^63
+    through sf30); one float division + 6dp round at the very end.
+
+    Scale shape: word explode collapses map-side into the (source,
+    term) partial-agged exchange (vocabulary-x-sources-sized, not
+    corpus-sized); the unigram table joins back vocab-bounded; the
+    1-row corpus total crosses broadcast (deliberate 1-row BNLJ, the
+    query_bm25 pattern); census output is |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(_words()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sc.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    ctot = cw.agg(F.sum("c_w").alias("n_c"))
+    terms = (
+        sc.join(F.broadcast(stot), "source")
+        .join(cw, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "n_s",
+            F.expr(
+                "c_sw * cast(floor(ln("
+                "(cast(c_sw as double) * cast(n_c as double)) /"
+                " (cast(n_s as double) * cast(c_w as double))"
+                ") * 1e9) as bigint)"
+            ).alias("tq"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.round(F.sum("tq") / F.lit(1e9) / F.col("n_s"), 6).alias("kl_nats"))
+        .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
+        .orderBy("source")
+    )

@@ -727,6 +727,29 @@ AUDITS: dict[str, dict] = {
     "dedup_containment_census": {"no_bnlj": False, "partial": True,
                                  "prune": ["lang", "source", "n_chars"],
                                  "forbid": [r"CartesianProduct"]},
+    # incremental near-dup: batch bands equi-join the store band index
+    # (never batch x store); sig+set partial-aggregate once
+    "dedup_incremental_minhash": {"partial": True,
+                                  "prune": ["lang", "source", "n_chars"],
+                                  "forbid": [r"CartesianProduct"]},
+    # association rules: basket-local pair gen, support table broadcast,
+    # 1-row order count crossed broadcast, top-20 TakeOrdered
+    "basket_association_rules": {"no_bnlj": False, "broadcast": True,
+                                 "partial": True,
+                                 "prune": ["l_extendedprice", "l_shipdate",
+                                           "l_comment"],
+                                 "require": [r"TakeOrderedAndProject"],
+                                 "forbid": [r"CartesianProduct"]},
+    # silhouette: centroids from the one (label,dim) partial-agged
+    # exchange broadcast back; centroid-pair matrix labels^2-bounded
+    "emb_silhouette": {"broadcast": True, "partial": True,
+                       "forbid": [r"CartesianProduct"]},
+    # KL: (source,term) partial-agged exchange, vocab-bounded joins,
+    # 1-row corpus total broadcast (query_bm25 pattern)
+    "text_kl_divergence": {"no_bnlj": False, "broadcast": True,
+                           "partial": True,
+                           "prune": ["doc_id", "lang", "n_chars"],
+                           "forbid": [r"CartesianProduct"]},
     # backlog: orders collapse to <=2 events -> months-sized table
     # BEFORE the single running-sum window; never months x orders
     "orders_backlog": {"partial": True,
