@@ -178,6 +178,11 @@ OPTIONAL = [
     "basket_association_rules",
     "emb_silhouette",
     "text_kl_divergence",
+    "emb_covariance",
+    "dsir_importance",
+    "privacy_tcloseness",
+    "ts_decompose",
+    "graph_link_prediction",
 ]
 
 N_RUNS = 3

@@ -2176,3 +2176,235 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     ).orderBy("cohort_month", "age_months")
+
+
+@query(
+    "ts_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY day),
+    trended AS (
+        SELECT day, rev_cents,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN SUM(rev_cents) OVER w7 // 7 END AS trend_cents
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                      AND 3 FOLLOWING)),
+    detr AS (
+        SELECT *, DATE_DIFF('day', DATE '1970-01-01', day) % 7 AS dow,
+               rev_cents - trend_cents AS detrended_cents
+        FROM trended),
+    season AS (
+        SELECT dow, SUM(detrended_cents) // COUNT(*) AS seasonal_cents
+        FROM detr WHERE detrended_cents IS NOT NULL GROUP BY dow)
+    SELECT d.day, d.dow,
+           ROUND(d.rev_cents / 100.0, 2) AS revenue,
+           ROUND(d.trend_cents / 100.0, 2) AS trend,
+           ROUND(s.seasonal_cents / 100.0, 2) AS seasonal,
+           ROUND((d.detrended_cents - s.seasonal_cents) / 100.0, 2)
+               AS residual
+    FROM detr d JOIN season s ON s.dow = d.dow
+    ORDER BY d.day
+    """,
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest — the anomaly-hunting preprocessing step (a residual
+    spike is a real event; a raw spike might just be Saturday).
+
+    Exactness: revenue quantizes to integer cents BEFORE aggregation
+    (the events_ab_test recipe); trend and seasonal means are integer
+    floor-divisions (truncation parity verified both engines), the
+    day-of-week key is epoch-days mod 7 (engine-neutral — no Sunday=0
+    vs Sunday=1 convention trap), and every displayed value is an
+    exact integer over 100.
+
+    Scale shape: the ONLY corpus-sized work is the one partial-agged
+    (day) rollup off the scan; the moving-average window, the 7-row
+    seasonal table (broadcast back), and the residual join all run on
+    the days-sized series (~2.4k rows for 7 years — dimension-bounded
+    at any corpus scale). The single-partition window over days is
+    deliberate: days don't grow with volume."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "rev_cents",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("sum(rev_cents)").over(w7),
+        ).alias("win_sum"),
+    ).select(
+        "day",
+        "rev_cents",
+        F.expr("win_sum div 7").alias("trend_cents"),
+    )
+    detr = trended.select(
+        "day",
+        "rev_cents",
+        "trend_cents",
+        (F.datediff(F.col("day"), F.lit("1970-01-01")) % 7).alias("dow"),
+        (F.col("rev_cents") - F.col("trend_cents")).alias("detrended_cents"),
+    )
+    season = (
+        detr.where(F.col("detrended_cents").isNotNull())
+        .groupBy("dow")
+        .agg(F.expr("sum(detrended_cents) div count(1)").alias("seasonal_cents"))
+    )
+    return (
+        detr.join(F.broadcast(season), "dow")
+        .select(
+            "day",
+            "dow",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("trend_cents") / 100.0, 2).alias("trend"),
+            F.round(F.col("seasonal_cents") / 100.0, 2).alias("seasonal"),
+            F.round(
+                (F.col("detrended_cents") - F.col("seasonal_cents")) / 100.0, 2
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+_LP_MIN_SUP = 2  # co-purchase support for a pair to count as an EDGE
+_LP_DEG_CAP = 200  # wedge-center degree cap (hub guard; AA weight ~0 there)
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    cop AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {_LP_MIN_SUP}),
+    adj AS (
+        SELECT p1 AS node, p2 AS nbr FROM cop
+        UNION ALL
+        SELECT p2 AS node, p1 AS nbr FROM cop),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    ctr AS (
+        SELECT a.node, a.nbr,
+               CAST(FLOOR(1e9 / LN(d.d)) AS BIGINT) AS aa_nano
+        FROM adj a JOIN deg d ON d.node = a.node
+        WHERE d.d <= {_LP_DEG_CAP}),
+    wedge AS (
+        SELECT a.nbr AS u, b.nbr AS v,
+               COUNT(*) AS common, SUM(a.aa_nano) AS aa_sum_nano
+        FROM ctr a JOIN ctr b ON b.node = a.node AND a.nbr < b.nbr
+        GROUP BY a.nbr, b.nbr),
+    cand AS (
+        SELECT w.* FROM wedge w
+        ANTI JOIN cop e ON e.p1 = w.u AND e.p2 = w.v)
+    SELECT c.u, c.v, c.common,
+           ROUND(c.aa_sum_nano / 1e9, 6) AS adamic_adar,
+           c.common * 1000 // (du.d + dv.d - c.common) AS jaccard_permille
+    FROM cand c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    ORDER BY c.aa_sum_nano DESC, c.common DESC, c.u, c.v
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for part pairs NOT yet
+    connected (no edge with support >= {min_sup}), score the likelihood
+    of a future edge by their common neighbors — Adamic-Adar
+    (sum 1/ln(deg(n)) over shared neighbors n; rare shared neighbors
+    count more) plus the common-neighbor Jaccard — the recommender /
+    graph-completion primitive (Liben-Nowell & Kleinberg).
+
+    Exactness: the per-center AA weight floor(1e9/ln(deg)) quantizes to
+    integer nano-units BEFORE the wedge sum (one correctly-rounded IEEE
+    ln+div chain, identical both engines), so candidate scores are
+    exact BIGINTs; Jaccard is an integer per-mille; top-20 fully
+    tie-broken (aa, common, u, v).
+
+    Scale shape: wedges enumerate via the EQUI self-join on the CENTER
+    node, so the blowup is sum-over-centers deg^2, bounded by the
+    degree cap (hubs are excluded where AA weight -> 1/ln(d) is noise
+    anyway — the df-cap discipline of dedup_minhash_recall applied to
+    graphs); edge set and degree table partial-agg before their
+    exchanges; existing edges leave via one anti join; top-20 is a
+    TakeOrdered, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cop = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= _LP_MIN_SUP)
+        .select("p1", "p2")
+    )
+    adj = cop.select(
+        F.col("p1").alias("node"), F.col("p2").alias("nbr")
+    ).unionAll(cop.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ctr = (
+        adj.join(deg, "node")
+        .where(F.col("d") <= _LP_DEG_CAP)
+        .select(
+            "node",
+            "nbr",
+            F.expr("cast(floor(1e9 / ln(d)) as bigint)").alias("aa_nano"),
+        )
+    )
+    wedge = (
+        ctr.alias("a")
+        .join(
+            ctr.alias("b"),
+            (F.col("b.node") == F.col("a.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.col("a.aa_nano")).alias("aa_sum_nano"),
+        )
+    )
+    cand = wedge.join(
+        cop,
+        (F.col("p1") == F.col("u")) & (F.col("p2") == F.col("v")),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(F.col("aa_sum_nano") / 1e9, 6).alias("adamic_adar"),
+            F.expr(
+                "common * 1000 div (du + dv - common)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy(F.desc("aa_sum_nano"), F.desc("common"), "u", "v")
+        .limit(20)
+    )

@@ -1489,3 +1489,289 @@ def mixture_dedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DSIR_B = 1024  # hashed-feature buckets (DSIR keeps this model-tiny)
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, lang = 'en' AS is_target,
+               CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 7)) AS BIGINT)
+                   % {_DSIR_B} AS bucket
+        FROM (SELECT doc_id, source, lang,
+                     UNNEST(STRING_SPLIT(text, ' ')) AS word
+              FROM documents)),
+    bt AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_b
+        FROM w GROUP BY bucket),
+    tot AS (SELECT SUM(t_b) AS t_tot, SUM(r_b) AS r_tot FROM bt),
+    lr AS (
+        SELECT bucket,
+               CAST(FLOOR(LN(
+                   (CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + {_DSIR_B} AS DOUBLE))
+                   / (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + {_DSIR_B} AS DOUBLE))
+               ) * 1e9) AS BIGINT) AS lr_nano
+        FROM bt CROSS JOIN tot),
+    docw AS (
+        SELECT w.doc_id, w.source, SUM(c.c_db * lr.lr_nano) AS w_nano
+        FROM (SELECT doc_id, source, bucket, COUNT(*) AS c_db
+              FROM w WHERE NOT is_target
+              GROUP BY doc_id, source, bucket) c
+        JOIN lr ON lr.bucket = c.bucket
+        JOIN (SELECT DISTINCT doc_id, source FROM w WHERE NOT is_target) w
+          ON w.doc_id = c.doc_id
+        GROUP BY w.doc_id, w.source)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN w_nano > 0 THEN 1 ELSE 0 END) AS n_selected,
+           ROUND(SUM(w_nano) / 1e9 / COUNT(*), 6) AS mean_logweight_nats,
+           SUM(CASE WHEN w_nano > 0 THEN 1 ELSE 0 END) * 1000
+               // COUNT(*) AS selected_permille
+    FROM docw GROUP BY source ORDER BY source
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): hashed
+    word-unigram features, a target distribution fit on the in-domain
+    slice (lang='en' stands in for "looks like my eval set"), a raw
+    distribution on the rest, and a per-document importance log-weight
+    sum(count_b * ln(p_b/q_b)) with Laplace smoothing over B=1024
+    buckets. Docs with positive log-weight are the importance-resampled
+    keep set; output is the per-source selection census (which feeds
+    the mixture_* budget allocators).
+
+    Exactness: the text_kl_divergence fixed-point recipe — the
+    per-bucket smoothed log ratio quantizes to integer nano-nats FIRST
+    (identical explicit-DOUBLE ln argument chain in both engines, md5
+    28-bit bucket hash replays bit-identically), the per-doc reduction
+    is a pure BIGINT sum of count x lr_nano, and the only float op is
+    the final display round. Selection threshold (> 0) is an integer
+    compare, so the keep set can't flip on summation order.
+
+    Scale shape: ONE word-explode feeding two partial-agged exchanges —
+    (bucket) for the B-row ratio table and (doc, bucket) for the doc
+    features (both collapse map-side; the bucket table is 1024 rows
+    REGARDLESS of corpus size and broadcasts to the doc side); the
+    census output is |sources| rows. The hashed-feature trick is
+    exactly what makes DSIR linear at 100 TB: the "model" never grows
+    past B integers."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("word"), 1, 7), 16, 10).cast("bigint"),
+            F.lit(_DSIR_B),
+        ).alias("bucket"),
+    )
+    bt = w.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_b"),
+    )
+    tot = bt.agg(F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot"))
+    lr = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"cast(floor(ln("
+            f"(cast(t_b + 1 as double) * cast(r_tot + {_DSIR_B} as double))"
+            f" / (cast(r_b + 1 as double) * cast(t_tot + {_DSIR_B} as double))"
+            f") * 1e9) as bigint)"
+        ).alias("lr_nano"),
+    )
+    doc_feats = (
+        w.where(~F.col("is_target"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_db"))
+    )
+    docw = (
+        doc_feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c_db") * F.col("lr_nano")).alias("w_nano"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("w_nano") > 0, 1).otherwise(0)).alias(
+                "n_selected"
+            ),
+            F.round(F.sum("w_nano") / F.lit(1e9) / F.count(F.lit(1)), 6).alias(
+                "mean_logweight_nats"
+            ),
+            F.expr(
+                "sum(case when w_nano > 0 then 1 else 0 end) * 1000"
+                " div count(1)"
+            ).alias("selected_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- privacy: t-closeness audit ----------------------------------------------
+
+TCLOSE_NUM, TCLOSE_DEN = 1, 5  # release threshold t <= 0.2 as an integer ratio
+_TC_LO, _TC_HI = -1, 9  # clamped acctbal brackets (floor(x/1000) domain)
+
+
+@query(
+    "privacy_tcloseness",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               LEAST({_TC_HI}, GREATEST({_TC_LO},
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT))) AS bracket
+        FROM customer),
+    cellb AS (
+        SELECT c_nationkey, c_mktsegment, bracket, COUNT(*) AS cnt
+        FROM base GROUP BY c_nationkey, c_mktsegment, bracket),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, SUM(cnt) AS n_members
+        FROM cellb GROUP BY c_nationkey, c_mktsegment),
+    spine AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_members, s.bracket,
+               COALESCE(b.cnt, 0) AS cnt
+        FROM cells c
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES({_TC_LO}, {_TC_HI}))
+                        AS bracket) s
+        LEFT JOIN cellb b
+          ON b.c_nationkey = c.c_nationkey
+         AND b.c_mktsegment = c.c_mktsegment
+         AND b.bracket = s.bracket),
+    cum AS (
+        SELECT *, SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY bracket) AS cum_cell
+        FROM spine),
+    gdist AS (
+        SELECT bracket,
+               SUM(COUNT(*)) OVER (ORDER BY bracket) AS cum_glob,
+               SUM(COUNT(*)) OVER () AS n_glob
+        FROM base GROUP BY bracket),
+    terms AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_members, g.n_glob,
+               ABS(c.cum_cell * g.n_glob - g.cum_glob * c.n_members) AS term
+        FROM cum c JOIN gdist g ON g.bracket = c.bracket)
+    SELECT c_nationkey, c_mktsegment, n_members,
+           ROUND(SUM(term) * 1.0
+                 / (n_members * n_glob * {_TC_HI - _TC_LO}), 6) AS t_emd,
+           n_members >= {KANON_K}
+               AND SUM(term) * {TCLOSE_DEN}
+                   <= {TCLOSE_NUM} * n_members * n_glob
+                       * {_TC_HI - _TC_LO} AS released
+    FROM terms
+    GROUP BY c_nationkey, c_mktsegment, n_members, n_glob
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the release trilogy (k-anonymity ->
+    l-diversity -> t-closeness, Li et al.): a (nation, segment) cell is
+    releasable only if the distribution of its SENSITIVE attribute
+    (ordered balance brackets) is within Earth-Mover's-Distance t of
+    the GLOBAL distribution — the refinement that stops an l-diverse
+    cell from still skewing ("diverse but all low balances" leaks).
+    For an ordered attribute with unit ground distance, EMD is the
+    mean absolute difference of the two cumulative distributions.
+
+    Exactness: pure integer EMD — the cumulative-fraction difference
+    |cum_cell/n_cell - cum_glob/n_glob| is cross-multiplied to the
+    common denominator (|cum_cell*n_glob - cum_glob*n_cell| as BIGINT,
+    ~1e14 at 100x, far under 2^63), summed exactly, and the release
+    verdict is the integer cross-compare 5*sum <= n_cell*n_glob*10 —
+    one display-only float division at the end.
+
+    Scale shape: ONE (cell, bracket) partial-agged exchange off the
+    scan; the dense bracket spine is |cells| x 11 rows (dimension-
+    bounded, never row-bounded), the global distribution is an 11-row
+    broadcast, and the cumulative windows run over 11-row partitions.
+    At 100 TB the scan dominates and nothing else grows."""
+    c = load_table(spark, sf_dir, "customer")
+    bracket = F.least(
+        F.lit(_TC_HI),
+        F.greatest(
+            F.lit(_TC_LO), F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ),
+    ).alias("bracket")
+    base = c.select("c_nationkey", "c_mktsegment", bracket)
+    cellb = base.groupBy("c_nationkey", "c_mktsegment", "bracket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = cellb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n_members")
+    )
+    spine = (
+        cells.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            F.explode(F.sequence(F.lit(_TC_LO), F.lit(_TC_HI))).alias(
+                "bracket"
+            ),
+        )
+        .join(cellb, ["c_nationkey", "c_mktsegment", "bracket"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            "bracket",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    wcell = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "bracket"
+    )
+    cum = spine.withColumn("cum_cell", F.sum("cnt").over(wcell))
+    glob = (
+        base.groupBy("bracket")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .select(
+            "bracket",
+            F.sum("gcnt").over(Window.orderBy("bracket")).alias("cum_glob"),
+            F.sum("gcnt")
+            .over(Window.partitionBy(F.lit(1)))
+            .alias("n_glob"),
+        )
+    )
+    terms = cum.join(F.broadcast(glob), "bracket").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_members",
+        "n_glob",
+        F.abs(
+            F.col("cum_cell") * F.col("n_glob")
+            - F.col("cum_glob") * F.col("n_members")
+        ).alias("term"),
+    )
+    span = _TC_HI - _TC_LO
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment", "n_members", "n_glob")
+        .agg(F.sum("term").alias("t_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            F.round(
+                F.col("t_num")
+                / (F.col("n_members") * F.col("n_glob") * F.lit(span)),
+                6,
+            ).alias("t_emd"),
+            (
+                (F.col("n_members") >= KANON_K)
+                & (
+                    F.col("t_num") * TCLOSE_DEN
+                    <= F.col("n_members") * F.col("n_glob") * (TCLOSE_NUM * span)
+                )
+            ).alias("released"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

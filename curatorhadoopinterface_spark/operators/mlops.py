@@ -963,3 +963,107 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_covariance",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, d.dim,
+               CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * {_OUT_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim) d),
+    m AS (
+        SELECT dim, SUM(qv) // COUNT(*) AS mq FROM q GROUP BY dim),
+    c AS (
+        SELECT q.vec_id, q.dim, q.qv - m.mq AS cv
+        FROM q JOIN m ON m.dim = q.dim),
+    p AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               SUM(a.cv * b.cv) AS s, COUNT(*) AS n
+        FROM c a JOIN c b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY a.dim, b.dim)
+    SELECT dim_i, dim_j, n AS n_vecs,
+           s // n AS cov_pico,
+           ROUND((s // n) / 1e12, 9) AS cov
+    FROM p
+    WHERE dim_i <= 8 AND dim_j <= 8 OR dim_i = dim_j
+    ORDER BY dim_i, dim_j
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding corpus — the
+    one-pass Gram-accumulation core of distributed PCA (the d x d
+    statistic a driver-side eigensolver turns into principal
+    components; d is model-sized, the corpus is not). Emits the full
+    diagonal (per-dimension variance) plus the leading 8x8 block —
+    enough to read off variance concentration and cross-dim structure
+    without a 2080-row dump.
+
+    Exactness: two-pass centered covariance in pure BIGINT — components
+    quantized to 1e-6 units BEFORE any sum, per-dimension integer means
+    (sum div n, truncation identical in Spark ``div`` and DuckDB
+    ``//``), centered products summed exactly, final cov an integer
+    div. Negative-value division parity verified (both engines
+    truncate toward zero).
+
+    Scale shape: pass 1 is a 64-group partial-agged exchange (means);
+    pass 2 broadcasts the 64-entry mean array, builds each vector's
+    centered array JVM-side, and map-side explodes only the upper
+    triangle (d(d+1)/2 structs per vector) straight into a hash
+    aggregate with 2080 groups — the exchange carries
+    partitions x 2080 rows regardless of corpus size. Products
+    |cv|^2 <= 1e12 per vector keep the BIGINT sum in range past 10^6
+    vectors; beyond that, drop the quantization scale one decade (the
+    knob is the shared _OUT_SCALE pattern)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv_arr = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(floor(cast(x as double) * {_OUT_SCALE}) as bigint))"
+    )
+    q = e.select("vec_id", F.posexplode(qv_arr).alias("dim0", "qv"))
+    means = (
+        q.groupBy(F.col("dim0").alias("dim"))
+        .agg(F.expr("sum(qv) div count(1)").alias("mq"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mq))),"
+                " s -> s.mq)"
+            ).alias("m_arr")
+        )
+    )
+    centered = (
+        e.select("vec_id", qv_arr.alias("qv_arr"))
+        .join(F.broadcast(means))
+        .select(
+            F.expr("zip_with(qv_arr, m_arr, (a, b) -> a - b)").alias("cv")
+        )
+    )
+    pairs = centered.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {_EMB_DIM - 1}),"
+                f" i -> transform(sequence(i, {_EMB_DIM - 1}),"
+                f" j -> struct(i + 1 as dim_i, j + 1 as dim_j,"
+                f" cv[i] * cv[j] as prod))))"
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.prod")
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.sum("prod").alias("s"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return (
+        agg.where(
+            ((F.col("dim_i") <= 8) & (F.col("dim_j") <= 8))
+            | (F.col("dim_i") == F.col("dim_j"))
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            F.expr("s div n_vecs").alias("cov_pico"),
+            F.round(F.expr("(s div n_vecs) / 1e12"), 9).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )

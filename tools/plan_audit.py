@@ -742,7 +742,11 @@ AUDITS: dict[str, dict] = {
                                  "forbid": [r"CartesianProduct"]},
     # silhouette: centroids from the one (label,dim) partial-agged
     # exchange broadcast back; centroid-pair matrix labels^2-bounded
-    "emb_silhouette": {"broadcast": True, "partial": True,
+    # silhouette: the centroid-pair join is NON-EQUI (label <>) against
+    # a broadcast |labels|-row side — BNLJ is the intended strategy
+    # (labels-bounded, never corpus-bounded)
+    "emb_silhouette": {"no_bnlj": False, "broadcast": True,
+                       "partial": True,
                        "forbid": [r"CartesianProduct"]},
     # KL: (source,term) partial-agged exchange, vocab-bounded joins,
     # 1-row corpus total broadcast (query_bm25 pattern)
@@ -758,6 +762,34 @@ AUDITS: dict[str, dict] = {
                                  "l_partkey", "l_quantity",
                                  "l_extendedprice"],
                        "forbid": [r"CartesianProduct"]},
+    # covariance: 64-row means table crosses as a 1-row-array broadcast
+    # BNLJ (deliberate); the pair explode collapses map-side into a
+    # 2080-group partial hash agg; label never read
+    "emb_covariance": {"no_bnlj": False, "partial": True,
+                       "prune": ["label"],
+                       "forbid": [r"CartesianProduct"]},
+    # DSIR: 1024-row ratio table + 1-row totals broadcast (the 1-row
+    # cross is a deliberate BNLJ); both exchanges partial-agged
+    "dsir_importance": {"no_bnlj": False, "broadcast": True,
+                        "partial": True, "prune": ["n_chars"],
+                        "forbid": [r"CartesianProduct"]},
+    # t-closeness: one (cell,bracket) partial-agged exchange; 11-row
+    # global distribution broadcasts; windows run on 11-row partitions
+    "privacy_tcloseness": {"broadcast": True, "partial": True,
+                           "prune": ["c_name", "c_comment", "c_phone",
+                                     "c_address"],
+                           "forbid": [r"CartesianProduct"]},
+    # decompose: the only corpus-sized work is the (day) rollup; the
+    # 7-row seasonal table broadcasts back onto the days-sized series
+    "ts_decompose": {"broadcast": True, "partial": True,
+                     "prune": ["o_custkey", "o_comment", "o_orderstatus"],
+                     "forbid": [r"CartesianProduct"]},
+    # link prediction: wedge join is EQUI on the center node (deg-capped);
+    # pair counts partial-agg; existing edges leave via anti join
+    "graph_link_prediction": {"partial": True,
+                              "prune": ["l_comment", "l_quantity",
+                                        "l_extendedprice"],
+                              "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
