@@ -183,6 +183,10 @@ OPTIONAL = [
     "privacy_tcloseness",
     "ts_decompose",
     "graph_link_prediction",
+    "mixture_epochs",
+    "sample_weighted",
+    "emb_pca_power",
+    "dedup_containment_classes",
 ]
 
 N_RUNS = 3

@@ -1652,11 +1652,14 @@ _TC_LO, _TC_HI = -1, 9  # clamped acctbal brackets (floor(x/1000) domain)
         SELECT *, SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
                                  ORDER BY bracket) AS cum_cell
         FROM spine),
+    gcnt AS (
+        SELECT bracket, COUNT(*) AS gc FROM base GROUP BY bracket),
     gdist AS (
-        SELECT bracket,
-               SUM(COUNT(*)) OVER (ORDER BY bracket) AS cum_glob,
-               SUM(COUNT(*)) OVER () AS n_glob
-        FROM base GROUP BY bracket),
+        SELECT s.bracket,
+               SUM(COALESCE(g.gc, 0)) OVER (ORDER BY s.bracket) AS cum_glob,
+               SUM(COALESCE(g.gc, 0)) OVER () AS n_glob
+        FROM (SELECT UNNEST(GENERATE_SERIES(-1, 9)) AS bracket) s
+        LEFT JOIN gcnt g ON g.bracket = s.bracket),
     terms AS (
         SELECT c.c_nationkey, c.c_mktsegment, c.n_members, g.n_glob,
                ABS(c.cum_cell * g.n_glob - g.cum_glob * c.n_members) AS term
@@ -1731,9 +1734,15 @@ def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bracket"
     )
     cum = spine.withColumn("cum_cell", F.sum("cnt").over(wcell))
+    # densify the GLOBAL distribution over the same spine: a bracket
+    # absent globally must still contribute its |cum diff| terms (the
+    # planted two-point fixture caught the sparse-join undercount)
+    gcnt = base.groupBy("bracket").agg(F.count(F.lit(1)).alias("gcnt"))
     glob = (
-        base.groupBy("bracket")
-        .agg(F.count(F.lit(1)).alias("gcnt"))
+        spark.range(_TC_LO, _TC_HI + 1)
+        .select(F.col("id").cast("bigint").alias("bracket"))
+        .join(gcnt, "bracket", "left")
+        .select("bracket", F.coalesce("gcnt", F.lit(0)).alias("gcnt"))
         .select(
             "bracket",
             F.sum("gcnt").over(Window.orderBy("bracket")).alias("cum_glob"),
@@ -1774,4 +1783,278 @@ def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("released"),
         )
         .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---- data-constrained epoch planning ----------------------------------------
+
+EPOCH_CAP = 4  # max useful epochs before repetition value decays
+EPOCH_BUDGET_X = 3  # token budget as a multiple of the unique corpus
+
+
+@query(
+    "mixture_epochs",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, SUM(LEN(STRING_SPLIT(text, ' '))) AS n
+        FROM documents GROUP BY lang),
+    base AS (
+        SELECT lang, n, {EPOCH_CAP} * n AS cap,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+        FROM counts),
+    tot AS (
+        SELECT SUM(n) * {EPOCH_BUDGET_X} AS b, SUM(w) AS wt, COUNT(*) AS nl
+        FROM base),
+    ranked AS (
+        SELECT lang, n, cap, w,
+               ROW_NUMBER() OVER (ORDER BY CAST(cap AS DOUBLE) / w, lang)
+                   AS j,
+               SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / w, lang
+                              ROWS UNBOUNDED PRECEDING) AS prefix_c,
+               SUM(w) OVER (ORDER BY CAST(cap AS DOUBLE) / w, lang
+                            ROWS UNBOUNDED PRECEDING) AS prefix_w
+        FROM base),
+    star AS (
+        SELECT MAX(CASE WHEN r.cap * (t.wt - r.prefix_w)
+                             + r.prefix_c * r.w <= t.b * r.w
+                        THEN r.j ELSE 0 END) AS jstar
+        FROM ranked r CROSS JOIN tot t),
+    lev AS (
+        SELECT s.jstar, t.b, t.wt,
+               COALESCE(MAX(CASE WHEN r.j = s.jstar THEN r.prefix_c END), 0)
+                   AS cstar,
+               COALESCE(MAX(CASE WHEN r.j = s.jstar THEN r.prefix_w END), 0)
+                   AS wstar
+        FROM tot t CROSS JOIN star s CROSS JOIN ranked r
+        GROUP BY s.jstar, t.b, t.wt),
+    alloc0 AS (
+        SELECT r.lang, r.n, r.w, r.cap, r.j, l.jstar,
+               CASE WHEN r.j <= l.jstar THEN r.cap
+                    ELSE (l.b - l.cstar) * r.w // (l.wt - l.wstar) END
+                   AS alloc_floor
+        FROM ranked r CROSS JOIN lev l),
+    remn AS (
+        SELECT (SELECT b FROM lev)
+               - SUM(alloc_floor) AS r_total
+        FROM alloc0),
+    uncapped AS (
+        SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) AS unc_ord
+        FROM alloc0 WHERE j > jstar)
+    SELECT a.lang, a.n AS n_tokens, a.w AS weight_milli,
+           a.cap AS cap_tokens,
+           a.alloc_floor + CASE WHEN u.unc_ord IS NOT NULL
+                                 AND u.unc_ord <= r.r_total
+                                THEN 1 ELSE 0 END AS allocated,
+           (a.alloc_floor + CASE WHEN u.unc_ord IS NOT NULL
+                                  AND u.unc_ord <= r.r_total
+                                 THEN 1 ELSE 0 END) * 1000 // a.n
+               AS epochs_milli,
+           a.j <= a.jstar AS capped
+    FROM alloc0 a
+    CROSS JOIN remn r
+    LEFT JOIN uncapped u ON u.lang = a.lang
+    ORDER BY a.lang
+    """,
+)
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner (the Muennighoff et al. regime:
+    repeating data beyond ~4 epochs stops paying): allocate a token
+    budget of {X} x the unique corpus across languages with
+    temperature-weighted shares (w ~ sqrt(n), the mixture_temperature
+    exponent) under a hard per-language cap of {E} epochs. Small
+    languages hit the epoch cap (repetition maxes out), head languages
+    split the rest proportionally to sqrt(n) — the repetition-side
+    complement of mixture_waterfill's truncation-side allocator.
+
+    Entirely integer arithmetic (the waterfill machinery generalized to
+    per-item caps and weights): languages sort by binding ratio cap/w;
+    the feasibility test is the cross-multiplied
+    cap_j*(W - prefix_w_j) + prefix_c_j*w_j <= B*w_j; uncapped shares
+    are one integer floor-division each and the remainder goes +1 to
+    the first (lang-ordered) uncapped languages, so
+    sum(allocated) == B bit-exactly in any engine. The only doubles are
+    the sqrt weight (one correctly-rounded IEEE op, floored to milli
+    units) and the sort-key ratio — both identical cross-engine.
+
+    Scale shape: ONE partial-aggregated exchange builds per-language
+    token counts; everything after runs on the |languages|-row table
+    crossed with 1-row stat tables via broadcast. With budget {X}x and
+    cap {E}x, at least one language is always uncapped (B < sum caps),
+    so the proportional divisor never hits zero."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n"))
+        .select(
+            "lang",
+            "n",
+            (F.lit(EPOCH_CAP) * F.col("n")).alias("cap"),
+            F.expr(
+                "cast(floor(sqrt(cast(n as double)) * 1000) as bigint)"
+            ).alias("w"),
+        )
+    )
+    tot = base.agg(
+        (F.sum("n") * EPOCH_BUDGET_X).alias("b"),
+        F.sum("w").alias("wt"),
+        F.count(F.lit(1)).alias("nl"),
+    )
+    ratio = F.col("cap").cast("double") / F.col("w")
+    win = Window.orderBy(ratio, "lang")
+    cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.select(
+        "lang",
+        "n",
+        "cap",
+        "w",
+        F.row_number().over(win).alias("j"),
+        F.sum("cap").over(cum).alias("prefix_c"),
+        F.sum("w").over(cum).alias("prefix_w"),
+    )
+    star = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cap") * (F.col("wt") - F.col("prefix_w"))
+                    + F.col("prefix_c") * F.col("w")
+                    <= F.col("b") * F.col("w"),
+                    F.col("j"),
+                ).otherwise(F.lit(0))
+            ).alias("jstar")
+        )
+    )
+    lev = (
+        ranked.crossJoin(F.broadcast(star))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("jstar", "b", "wt")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("j") == F.col("jstar"), F.col("prefix_c"))
+                ),
+                F.lit(0),
+            ).alias("cstar"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("j") == F.col("jstar"), F.col("prefix_w"))
+                ),
+                F.lit(0),
+            ).alias("wstar"),
+        )
+    )
+    alloc0 = ranked.crossJoin(F.broadcast(lev)).select(
+        "lang",
+        "n",
+        "w",
+        "cap",
+        "j",
+        "jstar",
+        "b",
+        F.when(F.col("j") <= F.col("jstar"), F.col("cap"))
+        .otherwise(
+            F.expr("(b - cstar) * w div (wt - wstar)")
+        )
+        .alias("alloc_floor"),
+    )
+    remn = alloc0.groupBy("b").agg(
+        (F.col("b") - F.sum("alloc_floor")).alias("r_total")
+    ).select("r_total")
+    unc = (
+        alloc0.where(F.col("j") > F.col("jstar"))
+        .select("lang", F.row_number().over(Window.orderBy("lang")).alias("unc_ord"))
+    )
+    bump = F.when(
+        F.col("unc_ord").isNotNull() & (F.col("unc_ord") <= F.col("r_total")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        alloc0.crossJoin(F.broadcast(remn))
+        .join(F.broadcast(unc), "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.col("w").alias("weight_milli"),
+            F.col("cap").alias("cap_tokens"),
+            (F.col("alloc_floor") + bump).alias("allocated"),
+            F.expr(
+                "(alloc_floor + (case when unc_ord is not null"
+                " and unc_ord <= r_total then 1 else 0 end)) * 1000 div n"
+            ).alias("epochs_milli"),
+            (F.col("j") <= F.col("jstar")).alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---- deterministic weighted sampling (A-RES) ---------------------------------
+
+_ARES_K = 100  # sample size
+_ARES_DEN = (1 << 28) + 1  # md5-28bit hash -> u in (0,1), never 0 or 1
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               GREATEST(n_chars, 1) AS weight,
+               CAST(FLOOR(LN(
+                   CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
+                                    1, 7)) AS BIGINT) + 1 AS DOUBLE)
+                   / {_ARES_DEN}.0) * 1e9) AS BIGINT) AS ln_nano
+        FROM documents)
+    SELECT doc_id, lang, source, weight,
+           ROUND(CAST(ln_nano AS DOUBLE) / weight / 1e9, 9) AS ares_key
+    FROM keyed
+    ORDER BY CAST(ln_nano AS DOUBLE) / weight DESC, doc_id
+    LIMIT {_ARES_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-RES,
+    public): each doc draws u in (0,1) and ranks by u^(1/w) —
+    equivalently ln(u)/w — so a doc with twice the weight is twice as
+    likely to make the top-k. The quality-weighted data-selection
+    sampler (here w = doc length), with NO RNG state: u derives from
+    md5(doc_id), so the sample is reproducible under re-ingestion and
+    identical across engines.
+
+    Exactness: u = (md5_28bit + 1)/(2^28 + 1) is exact in a double;
+    ln(u) quantizes to integer nano-nats (one correctly-rounded IEEE ln,
+    identical both engines); the rank key ln_nano/w is ONE double
+    division of exact integers — bit-identical cross-engine — and ties
+    break on doc_id. Display key rounded at 9dp from those same exact
+    inputs.
+
+    Scale shape: scan-local key computation in whole-stage codegen
+    (hash, ln, divide — no joins, no state), then top-k via TakeOrdered
+    (per-partition heaps + driver merge of k rows), never a global
+    sort. The classic one-pass distributed weighted reservoir."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("weight"),
+        F.expr(
+            f"cast(floor(ln(cast("
+            f"cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+            f" as bigint) + 1 as double) / {_ARES_DEN}.0) * 1e9) as bigint)"
+        ).alias("ln_nano"),
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            "lang",
+            "source",
+            "weight",
+            F.round(
+                F.col("ln_nano").cast("double") / F.col("weight") / 1e9, 9
+            ).alias("ares_key"),
+            (F.col("ln_nano").cast("double") / F.col("weight")).alias("_k"),
+        )
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(_ARES_K)
+        .drop("_k")
     )

@@ -213,12 +213,22 @@ def _band_explode(sigs: DataFrame) -> DataFrame:
 
 def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared signature+LSH stages: returns (candidate pairs, shingle
-    sets keyed by doc_id)."""
+    sets keyed by doc_id).
+
+    Both the band table and the shingle-set table are POST-EXPLODE /
+    array-carrying relations the planner sizes from pre-explosion scan
+    stats, so left to itself it picks BroadcastHashJoin and builds a
+    corpus-sized hashed relation on the driver (observed at 30x:
+    broadcast materialization blows spark.driver.maxResultSize — the
+    join_salted_skew lesson recurring). Pin SHUFFLED strategies: the
+    band self-join and every candidate-pair -> sets verify join are
+    big-x-big EQUI joins; per-partition hash tables after an exchange
+    are the plan a 1000-executor cluster wants at any SF."""
     doc_agg = _minhash_doc_agg(spark, sf_dir)
     bands = _band_explode(doc_agg)
     # LSH self-join: shuffle keyed by (band_id, band_key) — collisions
     # only, never the full cross product.
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cands = (
         a.join(
             b,
@@ -229,7 +239,7 @@ def _minhash_core(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = doc_agg.select("doc_id", "s")
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     return cands, sets
 
 
@@ -385,7 +395,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on adjacent-id pairs — the verify primitive
     of dedup_minhash in isolation (O(n) pairs, no LSH)."""
     sets = _shingles(spark, sf_dir).groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
-    a, b = sets.alias("a"), sets.alias("b")
+    # array-carrying self-join: never broadcast (the _minhash_core trap)
+    a, b = sets.alias("a"), sets.alias("b").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))) / F.size(
         F.array_union(F.col("a.s"), F.col("b.s"))
     )
@@ -743,7 +754,7 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.collect_list("shingle").alias("s"),
     )
-    sets = doc_agg.select("doc_id", "s")
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
     )
@@ -758,7 +769,8 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = doc_agg.select(
             "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
         )
-        a, b = bands.alias("a"), bands.alias("b")
+        # post-explode sides never broadcast (the _minhash_core trap)
+        a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
         cands = (
             a.join(
                 b,
@@ -965,7 +977,8 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = doc_agg.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # post-explode sides never broadcast (the _minhash_core trap)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cands = (
         a.join(
             b,
@@ -976,7 +989,7 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = doc_agg.select("doc_id", "s")
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
     )
@@ -1456,7 +1469,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash (one scan, one doc_id exchange for sig+set)."""
     doc_agg = _minhash_doc_agg(spark, sf_dir)
     bands = _band_explode(doc_agg)
-    batch = bands.filter(F.col("doc_id") % INGEST_MOD != 0)
+    # post-explode band tables must never broadcast (the _minhash_core
+    # sizing trap); build the BATCH side per-partition — it's the small
+    # side (days of data vs the whole store) at any real scale
+    batch = bands.filter(F.col("doc_id") % INGEST_MOD != 0).hint(
+        "shuffle_hash"
+    )
     store = bands.filter(F.col("doc_id") % INGEST_MOD == 0)
     cands = (
         batch.alias("b")
@@ -1471,7 +1489,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets = doc_agg.select("doc_id", "s")
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
     )
@@ -1746,4 +1764,200 @@ def dedup_minhash_recall(
             F.lit(RECALL_DF_CAP).cast("long").alias("df_cap"),
             "n_hot_shingles",
         )
+    )
+
+
+@query(
+    "dedup_containment_classes",
+    oracle=f"""
+    WITH classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY MD5(text)),
+    reps AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON c.rep = d.doc_id),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    shingles AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words),
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    ccands AS (
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    scored AS MATERIALIZED (
+        SELECT c.rep_a, c.rep_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common,
+               LEN(sa.s) AS n_a, LEN(sb.s) AS n_b,
+               ma.n_mem AS m_a, mb.n_mem AS m_b
+        FROM ccands c
+        JOIN sets sa ON sa.doc_id = c.rep_a
+        JOIN sets sb ON sb.doc_id = c.rep_b
+        JOIN classes ma ON ma.rep = c.rep_a
+        JOIN classes mb ON mb.rep = c.rep_b),
+    cross_stats AS (
+        SELECT COALESCE(SUM(m_a * m_b), 0) AS cand_cross,
+               COALESCE(SUM(CASE WHEN n_common * {CONTAIN_T_DEN}
+                                      >= {CONTAIN_T_NUM} * LEAST(n_a, n_b)
+                                 THEN m_a * m_b ELSE 0 END), 0) AS kept_cross,
+               COALESCE(SUM(CASE WHEN n_common * {CONTAIN_T_DEN}
+                                      >= {CONTAIN_T_NUM} * LEAST(n_a, n_b)
+                                  AND n_common * 2 < n_a + n_b - n_common
+                                 THEN m_a * m_b ELSE 0 END), 0)
+                   AS blind_cross,
+               COALESCE(SUM(CASE WHEN n_common * {CONTAIN_T_DEN}
+                                      >= {CONTAIN_T_NUM} * LEAST(n_a, n_b)
+                                 THEN m_a * m_b * n_common ELSE 0 END), 0)
+                   AS common_cross
+        FROM scored),
+    within_stats AS (
+        SELECT COUNT(*) AS n_classes,
+               SUM(c.n_mem) AS n_docs,
+               SUM(c.n_mem * (c.n_mem - 1) // 2) AS cand_within,
+               SUM((c.n_mem * (c.n_mem - 1) // 2) * LEN(s.s))
+                   AS common_within
+        FROM classes c JOIN sets s ON s.doc_id = c.rep)
+    SELECT w.n_classes, w.n_docs,
+           w.cand_within + x.cand_cross AS n_candidates,
+           w.cand_within + x.kept_cross AS n_pairs,
+           x.blind_cross AS n_jaccard_blind_pairs,
+           w.common_within + x.common_cross AS sum_common
+    FROM within_stats w CROSS JOIN cross_stats x
+    """,
+)
+def dedup_containment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-CLASS form of dedup_containment_census: exact-duplicate
+    classes (md5 of text) collapse first, LSH + containment verify runs
+    ONCE per class representative, and pair counts come from class
+    arithmetic — C(n,2) within a class, n_a*n_b across a kept class
+    pair — so the statistics are IDENTICAL to the enumerated census
+    (cross-query identity pinned by pytest) without ever materializing
+    a pair. n_docs_contained is the one enumerated-only column (its
+    doc-id-level distinct needs the pair stream; it stays on the
+    census, value-exact through sf0.1).
+
+    Why this exists: the enumerated census is pair-QUADRATIC in
+    duplicate-class size by definition — at 30x the planted 300-copy
+    clusters make 245M candidate pairs, each dragging two shingle-set
+    payloads through the verify shuffle (measured: >70 GB of spill,
+    disk exhaustion). Class arithmetic is what a production pipeline
+    does anyway (exact dedup ALWAYS precedes near-dup): verify work
+    drops from sum C(n_c,2) pairs to |classes| + class-collisions,
+    LINEAR in distinct content at any duplication factor.
+
+    Scale shape: one (text-hash) exchange builds classes; shingle/sig
+    machinery runs on representatives only; the band self-join and
+    rep-set verify joins are the pinned-shuffle _minhash_core shapes;
+    member counts join rep-keyed (never broadcast — classes scale with
+    the corpus); the report is 1-row scalar aggregates crossed
+    broadcast (graph_triangles pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
+    )
+    reps = docs.join(
+        classes.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    sh = shingle_explode(ensure_min_partitions(reps)).withColumn(
+        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    )
+    rep_agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i]))
+                % MINHASH_P
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+        F.collect_list("shingle").alias("s"),
+    )
+    bands = _band_explode(rep_agg)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
+    ccands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+        .distinct()
+    )
+    sets = rep_agg.select("doc_id", "s").hint("shuffle_hash")
+    mem = classes.select("rep", "n_mem").hint("shuffle_hash")
+    scored = (
+        ccands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+        .join(mem.alias("ma"), F.col("ma.rep") == F.col("rep_a"))
+        .join(mem.alias("mb"), F.col("mb.rep") == F.col("rep_b"))
+        .select(
+            F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).alias(
+                "n_common"
+            ),
+            F.size(F.col("sa.s")).alias("n_a"),
+            F.size(F.col("sb.s")).alias("n_b"),
+            F.col("ma.n_mem").alias("m_a"),
+            F.col("mb.n_mem").alias("m_b"),
+        )
+    )
+    kept = (
+        F.col("n_common") * CONTAIN_T_DEN
+        >= CONTAIN_T_NUM * F.least("n_a", "n_b")
+    )
+    blind = kept & (
+        F.col("n_common") * 2 < F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    pair_m = F.col("m_a") * F.col("m_b")
+    cross_stats = scored.agg(
+        F.coalesce(F.sum(pair_m), F.lit(0)).alias("cand_cross"),
+        F.coalesce(F.sum(F.when(kept, pair_m).otherwise(0)), F.lit(0)).alias(
+            "kept_cross"
+        ),
+        F.coalesce(F.sum(F.when(blind, pair_m).otherwise(0)), F.lit(0)).alias(
+            "blind_cross"
+        ),
+        F.coalesce(
+            F.sum(F.when(kept, pair_m * F.col("n_common")).otherwise(0)),
+            F.lit(0),
+        ).alias("common_cross"),
+    )
+    within_stats = (
+        classes.join(
+            rep_agg.select(
+                F.col("doc_id").alias("rep"), F.size("s").alias("n_sh")
+            ),
+            "rep",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n_mem").alias("n_docs"),
+            F.sum(F.expr("n_mem * (n_mem - 1) div 2")).alias("cand_within"),
+            F.sum(F.expr("(n_mem * (n_mem - 1) div 2) * n_sh")).alias(
+                "common_within"
+            ),
+        )
+    )
+    return within_stats.crossJoin(cross_stats).select(
+        "n_classes",
+        "n_docs",
+        (F.col("cand_within") + F.col("cand_cross")).alias("n_candidates"),
+        (F.col("cand_within") + F.col("kept_cross")).alias("n_pairs"),
+        F.col("blind_cross").alias("n_jaccard_blind_pairs"),
+        (F.col("common_within") + F.col("common_cross")).alias("sum_common"),
     )

@@ -280,7 +280,7 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_O_BASE},
     {_O_CENT},
-    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
+    q AS MATERIALIZED (SELECT * FROM base WHERE vec_id < {N_QUERIES}),
     assign AS (
         SELECT q.vec_id, q.e, q.norm, c.label,
                ROW_NUMBER() OVER (
@@ -1067,3 +1067,195 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_i", "dim_j")
     )
+
+
+_PCA_ITERS = 8  # unrolled power-iteration steps (deterministic, PSD matrix)
+
+
+def _pca_oracle() -> str:
+    """Generate the unrolled power-iteration oracle: covariance CTEs
+    (the emb_covariance chain, mirrored to a full matrix), then
+    _PCA_ITERS exact integer mat-vec + max-abs-normalize steps."""
+    steps = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+    u{k} AS (
+        SELECT c.dim_i AS dim, SUM(c.val * v.v) AS u
+        FROM cfull c JOIN {prev} v ON v.dim = c.dim_j
+        GROUP BY c.dim_i),
+    m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k}),
+    v{k} AS (
+        SELECT dim, u * 1000 // m AS v FROM u{k} CROSS JOIN m{k})""")
+        prev = f"v{k}"
+    last = _PCA_ITERS
+    return f"""
+    WITH q AS (
+        SELECT vec_id, d.dim,
+               CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * {_OUT_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim) d),
+    mn AS MATERIALIZED (SELECT dim, SUM(qv) // COUNT(*) AS mq FROM q GROUP BY dim),
+    cv AS MATERIALIZED (
+        SELECT q.vec_id, q.dim, q.qv - mn.mq AS c
+        FROM q JOIN mn ON mn.dim = q.dim),
+    ctri AS MATERIALIZED (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               SUM(a.c * b.c) // COUNT(*) AS val
+        FROM cv a JOIN cv b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY a.dim, b.dim),
+    cfull AS MATERIALIZED (
+        SELECT dim_i, dim_j, val FROM ctri
+        UNION ALL
+        SELECT dim_j, dim_i, val FROM ctri WHERE dim_i <> dim_j),
+    v0 AS (
+        SELECT UNNEST(GENERATE_SERIES(1, {_EMB_DIM})) AS dim,
+               CAST(1000 AS BIGINT) AS v),{",".join(steps)},
+    tr AS (
+        SELECT SUM(val) AS trace FROM ctri WHERE dim_i = dim_j)
+    SELECT f.dim, f.v AS evec_milli,
+           m.m // 1000 AS eig_pico,
+           ROUND((m.m // 1000) / 1e12, 9) AS eigenvalue,
+           (m.m // 1000) * 1000 // t.trace AS explained_permille
+    FROM v{last} f CROSS JOIN m{last} m CROSS JOIN tr t
+    ORDER BY f.dim
+    """
+
+
+@query("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by POWER ITERATION in pure integer
+    arithmetic — the follow-through on emb_covariance: the corpus
+    reduces once to the exact 64x64 covariance matrix (BIGINT pico
+    units), then 8 unrolled mat-vec + max-abs-normalize steps run on
+    the dims-bounded table, yielding the dominant eigenvector (milli
+    units), its eigenvalue, and the explained-variance share. The
+    "which direction holds the variance" audit that decides whether
+    embeddings need whitening before ANN/SemDedup.
+
+    Exactness: iterative float linear algebra is rank-UNSTABLE across
+    engines (summation order flips signs of near-ties), so every step
+    here is exact: the covariance integers are the emb_covariance
+    chain; each mat-vec term val*v <= ~1e15 sums over 64 dims far
+    under 2^63 BECAUSE the vector renormalizes to max-abs = 1000 every
+    step (truncating integer division, parity verified); the
+    eigenvalue estimate is the last growth factor m/1000, an integer.
+    The matrix is PSD, so no sign oscillation; 8 steps settle the
+    dominant direction to the milli grid deterministically.
+
+    Scale shape: corpus work is exactly emb_covariance's (two
+    partial-agged exchanges, 2080-group hash agg); the matrix then
+    collapses to ONE row-major array row and the iteration runs as
+    chained array expressions on that 1-row relation — ZERO exchanges,
+    8 single-task micro-jobs (the per-round localCheckpoint barrier
+    that keeps Catalyst's expression tree linear) — at 100 TB the
+    eigensolve costs the SAME as at 1 GB, which is the whole point of
+    reducing to sufficient statistics."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv_arr = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(floor(cast(x as double) * {_OUT_SCALE}) as bigint))"
+    )
+    q = e.select("vec_id", F.posexplode(qv_arr).alias("dim0", "qv"))
+    means = (
+        q.groupBy(F.col("dim0").alias("dim"))
+        .agg(F.expr("sum(qv) div count(1)").alias("mq"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mq))),"
+                " s -> s.mq)"
+            ).alias("m_arr")
+        )
+    )
+    centered = (
+        e.select("vec_id", qv_arr.alias("qv_arr"))
+        .join(F.broadcast(means))
+        .select(F.expr("zip_with(qv_arr, m_arr, (a, b) -> a - b)").alias("cv"))
+    )
+    ctri = (
+        centered.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {_EMB_DIM - 1}),"
+                    f" i -> transform(sequence(i, {_EMB_DIM - 1}),"
+                    f" j -> struct(i + 1 as dim_i, j + 1 as dim_j,"
+                    f" cv[i] * cv[j] as prod))))"
+                )
+            ).alias("p")
+        )
+        .select("p.dim_i", "p.dim_j", "p.prod")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.expr("sum(prod) div count(1)").alias("val"))
+    )
+    # collapse the matrix to ONE row-major array row: the whole
+    # eigensolve then runs as chained array expressions on a 1-row
+    # relation — ZERO exchanges for the iteration (an earlier draft
+    # iterated as 8 join+agg rounds of 64-row tables: correct, but
+    # ~3 s of stage-scheduling latency per round; the statistic is
+    # dims-bounded, so it belongs in one task)
+    cfull = ctri.unionAll(
+        ctri.where(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "val",
+        )
+    )
+    d = _EMB_DIM
+    state = cfull.groupBy().agg(
+        F.expr(
+            f"transform(array_sort(collect_list("
+            f"struct(dim_i * {d} + dim_j as k, val))), s -> s.val)"
+        ).alias("c")
+    ).select(
+        "c",
+        F.expr(
+            f"transform(sequence(1, {d}), i -> cast(1000 as bigint))"
+        ).alias("v"),
+    )
+    matvec = (
+        f"transform(sequence(1, {d}), i -> aggregate(sequence(1, {d}),"
+        f" cast(0 as bigint),"
+        f" (acc, j) -> acc + c[(i - 1) * {d} + j - 1] * v[j - 1]))"
+    )
+    for _ in range(_PCA_ITERS):
+        state = (
+            state.select("c", F.expr(matvec).alias("u"))
+            .select(
+                "c",
+                "u",
+                F.expr("array_max(transform(u, x -> abs(x)))").alias("m"),
+            )
+            .select(
+                "c",
+                "u",
+                "m",
+                F.expr("transform(u, x -> x * 1000 div m)").alias("v"),
+            )
+            # barrier per round: without it ProjectCollapse inlines each
+            # round's v into the next (u appears twice per round), and
+            # the optimizer's expression tree grows 2^rounds — observed
+            # as a >300 s planning hang. One 1-row local checkpoint per
+            # round keeps planning linear; runtime cost is 8 micro-jobs.
+            .localCheckpoint(eager=False)
+        )
+    final = state.select(
+        "v",
+        "m",
+        F.expr(
+            f"aggregate(sequence(1, {d}), cast(0 as bigint),"
+            f" (acc, i) -> acc + c[(i - 1) * {d + 1}])"
+        ).alias("trace"),
+    )
+    return final.select(
+        F.posexplode("v").alias("dim0", "evec_milli"),
+        F.expr("m div 1000").alias("eig_pico"),
+        F.round(F.expr("(m div 1000) / 1e12"), 9).alias("eigenvalue"),
+        F.expr("(m div 1000) * 1000 div trace").alias("explained_permille"),
+    ).select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        "evec_milli",
+        "eig_pico",
+        "eigenvalue",
+        "explained_permille",
+    ).orderBy("dim")

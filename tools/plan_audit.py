@@ -38,10 +38,14 @@ AUDITS: dict[str, dict] = {
     "topk_per_group": {},
     "udf_scalar": {"pushed": True, "prune": ["l_comment"]},
     # LSH equi self-join on (band, key): signatures partial-aggregate
-    # before the band exchange; the pair join is hash, never nested-loop
-    "dedup_minhash": {"partial": True, "broadcast": True,
+    # before the band exchange; post-explode band/set sides are PINNED
+    # shuffled (broadcast of them built a corpus-sized driver relation
+    # at 30x — maxResultSize; the join_salted_skew lesson)
+    "dedup_minhash": {"partial": True,
+                      "require": [r"ShuffledHashJoin"],
                       "prune": ["lang", "source", "n_chars"],
-                      "forbid": [r"CartesianProduct"]},
+                      "forbid": [r"CartesianProduct",
+                                 r"BroadcastHashJoin"]},
     # sim_topk's candidate join is non-equi (vec_id <>) against a
     # broadcast-tiny query side: BroadcastNestedLoopJoin IS the intended
     # physical strategy (map-side, no shuffle of the corpus)
@@ -790,6 +794,24 @@ AUDITS: dict[str, dict] = {
                               "prune": ["l_comment", "l_quantity",
                                         "l_extendedprice"],
                               "forbid": [r"CartesianProduct"]},
+    # epoch planner: waterfill machinery — per-lang counts partial-agg
+    # once, then |langs|-row windows crossed with 1-row stat tables via
+    # broadcast BNLJ (deliberate)
+    "mixture_epochs": {"no_bnlj": False, "partial": True,
+                       "prune": ["doc_id", "source", "n_chars"],
+                       "forbid": [r"CartesianProduct"]},
+    # A-RES: scan-local key expression, top-k via per-partition heaps —
+    # no joins, no exchange beyond the TakeOrdered collect
+    "sample_weighted": {"prune": ["text"],
+                        "require": [r"TakeOrderedAndProject"],
+                        "forbid": [r"CartesianProduct"]},
+    # class form: exact-dup classes collapse first; LSH/verify machinery
+    # runs on representatives with the pinned-shuffle shapes; 1-row
+    # report aggregates cross broadcast (deliberate BNLJ)
+    "dedup_containment_classes": {"no_bnlj": False, "partial": True,
+                                  "require": [r"ShuffledHashJoin"],
+                                  "prune": ["lang", "source", "n_chars"],
+                                  "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
@@ -844,6 +866,13 @@ EXEMPT: dict[str, str] = {
         "stream_upsert_store stream_watermark stream_window_agg"
     ).split()
 }
+EXEMPT["emb_pca_power"] = (
+    "power iteration runs on per-round checkpointed 1-row relations "
+    "(the explain would show only the final LogicalRDD tail; an "
+    "un-checkpointed plan hangs Catalyst — see the in-code barrier "
+    "note); the corpus-sized stage is emb_covariance's plan, which IS "
+    "audited"
+)
 
 
 def coverage_gaps(registry_names) -> tuple[list[str], list[str]]:
