@@ -187,6 +187,7 @@ OPTIONAL = [
     "sample_weighted",
     "emb_pca_power",
     "dedup_containment_classes",
+    "bpe_roundtrip",
 ]
 
 N_RUNS = 3

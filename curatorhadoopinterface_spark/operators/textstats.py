@@ -1991,3 +1991,89 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
         .orderBy("source")
     )
+
+
+@query(
+    "bpe_roundtrip",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    ok AS (
+        SELECT lang, w FROM toks
+        WHERE regexp_matches(w, '^[!-~]+$') AND NOT CONTAINS(w, '|')),
+    vocab AS (SELECT DISTINCT w FROM ok),
+    enc AS (
+        SELECT w,
+               {_bpe_apply_oracle(
+                   "'|' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '||') || '|'"
+               )} AS seq
+        FROM vocab),
+    rt AS (
+        SELECT w,
+               REPLACE(seq, '|', '') AS decoded,
+               CAST((LENGTH(seq) - LENGTH(REPLACE(seq, '|', ''))) / 2
+                    AS BIGINT) AS n_tok
+        FROM enc)
+    SELECT o.lang,
+           COUNT(*) AS n_words,
+           SUM(CASE WHEN r.decoded <> o.w THEN 1 ELSE 0 END) AS n_mismatch,
+           SUM(CASE WHEN r.n_tok < 1 THEN 1 ELSE 0 END) AS n_empty,
+           MAX(r.n_tok) AS max_tokens_per_word
+    FROM ok o JOIN rt r ON r.w = o.w
+    GROUP BY o.lang ORDER BY o.lang
+    """,
+)
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND-TRIP verification (the A19 re-verification
+    pattern applied to bpe_encode): decode every encoded word by
+    stripping the token delimiters and assert it reproduces the input
+    byte-for-byte — n_mismatch MUST read 0 per language, n_empty MUST
+    read 0 (every word yields >= 1 token), and max_tokens_per_word
+    bounds the per-word blowup a packing budget needs. A tokenizer that
+    silently drops or mangles bytes corrupts every downstream token
+    count; this census is the cheap standing proof it doesn't.
+
+    Exactness: pure string algebra — the identical REPLACE merge chain
+    as bpe_encode (order-sensitive, non-overlapping), delimiter
+    stripping, integer counts; nothing to round.
+
+    Scale shape: identical to bpe_encode — the merge chain runs on the
+    DISTINCT-word vocabulary (bounded ~10^6 rows at any corpus size),
+    the corpus contributes one explode joined against the broadcast
+    vocabulary verdicts, census partial-aggregates to |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[!-~]+$") & ~F.col("w").contains("|"))
+    )
+    vocab = ok.select("w").distinct()
+    seq = F.concat(
+        F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+    )
+    for l, r in _BPE_MERGES:
+        seq = F.replace(seq, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
+    rt = vocab.select(
+        "w",
+        F.replace(seq, F.lit("|"), F.lit("")).alias("decoded"),
+        (
+            (F.length(seq) - F.length(F.replace(seq, F.lit("|"), F.lit(""))))
+            / 2
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        ok.join(F.broadcast(rt), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.when(F.col("decoded") != F.col("w"), 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.sum(F.when(F.col("n_tok") < 1, 1).otherwise(0)).alias(
+                "n_empty"
+            ),
+            F.max("n_tok").alias("max_tokens_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -805,6 +805,11 @@ AUDITS: dict[str, dict] = {
     "sample_weighted": {"prune": ["text"],
                         "require": [r"TakeOrderedAndProject"],
                         "forbid": [r"CartesianProduct"]},
+    # roundtrip: bpe_encode's shape — vocab-bounded merge chain,
+    # broadcast vocabulary verdicts onto the corpus explode
+    "bpe_roundtrip": {"broadcast": True, "partial": True,
+                      "prune": ["doc_id", "source", "n_chars"],
+                      "forbid": [r"CartesianProduct"]},
     # class form: exact-dup classes collapse first; LSH/verify machinery
     # runs on representatives with the pinned-shuffle shapes; 1-row
     # report aggregates cross broadcast (deliberate BNLJ)
