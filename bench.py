@@ -188,6 +188,7 @@ OPTIONAL = [
     "emb_pca_power",
     "dedup_containment_classes",
     "bpe_roundtrip",
+    "annotate_entity_pmi",
 ]
 
 N_RUNS = 3

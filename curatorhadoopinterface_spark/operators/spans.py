@@ -720,3 +720,119 @@ def annotate_crossdoc_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return mentions.groupBy("source").applyInPandas(cluster_corpus, out_schema)
+
+
+@query(
+    "annotate_entity_pmi",
+    oracle=f"""
+    WITH {_WS_TOKS_CTE},
+    matched AS (
+        SELECT doc_id, token_idx, token_start,
+               token_start + LENGTH(token) AS token_end,
+               CASE LOWER(token)
+                 WHEN 'spark' THEN 'TECH' WHEN 'hadoop' THEN 'TECH'
+                 WHEN 'hash' THEN 'TECH' WHEN 'vector' THEN 'TECH'
+                 WHEN 'customer' THEN 'ROLE' WHEN 'supplier' THEN 'ROLE'
+                 WHEN 'lorem' THEN 'MISC' WHEN 'ipsum' THEN 'MISC'
+               END AS label
+        FROM offs),
+    islands AS (
+        SELECT *, token_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, label ORDER BY token_idx) AS grp
+        FROM matched WHERE label IS NOT NULL),
+    spans AS (
+        SELECT doc_id,
+               MIN(token_start) AS s, MAX(token_end) AS e
+        FROM islands GROUP BY doc_id, label, grp),
+    ents AS (
+        SELECT DISTINCT sp.doc_id,
+               LOWER(SUBSTR(d.text, sp.s + 1, sp.e - sp.s)) AS surface
+        FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id),
+    marg AS (SELECT surface, COUNT(*) AS n_s FROM ents GROUP BY surface),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ents),
+    pairs AS (
+        SELECT a.surface AS ent_a, b.surface AS ent_b, COUNT(*) AS n_ab
+        FROM ents a JOIN ents b
+          ON b.doc_id = a.doc_id AND a.surface < b.surface
+        GROUP BY a.surface, b.surface)
+    SELECT p.ent_a, p.ent_b, p.n_ab, ma.n_s AS n_a, mb.n_s AS n_b,
+           CAST(FLOOR(LN(
+               (CAST(p.n_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+               / (CAST(ma.n_s AS DOUBLE) * CAST(mb.n_s AS DOUBLE))
+           ) * 1e9) AS BIGINT) AS pmi_nano
+    FROM pairs p
+    JOIN marg ma ON ma.surface = p.ent_a
+    JOIN marg mb ON mb.surface = p.ent_b
+    CROSS JOIN n
+    ORDER BY pmi_nano DESC, p.ent_a, p.ent_b
+    LIMIT 20
+    """,
+)
+def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation -> analytics COMPOSITION (the reference's job-chaining
+    A11 exercised end-to-end): run the NER annotator (the real Arrow
+    mapInPandas stage, BIO spans merged), extract each span's SURFACE
+    form from the raw text, and compute document-level pointwise mutual
+    information between entity pairs — "which entities travel
+    together", the knowledge-graph-edge-weight primitive. The oracle
+    replays the gazetteer + gaps-and-islands merge + substring + PMI
+    chain in pure SQL, so the whole two-stage pipeline is value-checked.
+
+    Exactness: the text_pmi_bigrams integer recipe — counts are exact,
+    the log quantizes to integer nano-nats from one explicit-DOUBLE
+    argument chain, ordering ties break on the pair.
+
+    Scale shape: the annotator is the fused one-pass Arrow stage every
+    provide() query pays (per-doc marginal cost ~0.2 ms); entity rows
+    per doc are gazetteer-bounded, so the (doc, surface) distinct, the
+    doc-local pair join (equi on doc_id, per-doc blowup <= entities^2),
+    and the |surfaces|-row marginals all stay tiny relative to the
+    scan. The 1-row doc count crosses broadcast."""
+    ann = _annotated_corpus(spark, sf_dir, "NER")
+    spans = ann.select(
+        "doc_id",
+        "raw_text",
+        F.explode(F.col("label_views")["ner"]["labels"]).alias("sp"),
+    )
+    ents = spans.select(
+        "doc_id",
+        F.lower(
+            F.expr("substring(raw_text, sp.start + 1, sp.ending - sp.start)")
+        ).alias("surface"),
+    ).distinct()
+    marg = ents.groupBy("surface").agg(F.count(F.lit(1)).alias("n_s"))
+    n = ents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    pairs = (
+        ents.alias("a")
+        .join(
+            ents.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .groupBy(
+            F.col("a.surface").alias("ent_a"), F.col("b.surface").alias("ent_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("surface").alias("ent_a"), F.col("n_s").alias("n_a"))
+    mb = marg.select(F.col("surface").alias("ent_b"), F.col("n_s").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "ent_a")
+        .join(F.broadcast(mb), "ent_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(floor(ln("
+                "(cast(n_ab as double) * cast(n_docs as double))"
+                " / (cast(n_a as double) * cast(n_b as double))"
+                ") * 1e9) as bigint)"
+            ).alias("pmi_nano"),
+        )
+        .orderBy(F.desc("pmi_nano"), "ent_a", "ent_b")
+        .limit(20)
+    )

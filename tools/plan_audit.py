@@ -805,6 +805,11 @@ AUDITS: dict[str, dict] = {
     "sample_weighted": {"prune": ["text"],
                         "require": [r"TakeOrderedAndProject"],
                         "forbid": [r"CartesianProduct"]},
+    # entity PMI: Arrow annotate stage feeds a doc-local equi pair join;
+    # marginals + 1-row doc count broadcast (deliberate BNLJ)
+    "annotate_entity_pmi": {"no_bnlj": False, "broadcast": True,
+                            "partial": True,
+                            "forbid": [r"CartesianProduct"]},
     # roundtrip: bpe_encode's shape — vocab-bounded merge chain,
     # broadcast vocabulary verdicts onto the corpus explode
     "bpe_roundtrip": {"broadcast": True, "partial": True,
