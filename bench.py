@@ -189,6 +189,7 @@ OPTIONAL = [
     "dedup_containment_classes",
     "bpe_roundtrip",
     "annotate_entity_pmi",
+    "sim_knn_graph",
 ]
 
 N_RUNS = 3

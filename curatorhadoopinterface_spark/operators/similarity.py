@@ -446,3 +446,112 @@ def dedup_embed_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(bucket_stats))
         .crossJoin(F.broadcast(pair_stats))
     )
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH {_O_BASE},
+    bkt AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id)),
+    scored AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst,
+               ROUND(list_dot_product(a.e, c.e) / (a.norm * c.norm), 6)
+                   AS cosine
+        FROM bkt a JOIN bkt c
+          ON c.bucket = a.bucket AND c.vec_id <> a.vec_id),
+    edges AS (
+        SELECT src, dst, cosine,
+               CAST(FLOOR(cosine * 1e6 + 0.5) AS BIGINT) AS cos_micro
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}),
+    mut AS (
+        SELECT COUNT(*) AS n_mutual
+        FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+    tot AS (SELECT COUNT(*) AS n_vectors FROM base)
+    SELECT t.n_vectors,
+           COUNT(DISTINCT e.src) AS n_nodes,
+           t.n_vectors - COUNT(DISTINCT e.src) AS n_isolated,
+           COUNT(*) AS n_edges,
+           m.n_mutual,
+           SUM(e.cos_micro) // COUNT(*) AS mean_cosine_micro
+    FROM edges e CROSS JOIN mut m CROSS JOIN tot t
+    GROUP BY t.n_vectors, m.n_mutual
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction census — every vector (not just a query
+    sample) finds its top-k cosine neighbors within its sign-bucket,
+    and the census reports edge count, MUTUAL-edge count (a->b and
+    b->a both in the graph — the symmetric-kNN signal SemDedup-style
+    clustering consumes), isolation (vectors alone in their bucket),
+    and mean neighbor cosine. The precursor statistic to any
+    graph-based embedding dedup/clustering: if n_mutual is tiny or
+    isolation is high, the bucket width is wrong for this corpus.
+
+    Exactness: cosines round to 6dp off the deterministic sequential
+    fold (the similarity.py contract), then quantize to integer micro
+    units BEFORE the sum; the mean is an integer division; mutual
+    edges are an exact equi self-join of the ranked edge set.
+
+    Scale shape: candidates are bucket-equi (the sim_lsh_topk join,
+    shuffle keyed by 2^{LSH_BITS} buckets — at 100 TB raise the plane
+    count so per-bucket population stays bounded); the per-vector
+    top-k is one window over the bucket-partitioned exchange (k rows
+    per vector survive); the mutual join runs on the k*N edge set,
+    never on candidates; report is 1-row aggregates crossed broadcast.
+    The post-compute array-carrying sides are PINNED shuffled (the
+    _minhash_core broadcast trap)."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_SPARK_BUCKET)
+    )
+    a = base.alias("a")
+    c = base.alias("c").hint("shuffle_hash")
+    scored = a.join(
+        c,
+        (F.col("c.bucket") == F.col("a.bucket"))
+        & (F.col("c.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("c.vec_id").alias("dst"),
+        _cosine("a", "c").alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "src",
+            "dst",
+            F.floor(F.col("cosine") * 1e6 + 0.5).cast("bigint").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    mut = edges.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        edges.agg(
+            F.countDistinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.expr("sum(cos_micro) div count(1)").alias("mean_cosine_micro"),
+        )
+        .crossJoin(F.broadcast(mut))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_vectors",
+            "n_nodes",
+            (F.col("n_vectors") - F.col("n_nodes")).alias("n_isolated"),
+            "n_edges",
+            "n_mutual",
+            "mean_cosine_micro",
+        )
+    )

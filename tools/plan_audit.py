@@ -805,6 +805,12 @@ AUDITS: dict[str, dict] = {
     "sample_weighted": {"prune": ["text"],
                         "require": [r"TakeOrderedAndProject"],
                         "forbid": [r"CartesianProduct"]},
+    # knn graph: bucket-equi self-join (post-compute sides pinned
+    # shuffled), per-vector top-k window, 1-row report aggs broadcast
+    "sim_knn_graph": {"no_bnlj": False, "partial": True,
+                      "require": [r"ShuffledHashJoin"],
+                      "prune": ["label"],
+                      "forbid": [r"CartesianProduct"]},
     # entity PMI: Arrow annotate stage feeds a doc-local equi pair join;
     # marginals + 1-row doc count broadcast (deliberate BNLJ)
     "annotate_entity_pmi": {"no_bnlj": False, "broadcast": True,
