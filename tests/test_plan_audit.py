@@ -57,11 +57,14 @@ CRITICAL = [
     "dedup_embed_cosine_census",
     "dedup_cascade",
     "dedup_containment",
+    "dedup_containment_classes",
+    "dedup_incremental_minhash",
     "dedup_source_overlap",
     "dedup_method_agreement",
     # similarity / ANN ladder
     "sim_topk",
     "sim_lsh_topk",
+    "sim_knn_graph",
     "sim_ivf_topk",
     "sim_ivf_nprobe",
     "sim_pq_adc",
