@@ -190,6 +190,7 @@ OPTIONAL = [
     "bpe_roundtrip",
     "annotate_entity_pmi",
     "sim_knn_graph",
+    "diag_column_stats",
 ]
 
 N_RUNS = 3

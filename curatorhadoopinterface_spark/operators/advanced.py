@@ -788,3 +788,108 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         F.when(ok, F.abs(t) > 1.96).otherwise(F.lit(False)).alias("significant"),
     )
+
+
+_CSTAT_COLS = (
+    # (name, kind): numeric columns report min/max as rounded doubles,
+    # the string column reports min/max lexicographic, the date column
+    # reports epoch days — one uniform output schema for all five
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "day"),
+)
+
+
+def _cstat_oracle() -> str:
+    parts = []
+    for name, kind in _CSTAT_COLS:
+        if kind == "num":
+            mn, mx = f"ROUND(MIN({name}), 4)", f"ROUND(MAX({name}), 4)"
+            ms = me = "NULL"
+        elif kind == "day":
+            mn = f"CAST(DATE_DIFF('day', DATE '1970-01-01', MIN({name})) AS DOUBLE)"
+            mx = f"CAST(DATE_DIFF('day', DATE '1970-01-01', MAX({name})) AS DOUBLE)"
+            ms = me = "NULL"
+        else:
+            mn = mx = "NULL"
+            ms, me = f"MIN({name})", f"MAX({name})"
+        parts.append(f"""
+    SELECT '{name}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({name}) AS n_nulls,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           CAST({mn} AS DOUBLE) AS min_num, CAST({mx} AS DOUBLE) AS max_num,
+           CAST({ms} AS VARCHAR) AS min_str, CAST({me} AS VARCHAR) AS max_str
+    FROM lineitem""")
+        # noqa: the UNION keeps one scan per column in DuckDB; fine for
+        # an oracle — the ENGINE side does it in ONE pass
+    return "\nUNION ALL".join(parts) + "\nORDER BY col_name"
+
+
+@query("diag_column_stats", oracle=_cstat_oracle())
+def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column catalog statistics in ONE pass: row
+    count, null count, EXACT distinct count, and min/max per column —
+    the statistics a cost-based optimizer (and every capacity plan)
+    feeds on. The reference's verify-everything discipline applied to
+    the table itself: n_distinct(l_orderkey) vs n_rows reads fan-out,
+    null counts catch ingestion drift, min/max bound partition pruning.
+
+    Exactness: counts are integers; numeric min/max are exact column
+    values rounded for display; the date column reports epoch days (no
+    timestamp formatting parity trap); multiple exact COUNT(DISTINCT)s
+    in one aggregate plan via Spark's Expand (each row replicated once
+    per distinct-column — the documented cost of exact ndv; swap in
+    approx_count_distinct when 2% error is acceptable at 100 TB).
+
+    Scale shape: ONE scan, one Expand(5x) feeding a partial-agged
+    exchange; output is |columns| rows via an in-row stack — no second
+    pass, no join. The oracle unions per-column scans instead (DuckDB
+    has no Expand); both reduce to identical integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, kind in _CSTAT_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(
+                f"nn_{name}"
+            )
+        )
+        aggs.append(F.countDistinct(name).alias(f"nd_{name}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(name), 4).cast("double").alias(f"mn_{name}"))
+            aggs.append(F.round(F.max(name), 4).cast("double").alias(f"mx_{name}"))
+        elif kind == "day":
+            aggs.append(
+                F.datediff(F.to_date(F.min(name)), F.lit("1970-01-01"))
+                .cast("double")
+                .alias(f"mn_{name}")
+            )
+            aggs.append(
+                F.datediff(F.to_date(F.max(name)), F.lit("1970-01-01"))
+                .cast("double")
+                .alias(f"mx_{name}")
+            )
+        else:
+            aggs.append(F.min(name).cast("string").alias(f"ms_{name}"))
+            aggs.append(F.max(name).cast("string").alias(f"me_{name}"))
+    wide = li.agg(*aggs)
+    structs = []
+    for name, kind in _CSTAT_COLS:
+        if kind == "str":
+            mn_num, mx_num = "cast(null as double)", "cast(null as double)"
+            mn_str, mx_str = f"ms_{name}", f"me_{name}"
+        else:
+            mn_num, mx_num = f"mn_{name}", f"mx_{name}"
+            mn_str, mx_str = "cast(null as string)", "cast(null as string)"
+        structs.append(
+            f"struct('{name}' as col_name, n_rows, nn_{name} as n_nulls,"
+            f" nd_{name} as n_distinct, {mn_num} as min_num,"
+            f" {mx_num} as max_num, {mn_str} as min_str, {mx_str} as max_str)"
+        )
+    return (
+        wide.select(F.explode(F.expr(f"array({', '.join(structs)})")).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )

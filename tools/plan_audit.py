@@ -805,6 +805,11 @@ AUDITS: dict[str, dict] = {
     "sample_weighted": {"prune": ["text"],
                         "require": [r"TakeOrderedAndProject"],
                         "forbid": [r"CartesianProduct"]},
+    # column stats: ONE scan -> Expand(5x) -> partial-agged exchange;
+    # output stacks in-row, no joins
+    "diag_column_stats": {"partial": True,
+                          "prune": ["l_comment", "l_suppkey"],
+                          "forbid": [r"CartesianProduct", r"Join"]},
     # knn graph: bucket-equi self-join (post-compute sides pinned
     # shuffled), per-vector top-k window, 1-row report aggs broadcast
     "sim_knn_graph": {"no_bnlj": False, "partial": True,
