@@ -191,6 +191,7 @@ OPTIONAL = [
     "annotate_entity_pmi",
     "sim_knn_graph",
     "diag_column_stats",
+    "ts_ewma",
 ]
 
 N_RUNS = 3

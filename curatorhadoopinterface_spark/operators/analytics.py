@@ -2408,3 +2408,94 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_sum_nano"), F.desc("common"), "u", "v")
         .limit(20)
     )
+
+
+_EWMA_DEPTH = 8  # halving weights 2^7..2^0 over the last 8 days, sum 255
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY day),
+    lagged AS (
+        SELECT day, rev_cents,
+               {" + ".join(
+                   f"LAG(rev_cents, {k}) OVER (ORDER BY day)"
+                   f" * {1 << (_EWMA_DEPTH - 1 - k)}"
+                   for k in range(_EWMA_DEPTH)
+               )} AS wsum,
+               COUNT(*) OVER (ORDER BY day ROWS BETWEEN {_EWMA_DEPTH - 1}
+                              PRECEDING AND CURRENT ROW) AS n_win
+        FROM daily)
+    SELECT day,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           ROUND((wsum // {(1 << _EWMA_DEPTH) - 1}) / 100.0, 2) AS ewma,
+           (rev_cents - wsum // {(1 << _EWMA_DEPTH) - 1}) * 1000
+               // GREATEST(wsum // {(1 << _EWMA_DEPTH) - 1}, 1)
+               AS deviation_permille
+    FROM lagged WHERE n_win = {_EWMA_DEPTH}
+    ORDER BY day
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    EXACT integer arithmetic: halving weights 2^7..2^0 over the last 8
+    days (weight sum 255, a fixed-depth truncation of alpha=1/2 EWMA —
+    the infinite tail's weight is < 0.4%, traded for exactness), plus
+    the per-day deviation from trend in integer per-mille — the
+    smoothing + anomaly-flag pair ts_decompose's seasonal model doesn't
+    cover (EWMA tracks level shifts; decomposition assumes a stable
+    weekly shape).
+
+    Exactness: revenue quantizes to cents BEFORE aggregation; the
+    window combination is a SUM OF LAGS with power-of-two integer
+    weights — no float smoothing recursion to drift — and the EWMA is
+    one integer floor-division by 255; deviation is a cross-multiplied
+    integer per-mille. Both engines emit identical BIGINTs.
+
+    Scale shape: identical to ts_decompose — the corpus touches only
+    the partial-agged (day) rollup; the lag window runs on the
+    days-sized series (single partition by design: days don't grow
+    with volume)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.orderBy("day")
+    wsum = None
+    for k in range(_EWMA_DEPTH):
+        term = F.lag("rev_cents", k).over(w) * (1 << (_EWMA_DEPTH - 1 - k))
+        wsum = term if wsum is None else wsum + term
+    den = (1 << _EWMA_DEPTH) - 1
+    lagged = daily.select(
+        "day",
+        "rev_cents",
+        wsum.alias("wsum"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(-(_EWMA_DEPTH - 1), 0))
+        .alias("n_win"),
+    )
+    return (
+        lagged.where(F.col("n_win") == _EWMA_DEPTH)
+        .select(
+            "day",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.expr(f"(wsum div {den}) / 100.0"), 2).alias("ewma"),
+            F.expr(
+                f"(rev_cents - wsum div {den}) * 1000"
+                f" div greatest(wsum div {den}, 1L)"
+            ).alias("deviation_permille"),
+        )
+        .orderBy("day")
+    )

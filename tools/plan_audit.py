@@ -805,6 +805,11 @@ AUDITS: dict[str, dict] = {
     "sample_weighted": {"prune": ["text"],
                         "require": [r"TakeOrderedAndProject"],
                         "forbid": [r"CartesianProduct"]},
+    # ewma: partial-agged (day) rollup; lag window on the days-sized
+    # series, zero joins
+    "ts_ewma": {"partial": True,
+                "prune": ["o_custkey", "o_comment", "o_orderstatus"],
+                "forbid": [r"CartesianProduct", r"Join"]},
     # column stats: ONE scan -> Expand(5x) -> partial-agged exchange;
     # output stacks in-row, no joins
     "diag_column_stats": {"partial": True,
