@@ -2305,7 +2305,7 @@ _LP_DEG_CAP = 200  # wedge-center degree cap (hub guard; AA weight ~0 there)
         SELECT a.node, a.nbr,
                CAST(FLOOR(1e9 / LN(d.d)) AS BIGINT) AS aa_nano
         FROM adj a JOIN deg d ON d.node = a.node
-        WHERE d.d <= {_LP_DEG_CAP}),
+        WHERE d.d <= {_LP_DEG_CAP} AND d.d >= 2),
     wedge AS (
         SELECT a.nbr AS u, b.nbr AS v,
                COUNT(*) AS common, SUM(a.aa_nano) AS aa_sum_nano
@@ -2364,9 +2364,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("node"), F.col("p2").alias("nbr")
     ).unionAll(cop.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # deg-1 centers can't form a wedge, and ln(1) = 0 would divide by
+    # zero under ANSI mode (surfaced at sf10 — sf0.01's graph is dense
+    # enough that every node has deg >= 2): filter BEFORE the weight
     ctr = (
         adj.join(deg, "node")
-        .where(F.col("d") <= _LP_DEG_CAP)
+        .where((F.col("d") <= _LP_DEG_CAP) & (F.col("d") >= 2))
         .select(
             "node",
             "nbr",

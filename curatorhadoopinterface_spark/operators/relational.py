@@ -193,7 +193,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sortmerge",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice), 2) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY o_orderpriority
@@ -209,7 +210,12 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            # exact DECIMAL sum: a 4e11 double sum rounded to 2dp flips
+            # a cent at 100x on summation order (caught by the sf10
+            # sweep; the recurring Q1/rollup/scan_orc class)
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
