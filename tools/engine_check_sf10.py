@@ -188,10 +188,61 @@ def check_semantic(spark, sf_dir: str) -> list[bool]:
     ]
 
 
+def check_link_prediction(spark, sf_dir: str) -> list[bool]:
+    """sf10-sweep exclusion cover (the DuckDB oracle spills >60 GB on
+    the un-pipelined wedge join): the engine's top-20 must contain no
+    pair that IS a co-purchase edge (the anti-join identity), every
+    candidate must share >= 1 neighbor, and Jaccard stays in range."""
+    import __spark_entry__ as m
+    from curatorhadoopinterface_spark.session import load_table
+
+    out = m.queries()["graph_link_prediction"](spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cop = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .count()
+        .filter(F.col("count") >= 2)
+    )
+    leaked = out.join(
+        cop,
+        (F.col("p1") == F.col("u")) & (F.col("p2") == F.col("v")),
+        "left_semi",
+    ).count()
+    no_common = out.filter(F.col("common") < 1).count()
+    bad_jac = out.filter(
+        (F.col("jaccard_permille") < 0) | (F.col("jaccard_permille") > 1000)
+    ).count()
+    n = out.count()
+    return [
+        _tally(
+            "graph_link_prediction",
+            [
+                ("no_candidate_is_an_existing_edge", leaked == 0,
+                 f"{leaked} leaked"),
+                ("every_candidate_shares_a_neighbor", no_common == 0,
+                 f"{no_common} bad"),
+                ("jaccard_in_range", bad_jac == 0, f"{bad_jac} bad"),
+                ("emits_topk", n > 0 and n <= 20, f"{n} rows"),
+            ],
+        )
+    ]
+
+
 CHECKS = {
     "clusters": check_clusters_and_keep_best,  # also covers keep_best
     "embed_cosine": check_embed_cosine,
     "semantic": check_semantic,
+    "link_prediction": check_link_prediction,
 }
 
 

@@ -26,6 +26,16 @@ sys.path.insert(0, "/root/repo")
 
 EXCLUDE = {
     "dedup_semantic",
+    # graph_link_prediction: the ENGINE runs sf10 in ~60 s (deg-capped
+    # wedge join, partial-agged pair counts, spill bounded), but the
+    # DuckDB ORACLE materializes the co-purchase self-join + HAVING and
+    # the full wedge join before aggregating — >60 GB of temp spill at
+    # sf10, disk exhaustion (measured twice, killed at 99% disk). An
+    # oracle planning limit, not an engine one: value-exact at sf1 and
+    # sf0.01; engine invariants at sf10 via engine_check_sf10
+    # 'link_prediction' (candidates are never existing edges, common
+    # > 0, jaccard <= 1000 permille).
+    "graph_link_prediction",
     # dedup_clusters: the ENGINE's label propagation is linear in edges,
     # but the DuckDB ORACLE replays it as a recursive reachability CTE —
     # quadratic rows per component, and make_stress_sf's planted
