@@ -190,7 +190,8 @@ OPTIONAL = [
     "bpe_roundtrip",
     "annotate_entity_pmi",
     "sim_knn_graph",
-    "diag_column_stats",
+    "diag_column_stats_approx",
+    "mm_decode_png",
     "ts_ewma",
 ]
 

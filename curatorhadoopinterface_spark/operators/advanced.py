@@ -802,7 +802,7 @@ _CSTAT_COLS = (
 )
 
 
-def _cstat_oracle() -> str:
+def _cstat_oracle(exact: bool = True) -> str:
     parts = []
     for name, kind in _CSTAT_COLS:
         if kind == "num":
@@ -815,11 +815,16 @@ def _cstat_oracle() -> str:
         else:
             mn = mx = "NULL"
             ms, me = f"MIN({name})", f"MAX({name})"
+        ndv = (
+            "COUNT(DISTINCT {0}) AS n_distinct, TRUE AS ndv_approx_ok,"
+            if exact
+            else "TRUE AS ndv_in_envelope,"
+        ).format(name)
         parts.append(f"""
     SELECT '{name}' AS col_name,
            COUNT(*) AS n_rows,
            COUNT(*) - COUNT({name}) AS n_nulls,
-           COUNT(DISTINCT {name}) AS n_distinct,
+           {ndv}
            CAST({mn} AS DOUBLE) AS min_num, CAST({mx} AS DOUBLE) AS max_num,
            CAST({ms} AS VARCHAR) AS min_str, CAST({me} AS VARCHAR) AS max_str
     FROM lineitem""")
@@ -828,27 +833,12 @@ def _cstat_oracle() -> str:
     return "\nUNION ALL".join(parts) + "\nORDER BY col_name"
 
 
-@query("diag_column_stats", oracle=_cstat_oracle())
-def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style per-column catalog statistics in ONE pass: row
-    count, null count, EXACT distinct count, and min/max per column —
-    the statistics a cost-based optimizer (and every capacity plan)
-    feeds on. The reference's verify-everything discipline applied to
-    the table itself: n_distinct(l_orderkey) vs n_rows reads fan-out,
-    null counts catch ingestion drift, min/max bound partition pruning.
-
-    Exactness: counts are integers; numeric min/max are exact column
-    values rounded for display; the date column reports epoch days (no
-    timestamp formatting parity trap); multiple exact COUNT(DISTINCT)s
-    in one aggregate plan via Spark's Expand (each row replicated once
-    per distinct-column — the documented cost of exact ndv; swap in
-    approx_count_distinct when 2% error is acceptable at 100 TB).
-
-    Scale shape: ONE scan, one Expand(5x) feeding a partial-agged
-    exchange; output is |columns| rows via an in-row stack — no second
-    pass, no join. The oracle unions per-column scans instead (DuckDB
-    has no Expand); both reduce to identical integers."""
-    li = load_table(spark, sf_dir, "lineitem")
+def _cstat_pass(li: DataFrame, exact: bool) -> DataFrame:
+    """Shared single-pass column-statistics builder: one scan, one
+    aggregate, output stacked to |columns| rows in-row. ``exact=True``
+    pays Spark's Expand(5x) for exact COUNT(DISTINCT); ``exact=False``
+    swaps in approx_count_distinct (HLL, rsd 2%) — constant sketch
+    state per column, NO Expand, the 100 TB production form."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, kind in _CSTAT_COLS:
         aggs.append(
@@ -856,7 +846,11 @@ def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"nn_{name}"
             )
         )
-        aggs.append(F.countDistinct(name).alias(f"nd_{name}"))
+        if exact:
+            aggs.append(F.countDistinct(name).alias(f"nd_{name}"))
+        aggs.append(
+            F.approx_count_distinct(name, rsd=0.02).alias(f"ad_{name}")
+        )
         if kind == "num":
             aggs.append(F.round(F.min(name), 4).cast("double").alias(f"mn_{name}"))
             aggs.append(F.round(F.max(name), 4).cast("double").alias(f"mx_{name}"))
@@ -883,9 +877,29 @@ def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             mn_num, mx_num = f"mn_{name}", f"mx_{name}"
             mn_str, mx_str = "cast(null as string)", "cast(null as string)"
+        if exact:
+            # self-verification rung: the HLL estimate must land within
+            # 3x its configured rsd of the exact count (|est-exact| <=
+            # 6% — 3 sigma of rsd=0.02), so the approx twin's estimates
+            # carry a machine-checked accuracy signal on every run
+            ndv_cols = (
+                f"nd_{name} as n_distinct,"
+                f" abs(ad_{name} - nd_{name}) <= cast(0.06 * nd_{name}"
+                f" as bigint) + 1 as ndv_approx_ok,"
+            )
+        else:
+            # no exact ndv available in-pass (that's the point); the
+            # hash-compared contract is the sanity envelope [1, 1.1 *
+            # non-null count] — accuracy itself is pinned by the exact
+            # rung's ndv_approx_ok on the same table
+            ndv_cols = (
+                f"ad_{name} >= least(1L, n_rows - nn_{name}) and"
+                f" ad_{name} <= cast(1.1 * (n_rows - nn_{name}) as bigint)"
+                f" + 1 as ndv_in_envelope,"
+            )
         structs.append(
             f"struct('{name}' as col_name, n_rows, nn_{name} as n_nulls,"
-            f" nd_{name} as n_distinct, {mn_num} as min_num,"
+            f" {ndv_cols} {mn_num} as min_num,"
             f" {mx_num} as max_num, {mn_str} as min_str, {mx_str} as max_str)"
         )
     return (
@@ -893,3 +907,50 @@ def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+@query("diag_column_stats", oracle=_cstat_oracle())
+def diag_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column catalog statistics in ONE pass: row
+    count, null count, EXACT distinct count, and min/max per column —
+    the statistics a cost-based optimizer (and every capacity plan)
+    feeds on. The reference's verify-everything discipline applied to
+    the table itself: n_distinct(l_orderkey) vs n_rows reads fan-out,
+    null counts catch ingestion drift, min/max bound partition pruning.
+
+    Exactness: counts are integers; numeric min/max are exact column
+    values rounded for display; the date column reports epoch days (no
+    timestamp formatting parity trap); multiple exact COUNT(DISTINCT)s
+    in one aggregate plan via Spark's Expand (each row replicated once
+    per distinct-column — the documented cost of exact ndv; swap in
+    approx_count_distinct when 2% error is acceptable at 100 TB).
+
+    Scale shape: ONE scan, one Expand(5x) feeding a partial-agged
+    exchange; output is |columns| rows via an in-row stack — no second
+    pass, no join. The oracle unions per-column scans instead (DuckDB
+    has no Expand); both reduce to identical integers.
+
+    Round 7: this exact form is the VERIFICATION rung — it now also
+    runs the HLL sketches in the same pass and hash-checks
+    ndv_approx_ok (estimate within 3*rsd of exact, per column), so the
+    benched diag_column_stats_approx twin's estimates carry a
+    machine-checked accuracy bound on every oracle run."""
+    return _cstat_pass(load_table(spark, sf_dir, "lineitem"), exact=True)
+
+
+@query("diag_column_stats_approx", oracle=_cstat_oracle(exact=False))
+def diag_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the column-statistics pass: identical
+    single-scan shape but approx_count_distinct (HLL, rsd 2%) in place
+    of exact COUNT(DISTINCT) — constant sketch state per column, no
+    Expand(5x) row replication, so the scan costs what a plain
+    aggregate costs at any corpus size. This is the form a 100 TB
+    ANALYZE runs; diag_column_stats (exact) is its A19-style
+    verification rung (the agg_approx_quantile / _verified precedent).
+
+    Hash-compared contract: counts, nulls and min/max are exact; the
+    per-column HLL estimate is pinned to the sanity envelope
+    [1, 1.1 * non-null count] (ndv_in_envelope TRUE), while the
+    accuracy bound |est - exact| <= 6% is enforced by the exact rung's
+    ndv_approx_ok column over the same table."""
+    return _cstat_pass(load_table(spark, sf_dir, "lineitem"), exact=False)

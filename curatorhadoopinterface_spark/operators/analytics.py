@@ -30,6 +30,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from curatorhadoopinterface_spark.io import proc_scratch
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
 
@@ -277,7 +278,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money sum is exact DECIMAL (the sf10 rung caught a 1-cent
     double-summation-order drift at ~5e11 — the flagship_pricing_summary
     rule: sum exactly, cast to double only for display)."""
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_orc")
+    out = proc_scratch("scan_orc")
     shutil.rmtree(out, ignore_errors=True)
     l = load_table(spark, sf_dir, "lineitem")
     l.select("l_returnflag", "l_linestatus", "l_extendedprice").write.mode(
@@ -310,7 +311,7 @@ def write_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint orderkey range, so parquet row-group min/max stats prune
     the scan to ~1 file — the layout that turns a 100 TB full scan into
     a seek. The oracle runs the same range query on the original."""
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    out = proc_scratch("write_sorted")
     shutil.rmtree(out, ignore_errors=True)
     l = load_table(spark, sf_dir, "lineitem")
     (
@@ -690,7 +691,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the physical plan has NO exchange on either join side (asserted in
     tests/test_bucketed_join.py and the plan audit: only the group-by
     exchanges). This is the 100 TB answer for a join that runs daily."""
-    wh = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_bucketed_q")
+    wh = proc_scratch("bucketed_q")
     for tbl, src, key in (
         ("bq_orders", "orders", "o_orderkey"),
         ("bq_lineitem", "lineitem", "l_orderkey"),
@@ -1188,7 +1189,24 @@ def graph_triangles(
 def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Degree-oriented triangle tally over undirected (p1 < p2) edges —
     the core of graph_triangles, factored so planted tests can feed
-    known graphs (K4 -> 4 triangles, star -> 0)."""
+    known graphs (K4 -> 4 triangles, star -> 0).
+
+    Round-7 restructure (the r6 verdict's 1.37x regression recovered
+    STRUCTURALLY, not by reverting the injective tie-break): the wedge
+    relation is never materialized or shuffled. One exploded pass over
+    the oriented edge list yields n_nodes, n_edges (sum of out-degrees)
+    and n_wedges (sum over nodes of in*out — exactly |e1 JOIN e2 ON
+    e2.src = e1.dst|); triangles are sum over edges (u,v) of
+    |N_out(u) INTERSECT N_out(v)| via per-node adjacency arrays and a
+    map-side array_intersect — each triangle x<y<z (degree order)
+    counted exactly once at edge (x,y). The old shape shuffled the
+    wedge set twice (build + closure join); this one's largest
+    exchange is the edge list itself, and the r5 n_nodes branch that
+    silently RE-RAN the whole upstream pair-generation (only
+    ``oriented`` was checkpointed, ``deg.agg`` was not downstream of
+    it) is gone — every consumer reads the checkpoint. Out-degree is
+    bounded ~sqrt(|E|) by the orientation, so adjacency arrays stay
+    small even on power-law graphs (the Schank-Wagner guarantee)."""
     deg = (
         edges.select(F.col("p1").alias("node"))
         .unionAll(edges.select(F.col("p2").alias("node")))
@@ -1210,30 +1228,62 @@ def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
     )
     if checkpoint:
-        # oriented feeds FOUR consumers (both wedge sides, the closure
-        # join, the edge census): localCheckpoint materializes it once
-        # and — unlike a persist() with no unpersist — its blocks are
-        # freed by the ContextCleaner when the returned plan is dropped,
-        # so a 137-query bench session doesn't accumulate cached edges
+        # oriented feeds three consumers (degree census, adjacency
+        # build, intersect probe): localCheckpoint materializes the
+        # heavy upstream chain once and — unlike a persist() with no
+        # unpersist — its blocks are freed by the ContextCleaner when
+        # the returned plan is dropped, so a 150-query bench session
+        # doesn't accumulate cached edges
         oriented = oriented.localCheckpoint(eager=False)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst")).select(
-        F.col("e1.src").alias("a"),
-        F.col("e1.dst").alias("b"),
-        F.col("e2.dst").alias("c"),
+    # branch A — one exploded pass: per-node (out, in) degrees, then
+    # n_nodes = count, n_edges = sum(out), n_wedges = sum(out*in)
+    node_stats = (
+        oriented.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("od"),
+                        F.lit(0).alias("inb"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("od"),
+                        F.lit(1).alias("inb"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy("x.node")
+        .agg(F.sum("x.od").alias("od"), F.sum("x.inb").alias("inb"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("od"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.sum(F.col("od") * F.col("inb")), F.lit(0)).alias(
+                "n_wedges"
+            ),
+        )
     )
-    e3 = oriented.alias("e3")
-    tri = wedges.join(
-        e3, (F.col("e3.src") == F.col("a")) & (F.col("e3.dst") == F.col("c"))
+    # branch B — adjacency intersect: nodes with no out-edges have a
+    # NULL nv after the left join (contribute 0 closing edges)
+    adj = oriented.groupBy(F.col("src").alias("u")).agg(
+        F.collect_list("dst").alias("nbrs")
     )
-    # one lazy plan: four 1-row scalar aggregates cross-joined (each
-    # side is a broadcast of exactly one row — the dedup_semantic
-    # pattern, NOT a cartesian; no driver-side .count() loop)
+    tri = (
+        oriented.join(adj, F.col("src") == F.col("u"))
+        .withColumnRenamed("nbrs", "nu")
+        .drop("u")
+        .join(adj, F.col("dst") == F.col("u"), "left")
+        .withColumnRenamed("nbrs", "nv")
+        .select(
+            F.when(F.col("nv").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("nu", "nv")))
+            .alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
+    )
     return (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(oriented.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        node_stats.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",

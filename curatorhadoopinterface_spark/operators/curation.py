@@ -1658,7 +1658,7 @@ _TC_LO, _TC_HI = -1, 9  # clamped acctbal brackets (floor(x/1000) domain)
         SELECT s.bracket,
                SUM(COALESCE(g.gc, 0)) OVER (ORDER BY s.bracket) AS cum_glob,
                SUM(COALESCE(g.gc, 0)) OVER () AS n_glob
-        FROM (SELECT UNNEST(GENERATE_SERIES(-1, 9)) AS bracket) s
+        FROM (SELECT UNNEST(GENERATE_SERIES({_TC_LO}, {_TC_HI})) AS bracket) s
         LEFT JOIN gcnt g ON g.bracket = s.bracket),
     terms AS (
         SELECT c.c_nationkey, c.c_mktsegment, c.n_members, g.n_glob,

@@ -275,15 +275,14 @@ def incremental_provide_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from curatorhadoopinterface_spark.io import proc_scratch
     from curatorhadoopinterface_spark.plans.incremental import (
         RecordStore,
         view_count_col,
     )
 
     tag = sf_dir.rstrip("/").replace("/", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"curatorhadoopinterface_spark_provide_run{tag}"
-    )
+    path = proc_scratch(f"provide_run{tag}")
     shutil.rmtree(path, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",

@@ -1016,7 +1016,12 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions x 2080 rows regardless of corpus size. Products
     |cv|^2 <= 1e12 per vector keep the BIGINT sum in range past 10^6
     vectors; beyond that, drop the quantization scale one decade (the
-    knob is the shared _OUT_SCALE pattern)."""
+    knob is the shared _OUT_SCALE pattern). That precondition is now
+    CHECKED, not just documented: pass 1 also computes the exact
+    per-corpus centered-component bound cmax = max over dims of
+    max(mx - mq, mq - mn), and an assert_true fails the job loudly
+    when n_vecs * cmax^2 could exceed BIGINT range — the failure says
+    "drop _OUT_SCALE a decade" instead of silently wrapping."""
     e = load_table(spark, sf_dir, "embeddings")
     qv_arr = F.expr(
         f"transform(embedding,"
@@ -1025,11 +1030,37 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select("vec_id", F.posexplode(qv_arr).alias("dim0", "qv"))
     means = (
         q.groupBy(F.col("dim0").alias("dim"))
-        .agg(F.expr("sum(qv) div count(1)").alias("mq"))
+        .agg(
+            F.expr("sum(qv) div count(1)").alias("mq"),
+            F.max("qv").alias("mx"),
+            F.min("qv").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(dim, mq))),"
                 " s -> s.mq)"
+            ).alias("m_arr"),
+            F.max(F.greatest(F.col("mx") - F.col("mq"),
+                             F.col("mq") - F.col("mn"))).alias("cmax"),
+            F.max("n").alias("n_rows"),
+        )
+        # The when() makes m_arr data-depend on the assertion so column
+        # pruning cannot eliminate the check (assert_true yields NULL on
+        # success, so the branch is always taken — or the job fails loudly).
+        .select(
+            F.when(
+                F.assert_true(
+                    (F.col("cmax").cast("double")
+                     * F.col("cmax").cast("double")
+                     * F.col("n_rows").cast("double")) < F.lit(9.0e18),
+                    F.lit(
+                        "emb_covariance BIGINT overflow risk:"
+                        " n_vecs * cmax^2 >= 2^63 — drop _OUT_SCALE one"
+                        " decade for this corpus"
+                    ),
+                ).isNull(),
+                F.col("m_arr"),
             ).alias("m_arr")
         )
     )

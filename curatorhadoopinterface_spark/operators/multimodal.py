@@ -8,9 +8,11 @@ metadata columns; every media op is a Pandas-batched UDF over
 Arrow batches without ever materializing on the driver.
 
 The decode step is REAL for the containers the stdlib can parse —
-PPM (P6), BMP, and WAV are decoded byte-for-byte by ``decode_media``
-(width/height/channels from actual headers and pixel/frame data, with
-matching stdlib encoders for tests). Codec-heavy formats (JPEG/MP4/Opus)
+PPM (P6), BMP, WAV and (round 7) PNG are decoded byte-for-byte by
+``decode_media`` (PNG through full zlib inflate + scanline unfiltering,
+see ``decode_png_pixels``; width/height/channels from actual headers
+and pixel/frame data, with matching stdlib encoders for tests).
+Codec-heavy formats (JPEG/MP4/Opus)
 still require PIL/pyav and fall back — like the fixtures' text-byte
 payloads — to the deterministic fake, which derives every "decoded"
 field from the payload byte count so DuckDB can replay it
@@ -56,6 +58,11 @@ def decode_media(payload: bytes, modality: str | None = None) -> dict:
     - **WAV** (RIFF PCM, via the stdlib ``wave`` module): mapped onto the
       image-shaped feature struct as width=n_frames, height=sample_rate,
       channels=n_channels (documented shape, asserted in pytest).
+    - **PNG** (8-bit, non-interlaced, any color type): full decode —
+      chunk walk, zlib inflate, all five unfilter branches
+      (decode_png_pixels); dims/channels from IHDR, pixel bytes
+      recovered exactly (mm_decode_png pins the pixel SUM against an
+      arithmetic oracle).
 
     Anything else (e.g. the fixtures' UTF-8 text payloads) raises
     ``ValueError`` and the pipeline falls back to :func:`fake_decode`
@@ -112,7 +119,98 @@ def decode_media(payload: bytes, modality: str | None = None) -> dict:
                 "channels": wf.getnchannels(),
                 "est_kb": est_kb,
             }
-    raise ValueError("unrecognized media container (no PPM/BMP/WAV magic)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, _px = decode_png_pixels(payload)
+        return {"n_bytes": n, "width": w, "height": h, "channels": ch, "est_kb": est_kb}
+    raise ValueError("unrecognized media container (no PPM/BMP/WAV/PNG magic)")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pure-stdlib PNG decode — the r3-r6 disclosed stub closed:
+    chunk walk, IHDR parse, concatenated-IDAT zlib inflate, and
+    per-scanline UNFILTERING of all five PNG filter types (None, Sub,
+    Up, Average, Paeth) back to raw pixel bytes. Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` laid out
+    row-major, ``width*channels`` bytes per row — byte-for-byte
+    verifiable against the ``make_png`` encoder's gradient (pytest) and
+    summable for the mm_decode_png oracle.
+
+    Supports 8-bit non-interlaced images of any PNG color type
+    (greyscale/RGB/palette-INDEX/grey+alpha/RGBA — palette entries are
+    returned as indices, not expanded). Adam7 interlace and sub-byte
+    depths raise ValueError (the fake-decode fallback documents them);
+    both are wire-format variants, not codec work, and the fixtures
+    never produce them."""
+    import struct as _s
+    import zlib
+
+    n = len(payload)
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= n:
+        (length,), ctype = _s.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w, h = _s.unpack_from(">II", ihdr, 0)
+    depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported (stdlib decoder)")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # truncated/corrupt IDAT -> decode refusal
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data length mismatch")
+    out = bytearray(stride * h)
+    prev = bytes(stride)  # row above the first row is all zeros
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub: add left
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up: add above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
 
 
 def try_decode(payload: bytes) -> dict:
@@ -153,6 +251,68 @@ def make_bmp(width: int, height: int) -> bytes:
             px += bytes(((x + y) % 256, (y * 3) % 256, (x * 5) % 256))
         px += b"\x00" * pad
     return header + bytes(px)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """8-bit RGB PNG with the shared deterministic gradient
+    (r=(x*7)%256, g=(y*13)%256, b=(x+y)%256). Each scanline is filtered
+    with type ``y % 5`` — None/Sub/Up/Average/Paeth in rotation — so a
+    round-trip through decode_png_pixels exercises every unfilter
+    branch, not just the trivial one."""
+    import struct as _s
+    import zlib
+    from binascii import crc32
+
+    ch = 3
+    stride = width * ch
+
+    def px_row(y: int) -> bytearray:
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((x * 7) % 256, (y * 13) % 256, (x + y) % 256))
+        return row
+
+    filtered = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = px_row(y)
+        ftype = y % 5
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            enc[i] = (line[i] - pred) & 0xFF
+        filtered += bytes([ftype]) + enc
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data))
+            + ctype
+            + data
+            + _s.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(n_frames: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
@@ -500,3 +660,62 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redundant_bytes"
         ),
     )
+
+
+@query(
+    "mm_decode_png",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 12 AS INT) AS width,
+               CAST(3 + doc_id % 9 AS INT) AS height
+        FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+        SELECT i.doc_id, i.width, i.height,
+               SUM((x.x * 7) % 256 + (y.y * 13) % 256 + (x.x + y.y) % 256)
+                   AS pixel_sum
+        FROM img i,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.width - 1)) AS x) x,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.height - 1)) AS y) y
+        GROUP BY i.doc_id, i.width, i.height)
+    SELECT doc_id, width, height, 3 AS channels, pixel_sum
+    FROM px
+    """,
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, end-to-end and value-checked: for every 'image'
+    document the engine ENCODES a deterministic-gradient PNG sized by
+    doc_id (make_png — scanlines filtered with all five PNG filter
+    types in rotation), then DECODES it back through the pure-stdlib
+    chunk-walk + zlib-inflate + unfilter chain (decode_png_pixels) and
+    emits the SUM of the recovered pixel bytes. The oracle never sees a
+    PNG: it recomputes the gradient sum arithmetically over an (x, y)
+    grid — so the hash matches only if inflate and every unfilter
+    branch (Sub/Up/Average/Paeth) reconstruct the exact bytes. This
+    closes the oldest disclosed codec stub (r3-r6) with the same
+    byte-for-byte + oracle-replayable contract as PPM/BMP/WAV.
+
+    Plan shape: mapInPandas over the pruned (doc_id) column — encode +
+    decode are per-row Python work in Arrow batches, zero shuffle, scan
+    → project; at 100 TB this is the decode-stage cost model: linear in
+    image count, no exchange (payloads in real life arrive as the
+    binary column instead of being synthesized, same plumbing)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, width int, height int, channels int, pixel_sum bigint"
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w, h = int(4 + doc_id % 12), int(3 + doc_id % 9)
+                w2, h2, ch, px = decode_png_pixels(make_png(w, h))
+                rows.append((int(doc_id), w2, h2, ch, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "pixel_sum"]
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema)

@@ -554,4 +554,8 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_mutual",
             "mean_cosine_micro",
         )
+        # Degenerate-corpus guard: with zero kNN edges the oracle's
+        # GROUP BY over the empty edge join yields 0 rows; drop the
+        # all-null census row so both sides agree on every input.
+        .filter(F.col("n_edges") > 0)
     )

@@ -28,7 +28,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from curatorhadoopinterface_spark.io import scratch_dir
+from curatorhadoopinterface_spark.io import proc_scratch, scratch_dir
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
 
@@ -72,7 +72,7 @@ def write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's post-write round-trip verification
     (HadoopCuratorClient.java:93-97). Scratch output lands in a temp dir
     outside the repo and is removed on the next call."""
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_parquet")
+    out = proc_scratch("write_parquet")
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     d.write.mode("overwrite").parquet(out)
@@ -104,9 +104,7 @@ def scan_binary_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_serialized_records,
     )
 
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_binary_records"
-    )
+    out = proc_scratch("binary_records")
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     write_serialized_records(
@@ -178,7 +176,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     full read at 100 TB) + aggregate over the re-read rows. Free text is
     excluded from the CSV (embedded newlines would force multiLine=true,
     which makes files non-splittable — a scan-parallelism killer)."""
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_csv")
+    out = proc_scratch("scan_csv")
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     d.select("doc_id", "lang", "source", "n_chars").write.mode("overwrite").option(
@@ -206,7 +204,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     escaping survives newlines/quotes, unlike CSV). JSONL stays
     line-splittable, so a 100 TB ingest still fans out by line ranges;
     schema-on-read skips the inference scan."""
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_scan_json")
+    out = proc_scratch("scan_json")
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     d.select("doc_id", "text", "lang").write.mode("overwrite").json(out)
@@ -241,9 +239,7 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Date, not timestamp, is the partition key: one dir per day keeps
     partition counts bounded (~37k dirs for 100 years) where
     per-hour or per-key layouts explode the metastore."""
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_write_partitioned"
-    )
+    out = proc_scratch("write_partitioned")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     e.write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -443,9 +439,7 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_jsonl_corrupt"
-    )
+    out = proc_scratch("jsonl_corrupt")
     shutil.rmtree(out, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     j = "to_json(struct(doc_id, lang, n_chars))"
@@ -565,9 +559,7 @@ def scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir keyed by sf so a run at another scale factor can't read a
     # stale layout; rewritten every call (the write IS part of the op)
     tag = sf_dir.rstrip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), f"curatorhadoopinterface_spark_dpp{tag}"
-    )
+    out = proc_scratch(f"dpp{tag}")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")

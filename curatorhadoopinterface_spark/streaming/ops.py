@@ -45,6 +45,7 @@ import itertools
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from curatorhadoopinterface_spark.io import proc_scratch
 from curatorhadoopinterface_spark.operators import query
 
 _SINK_IDS = itertools.count()
@@ -504,9 +505,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_sink"
-    )
+    base = proc_scratch("stream_sink")
     shutil.rmtree(base, ignore_errors=True)
     out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     src = events_stream(spark, sf_dir).filter(F.col("value") > 5).select(
@@ -566,9 +565,7 @@ def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_upsert"
-    )
+    base = proc_scratch("stream_upsert")
     shutil.rmtree(base, ignore_errors=True)
     staged = os.path.join(base, "staged")
     store = os.path.join(base, "store")
@@ -657,9 +654,7 @@ def stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_annotate"
-    )
+    base = proc_scratch("stream_annotate")
     shutil.rmtree(base, ignore_errors=True)
     staged = os.path.join(base, "staged")
     store = os.path.join(base, "store")
@@ -899,9 +894,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curatorhadoopinterface_spark.operators.dedup import shingle_explode
     from curatorhadoopinterface_spark.session import load_table
 
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_contam"
-    )
+    base = proc_scratch("stream_contam")
     shutil.rmtree(base, ignore_errors=True)
     staged = os.path.join(base, "staged")
     store = os.path.join(base, "store")

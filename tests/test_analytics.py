@@ -10,6 +10,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def test_write_sorted_files_cover_disjoint_key_ranges(spark):
@@ -21,7 +22,7 @@ def test_write_sorted_files_cover_disjoint_key_ranges(spark):
     from curatorhadoopinterface_spark.operators.analytics import write_sorted
 
     write_sorted(spark, "/root/testdata/sf0.001").collect()
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    out = proc_scratch("write_sorted")
     ranges = []
     for f in glob.glob(os.path.join(out, "*.parquet")):
         md = pq.ParquetFile(f).metadata
@@ -42,7 +43,7 @@ def test_write_sorted_readback_pushes_key_filter(spark):
     from curatorhadoopinterface_spark.operators.analytics import write_sorted
 
     write_sorted(spark, "/root/testdata/sf0.001").collect()
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_write_sorted")
+    out = proc_scratch("write_sorted")
     rb = spark.read.parquet(out).filter(F.col("l_orderkey").between(1000, 2000))
     plan = rb._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
@@ -65,7 +66,7 @@ def test_mode_tie_breaks_to_min_value(spark):
     df = spark.createDataFrame(
         rows, "o_orderkey long, o_orderpriority string, o_orderstatus string, o_totalprice double"
     )
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_test_mode")
+    out = proc_scratch("test_mode")
     df.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     got = {r.o_orderpriority: r for r in agg_median_mode(spark, out).collect()}
     assert got["P1"].mode_status == "A"  # A and B both count 2; A < B
@@ -90,7 +91,7 @@ def test_fuzzy_edit_finds_planted_near_dup_only(spark):
         (4, other, "en", "web", len(other)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_test_fuzzy")
+    out = proc_scratch("test_fuzzy")
     df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     pairs = {(r.doc_id, r.dup_id) for r in dedup_fuzzy_edit(spark, out).collect()}
     assert pairs == {(1, 2)}

@@ -3,6 +3,7 @@ counts, left-to-right NON-OVERLAPPING merges, deterministic tie-breaks."""
 
 import os
 import tempfile
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def test_bpe_train_merges_planted(spark):
@@ -19,7 +20,7 @@ def test_bpe_train_merges_planted(spark):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    out_dir = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_test_bpe")
+    out_dir = proc_scratch("test_bpe")
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
     got = [

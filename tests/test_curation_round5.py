@@ -5,15 +5,14 @@ filter-cascade first-failure attribution, temperature-mixture math."""
 import math
 import os
 import tempfile
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def _write_docs(spark, rows, name):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"curatorhadoopinterface_spark_test_{name}"
-    )
+    out_dir = proc_scratch(f"test_{name}")
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     return out_dir
 

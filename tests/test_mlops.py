@@ -18,6 +18,7 @@ from curatorhadoopinterface_spark.operators.mlops import (
 )
 from curatorhadoopinterface_spark.operators.similarity import sim_ivf_topk, sim_topk
 from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def test_kmeans_lloyd_partitions_corpus(spark, sf_dir):
@@ -80,9 +81,7 @@ def test_stream_upsert_store_is_multi_batch(spark, sf_dir):
     # the op stages 4 files with maxFilesPerTrigger=1: the delta log it
     # leaves behind must hold MORE partials than users — proof that
     # several foreachBatch appends really happened before compaction
-    store = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_upsert", "store"
-    )
+    store = os.path.join(proc_scratch("stream_upsert"), "store")
     deltas = spark.read.parquet(store)
     assert deltas.count() > users
     assert deltas.select("user_id").distinct().count() == users

@@ -7,12 +7,11 @@ import hashlib
 import math
 import os
 import tempfile
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def _write(spark, rows, schema, table, name):
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"curatorhadoopinterface_spark_test_{name}"
-    )
+    out_dir = proc_scratch(f"test_{name}")
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         os.path.join(out_dir, f"{table}.parquet")
     )

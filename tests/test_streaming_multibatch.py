@@ -12,6 +12,7 @@ import time
 from datetime import datetime
 
 import pyspark.sql.functions as F
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def _ts(s: str) -> datetime:
@@ -354,9 +355,7 @@ def test_stream_contamination_matches_batch_pass_and_ran_multibatch(spark):
     sf_dir = "/root/testdata/sf0.001"
     census = {r["lang"]: r for r in stream_contamination(spark, sf_dir).collect()}
     batch = contamination_ngram(spark, sf_dir).collect()
-    base = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_stream_contam"
-    )
+    base = proc_scratch("stream_contam")
     store = spark.read.parquet(os.path.join(base, "store"))
     got_docs = {r["doc_id"] for r in store.select("doc_id").distinct().collect()}
     want_docs = {r["doc_id"] for r in batch}

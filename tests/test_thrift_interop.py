@@ -15,6 +15,7 @@ import os
 import tempfile
 
 import pytest
+from curatorhadoopinterface_spark.io import proc_scratch
 
 SAMPLEJOB = "/root/reference/samplejob"
 
@@ -119,7 +120,7 @@ def test_write_thrift_records_reference_readable(spark):
     from curatorhadoopinterface_spark.thrift_codec import decode_thrift_record
 
     df = provide(read_text_corpus(spark, f"{SAMPLEJOB}/doc*.txt"), ["POS", "SENTENCE"])
-    out = os.path.join(tempfile.gettempdir(), "curatorhadoopinterface_spark_thrift_out")
+    out = proc_scratch("thrift_out")
     write_thrift_records(df, out)
     files = glob.glob(f"{out}/*.txt")
     assert len(files) == 4

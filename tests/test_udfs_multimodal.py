@@ -149,3 +149,89 @@ def test_write_parquet_roundtrip(spark, sf_dir):
     back = write_parquet(spark, sf_dir)
     orig = load_table(spark, sf_dir, "documents")
     assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
+
+
+def test_png_roundtrip_all_filter_types():
+    """make_png rotates filter types 0-4 across scanlines (height >= 5
+    exercises every branch); the decoder must recover the exact
+    gradient bytes through inflate + unfilter."""
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        decode_media,
+        decode_png_pixels,
+        make_png,
+    )
+
+    for w, h in [(1, 1), (4, 3), (16, 13), (7, 11)]:
+        png = make_png(w, h)
+        w2, h2, ch, px = decode_png_pixels(png)
+        assert (w2, h2, ch) == (w, h, 3)
+        want = bytes(
+            b
+            for y in range(h)
+            for x in range(w)
+            for b in ((x * 7) % 256, (y * 13) % 256, (x + y) % 256)
+        )
+        assert px == want
+        d = decode_media(png)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["n_bytes"] == len(png)
+
+
+def test_png_grayscale_and_rgba_color_types():
+    """Hand-built minimal PNGs for color types 0 (gray) and 6 (RGBA):
+    channels must come from IHDR and the pixel bytes through filter-0
+    scanlines unchanged."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from curatorhadoopinterface_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, ch, rows):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = png(3, 2, 0, 1, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    w, h, ch, px = decode_png_pixels(gray)
+    assert (w, h, ch) == (3, 2, 1) and px == bytes([10, 20, 30, 40, 50, 60])
+
+    rgba_row = bytes([1, 2, 3, 255, 4, 5, 6, 128])
+    rgba = png(2, 1, 6, 4, [rgba_row])
+    w, h, ch, px = decode_png_pixels(rgba)
+    assert (w, h, ch) == (2, 1, 4) and px == rgba_row
+
+
+def test_png_rejects_interlace_and_truncation():
+    import pytest as _pytest
+
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+        try_decode,
+    )
+
+    good = make_png(6, 6)
+    # flip the IHDR interlace byte (offset: 8 sig + 8 chunk hdr + 12)
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png_pixels(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(good[:40])  # truncated mid-chunk
+    # try_decode falls back to the deterministic fake instead of dying
+    feats = try_decode(bytes(bad))
+    assert feats["n_bytes"] == len(bad)

@@ -8,13 +8,12 @@ import tempfile
 import pyspark.sql.functions as F
 
 from curatorhadoopinterface_spark.operators.sources import write_partitioned
+from curatorhadoopinterface_spark.io import proc_scratch
 
 
 def test_partition_pruning_in_readback_plan(spark):
     write_partitioned(spark, "/root/testdata/sf0.001").collect()
-    out = os.path.join(
-        tempfile.gettempdir(), "curatorhadoopinterface_spark_write_partitioned"
-    )
+    out = proc_scratch("write_partitioned")
     # layout: one dir per day
     days = glob.glob(os.path.join(out, "event_date=*"))
     assert len(days) > 7, days

@@ -815,6 +815,17 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # PNG encode->decode roundtrip: pruned single-column scan into one
+    # Arrow python stage, zero exchanges
+    "mm_decode_png": {"partial": False, "prune": ["text", "lang", "source"],
+                      "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
+                      "require": [r"MapInPandas"]},
+    # approx twin (the benched production form): same one-scan shape
+    # but HLL ndv -> Expand must NOT appear in the plan
+    "diag_column_stats_approx": {"partial": True,
+                                 "prune": ["l_comment", "l_suppkey"],
+                                 "forbid": [r"CartesianProduct", r"Join",
+                                            r"Expand"]},
     # knn graph: bucket-equi self-join (post-compute sides pinned
     # shuffled), per-vector top-k window, 1-row report aggs broadcast
     "sim_knn_graph": {"no_bnlj": False, "partial": True,
