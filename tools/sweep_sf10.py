@@ -1,121 +1,280 @@
-"""Round-5 100x rung: full-registry sweep at sf10 minus the documented
-exclusions, in family-sized chunks so partial progress survives a kill.
+"""100x rung, UNIFIED (round 7): one command, one JSON artifact, zero
+bare exclusions.
 
-Exclusions (each named, never silent — SCALE.md policy):
-  - dedup_semantic: fixed-k fixture is out-of-contract above ~10x by
-    design; dedup_semantic_scaledk is the in-contract form and IS swept.
-  - raw-row-dump queries whose sf10 output is tens of millions of rows
-    (scan_parquet 34M, join_asof/join_asof_tolerance 10M, ws_tokenize
-    ~50M token rows, join_outer/join_outer_full 15M): the strict
-    compare's collect+canon would measure result canonicalization, not
-    engine work. Their ENGINE plans are exercised at sf10 through the
-    summary-output queries that share their scans/joins, and each is
-    value-exact at sf1 (202/202 round-4 full sweep).
+Round 5 introduced the strict full-registry sf10 sweep with documented
+exclusions; round 6 added positive signals for every exclusion but left
+them in two other tools (verify_fingerprint.py, engine_check_sf10.py),
+so demonstrating "full registry at 100x" took three commands and
+hand-assembly (r6 verdict, What's wrong #4). This version invokes all
+three tiers itself and writes a per-round, diffable artifact the way
+CORRECTNESS_rN.json already works at sf0.01:
 
-Usage: python -u tools/sweep_sf10.py [sf_dir]    (default /tmp/sf10_seed42)
-Prints one [PASS]/[FAIL] line per query (verify_local's format) plus a
-final tally.
+  tier 1  strict     verify_local.py value-diff vs the DuckDB oracle
+                     (the default for every registry query)
+  tier 2  fingerprint verify_fingerprint.py — both engines reduce the
+                     SAME result relation to per-column COUNT/SUM/md5
+                     fingerprints (raw-dump queries whose sf10 output
+                     is tens of millions of rows: the strict compare
+                     would measure collect+canon, not engine work)
+  tier 3  invariant  engine_check_sf10.py — in-engine A19-style
+                     invariant re-verification (queries whose DuckDB
+                     ORACLE is structurally quadratic at 100x:
+                     recursive-CTE connected components, materialized
+                     wedge joins — an oracle limit, not an engine one)
+
+plus exactly one REASONED exclusion (dedup_minhash_recall: the
+ground-truth side is an audit-only sample x corpus exact verify,
+quadratic BY INTENT on both engines; the production machinery it
+audits is tier-1-swept; value-exact through sf0.1).
+
+Usage:
+  python -u tools/sweep_sf10.py [sf_dir] [--out SWEEP_SF10_rN.json]
+      (default sf_dir /tmp/sf10_seed42; default --out sweep_sf10.json)
+
+Prints one line per query and writes {"per_query": {name: {"status":
+PASS|PASS-fingerprint|PASS-invariant|FAIL|EXCLUDED, "sec": s,
+"reason": ...}}, "tally": {...}}.
 """
 
 from __future__ import annotations
 
+import json
+import re
 import subprocess
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
-EXCLUDE = {
-    "dedup_semantic",
-    # graph_link_prediction: the ENGINE runs sf10 in ~60 s (deg-capped
-    # wedge join, partial-agged pair counts, spill bounded), but the
-    # DuckDB ORACLE materializes the co-purchase self-join + HAVING and
-    # the full wedge join before aggregating — >60 GB of temp spill at
-    # sf10, disk exhaustion (measured twice, killed at 99% disk). An
-    # oracle planning limit, not an engine one: value-exact at sf1 and
-    # sf0.01; engine invariants at sf10 via engine_check_sf10
-    # 'link_prediction' (candidates are never existing edges, common
-    # > 0, jaccard <= 1000 permille).
-    "graph_link_prediction",
-    # dedup_clusters: the ENGINE's label propagation is linear in edges,
-    # but the DuckDB ORACLE replays it as a recursive reachability CTE —
-    # quadratic rows per component, and make_stress_sf's planted
-    # mega-duplicate clusters push that past ~90 GB at 100x (measured,
-    # killed at 88 GB RES). Engine-side green at 30x/179s (SCALE.md);
-    # oracle-checked through sf3. An oracle limit, not an engine one.
-    "dedup_clusters",
-    "scan_parquet",
-    "scan_text_corpus",
-    "scan_binary_records",
-    "scan_thrift_records",
-    "join_asof",
-    "join_asof_tolerance",
-    # join_asof_nearest: same raw-dump class as join_asof (one row per
-    # event, 10M at sf10); value-exact at sf1 (10x, 1M rows) and the
-    # plan is the identical union-sort exchange join_asof exercises.
-    "join_asof_nearest",
-    # dedup_minhash_recall: the ground-truth side is an AUDIT-only
-    # sample x corpus exact verify (10% x all) — quadratic by intent;
-    # at sf10 that is 50k x 500k set intersections on BOTH engines.
-    # The production candidate machinery it measures IS swept at sf10
-    # (dedup_minhash, dedup_clusters census). Value-exact through sf0.1.
-    "dedup_minhash_recall",
-    "join_outer",
-    "join_outer_full",
-    "ws_tokenize",
-    # math_funcs / udf_scalar: per-row scalar dumps over lineitem — 60M
-    # rows (3.3 GiB serialized for math_funcs) breach driver
-    # maxResultSize; the same expressions are value-exact at sf1 and
-    # scan-local by plan audit.
-    "math_funcs",
-    "udf_scalar",
-    # dedup_embed_cosine: the raw near-dup PAIR dump is ~10M rows at
-    # sf10 (measured ~8-25% of 88.6M candidates) and the oracle-side
-    # pair materialization exceeded 80 GB RSS (killed). The IDENTICAL
-    # join plan is swept at sf10 through dedup_embed_cosine_census
-    # (O(1) census output); the pair dump stays value-exact at sf1.
-    "dedup_embed_cosine",
-    # dedup_keep_best: same ORACLE limit as dedup_clusters (documented
-    # above) — the DuckDB side replays connected components as a
-    # recursive reachability CTE, quadratic rows per planted
-    # mega-cluster (>100 GB RSS at 100x, killed twice). The engine's
-    # linear label propagation is the dedup_clusters machinery already
-    # engine-green at 30x; dedup_keep_best is oracle-checked through
-    # sf1 (SCALE.md round-5 rung).
-    "dedup_keep_best",
+# tier-2: raw-dump queries -> aggregate-fingerprint verification
+FINGERPRINT = {
+    "scan_parquet": "34M-row raw scan dump at sf10 (collect+canon cost)",
+    "scan_text_corpus": "raw corpus dump",
+    "scan_binary_records": "raw corpus dump",
+    "scan_thrift_records": "raw corpus dump",
+    "join_asof": "10M-row per-event dump",
+    "join_asof_tolerance": "10M-row per-event dump",
+    "join_asof_nearest": "10M-row per-event dump",
+    "join_outer": "15M-row dump",
+    "join_outer_full": "15M-row dump",
+    "ws_tokenize": "~50M token-row dump",
+    "math_funcs": "60M-row scalar dump (3.3 GiB driver collect)",
+    "udf_scalar": "60M-row scalar dump",
+}
+
+# tier-3: oracle-side quadratics -> in-engine invariant checks
+# (engine_check_sf10.py block name, reason)
+ENGINE_CHECK = {
+    "dedup_clusters": (
+        "clusters",
+        "DuckDB oracle replays label propagation as a recursive "
+        "reachability CTE — quadratic rows per planted mega-cluster "
+        "(>90 GB at 100x); engine check: extra iteration changes zero "
+        "labels, every edge connects same-label nodes",
+    ),
+    "dedup_keep_best": (
+        "clusters",
+        "same recursive-CTE oracle limit as dedup_clusters; covered by "
+        "the same invariant block",
+    ),
+    "dedup_embed_cosine": (
+        "embed_cosine",
+        "raw near-dup PAIR dump ~10M rows at sf10, oracle-side pair "
+        "materialization >80 GB RSS; census twin is tier-1-swept",
+    ),
+    "dedup_semantic": (
+        "semantic",
+        "fixed-k fixture out-of-contract above ~10x by design; "
+        "dedup_semantic_scaledk is the in-contract form and is "
+        "tier-1-swept; fixed-k checked at its sf1 contract boundary",
+    ),
+    "graph_link_prediction": (
+        "link_prediction",
+        "DuckDB oracle materializes the co-purchase self-join + full "
+        "wedge join before aggregating (>60 GB spill at sf10, disk "
+        "exhaustion); engine invariants: candidates never existing "
+        "edges, common > 0, jaccard <= 1000 permille",
+    ),
+}
+
+# reasoned exclusions (still named in the artifact, never silent)
+EXCLUDED = {
+    "dedup_minhash_recall": (
+        "audit-only recall measurement: ground truth is a sample x "
+        "corpus exact-Jaccard verify, quadratic BY INTENT on both "
+        "engines (50k x 500k set intersections at sf10); the candidate "
+        "machinery it audits (dedup_minhash family) is tier-1-swept; "
+        "value-exact through sf0.1"
+    ),
 }
 
 CHUNK = 12
+PASS_RE = re.compile(r"^\[(PASS|WEAK|FAIL)\] (\S+?)(?::| )(.*)$")
+SEC_RE = re.compile(r"(\d+(?:\.\d+)?)s\)")
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_seed42"
+def _run(cmd: list[str]) -> str:
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    return (r.stdout + r.stderr).replace("\r", "\n")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    out_path = "sweep_sf10.json"
+    limit = None  # --limit N: smoke-test the plumbing on N strict names
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    if "--limit" in args:
+        i = args.index("--limit")
+        limit = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/tmp/sf10_seed42"
+    t0 = time.time()
+
     import __spark_entry__ as m
 
-    names = [n for n in sorted(m.queries()) if n not in EXCLUDE]
-    print(f"sweeping {len(names)} queries at {sf_dir} "
-          f"({len(EXCLUDE)} documented exclusions)", flush=True)
-    n_pass = n_fail = 0
-    for i in range(0, len(names), CHUNK):
-        chunk = names[i : i + CHUNK]
-        r = subprocess.run(
-            [sys.executable, "-u", "tools/verify_local.py", sf_dir, *chunk],
-            capture_output=True,
-            text=True,
-            cwd="/root/repo",
+    all_names = sorted(m.queries())
+    tier23 = set(FINGERPRINT) | set(ENGINE_CHECK) | set(EXCLUDED)
+    strict = [n for n in all_names if n not in tier23]
+    if limit is not None:
+        strict = strict[:limit]
+        all_names = strict + sorted(tier23)
+    per_query: dict[str, dict] = {}
+
+    print(
+        f"sweeping {len(all_names)} queries at {sf_dir}: "
+        f"{len(strict)} strict, {len(FINGERPRINT)} fingerprint, "
+        f"{len(ENGINE_CHECK)} invariant, {len(EXCLUDED)} reasoned-excluded",
+        flush=True,
+    )
+
+    # ---- tier 1: strict value-diff, chunked so progress survives ----
+    for i in range(0, len(strict), CHUNK):
+        chunk = strict[i : i + CHUNK]
+        text = _run(
+            [sys.executable, "-u", "tools/verify_local.py", sf_dir, *chunk]
         )
-        for ln in (r.stdout + r.stderr).replace("\r", "\n").splitlines():
-            if ln.startswith("[PASS]") or ln.startswith("[WEAK]"):
-                n_pass += 1
-                print(ln, flush=True)
-            elif ln.startswith("[FAIL]"):
-                n_fail += 1
-                print(ln, flush=True)
-        if r.returncode != 0 and "[FAIL]" not in r.stdout:
-            print(f"[CHUNK-ERROR] {chunk}: rc={r.returncode} "
-                  f"{r.stderr[-500:]}", flush=True)
-    print(f"\nsf10 rung: {n_pass} pass, {n_fail} fail "
-          f"of {len(names)} swept", flush=True)
+        seen = set()
+        for ln in text.splitlines():
+            mt = PASS_RE.match(ln)
+            if not mt:
+                continue
+            status, name = mt.group(1), mt.group(2)
+            sec = SEC_RE.search(ln)
+            per_query[name] = {
+                "status": "PASS" if status in ("PASS", "WEAK") else "FAIL",
+                "tier": "strict",
+                "sec": float(sec.group(1)) if sec else None,
+            }
+            if status == "FAIL":
+                per_query[name]["detail"] = ln[:500]
+            seen.add(name)
+            print(f"[{per_query[name]['status']}] {name}", flush=True)
+        for name in chunk:
+            if name not in seen:
+                per_query[name] = {
+                    "status": "FAIL",
+                    "tier": "strict",
+                    "detail": f"no verdict line (chunk crash?) {text[-300:]}",
+                }
+                print(f"[FAIL] {name} — no verdict line", flush=True)
+
+    # ---- tier 2: aggregate fingerprints ----
+    text = _run(
+        [
+            sys.executable,
+            "-u",
+            "tools/verify_fingerprint.py",
+            sf_dir,
+            *FINGERPRINT,
+        ]
+    )
+    for ln in text.splitlines():
+        mt = PASS_RE.match(ln)
+        if not mt:
+            continue
+        status, name = mt.group(1), mt.group(2)
+        if name not in FINGERPRINT:
+            continue
+        sec = SEC_RE.search(ln)
+        per_query[name] = {
+            "status": "PASS-fingerprint" if status == "PASS" else "FAIL",
+            "tier": "fingerprint",
+            "sec": float(sec.group(1)) if sec else None,
+            "reason": FINGERPRINT[name],
+        }
+        if status == "FAIL":
+            per_query[name]["detail"] = ln[:500]
+        print(f"[{per_query[name]['status']}] {name}", flush=True)
+    for name in FINGERPRINT:
+        if name not in per_query:
+            per_query[name] = {
+                "status": "FAIL",
+                "tier": "fingerprint",
+                "detail": f"no verdict line {text[-300:]}",
+            }
+            print(f"[FAIL] {name} — no fingerprint verdict", flush=True)
+
+    # ---- tier 3: in-engine invariant blocks ----
+    blocks = sorted({b for b, _ in ENGINE_CHECK.values()})
+    text = _run(
+        [sys.executable, "-u", "tools/engine_check_sf10.py", sf_dir, *blocks]
+    )
+    block_ok = {}
+    for b in blocks:
+        # a block is green iff its section ran and the final tally has
+        # zero failures; engine_check prints per-assert [ok]/[FAIL]
+        block_ok[b] = f"... {b} block took" in text
+    tally_ok = bool(re.search(r"engine-check: \d+ pass, 0 fail", text))
+    for name, (block, reason) in ENGINE_CHECK.items():
+        ok = tally_ok and block_ok.get(block, False)
+        per_query[name] = {
+            "status": "PASS-invariant" if ok else "FAIL",
+            "tier": "invariant",
+            "reason": reason,
+        }
+        if not ok:
+            per_query[name]["detail"] = text[-500:]
+        print(f"[{per_query[name]['status']}] {name}", flush=True)
+
+    # ---- reasoned exclusions ----
+    for name, reason in EXCLUDED.items():
+        per_query[name] = {
+            "status": "EXCLUDED",
+            "tier": "excluded",
+            "reason": reason,
+        }
+        print(f"[EXCLUDED] {name} — {reason[:80]}...", flush=True)
+
+    # names in the registry but in no tier (should be impossible)
+    for name in all_names:
+        per_query.setdefault(
+            name, {"status": "FAIL", "detail": "covered by no tier"}
+        )
+
+    statuses = [v["status"] for v in per_query.values()]
+    tally = {
+        "n_queries": len(per_query),
+        "pass_strict": statuses.count("PASS"),
+        "pass_fingerprint": statuses.count("PASS-fingerprint"),
+        "pass_invariant": statuses.count("PASS-invariant"),
+        "excluded_reasoned": statuses.count("EXCLUDED"),
+        "fail": statuses.count("FAIL"),
+    }
+    artifact = {
+        "sf_dir": sf_dir,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "tally": tally,
+        "per_query": dict(sorted(per_query.items())),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(f"\nsf10 rung: {tally}", flush=True)
+    print(f"wrote {out_path}", flush=True)
+    return 1 if tally["fail"] else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
