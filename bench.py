@@ -192,6 +192,13 @@ OPTIONAL = [
     "sim_knn_graph",
     "diag_column_stats_approx",
     "mm_decode_png",
+    "ts_changepoint_cusum",
+    "privacy_dp_count",
+    "text_watermark_greenlist",
+    "emb_random_projection",
+    "join_existence_bloom",
+    "graph_kcore",
+    "emb_matryoshka_recall",
     "ts_ewma",
 ]
 

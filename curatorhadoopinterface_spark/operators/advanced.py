@@ -954,3 +954,167 @@ def diag_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy bound |est - exact| <= 6% is enforced by the exact rung's
     ndv_approx_ok column over the same table."""
     return _cstat_pass(load_table(spark, sf_dir, "lineitem"), exact=False)
+
+
+# Bloom-filter existence pre-join: m = 2^18 bits packed into 32-bit
+# words (bit values < 2^32 fit BIGINT in both engines — no sign-bit
+# trap at 1<<63), k = 3 md5-derived hash functions
+_BLOOM_M = 1 << 18
+_BLOOM_WORD = 32
+_BLOOM_K = 3
+
+
+def _bloom_h(key_sql: str, t: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substring(md5(concat(cast({key_sql} as string),"
+            f" '#{t}')), 1, 7), 16, 10) as bigint), {_BLOOM_M})"
+        )
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST({key_sql} AS VARCHAR),"
+        f" '#{t}')), 1, 7)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_oracle() -> str:
+    build_rows = " UNION ALL ".join(
+        f"SELECT {_bloom_h('o_orderkey', t, 'duck')} AS h FROM dim"
+        for t in range(_BLOOM_K)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT k, {t} AS t, {_bloom_h('k', t, 'duck')} AS h FROM keys"
+        for t in range(_BLOOM_K)
+    )
+    return f"""
+    WITH dim AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    hs AS ({build_rows}),
+    bloom AS (
+        SELECT h // {_BLOOM_WORD} AS word,
+               BIT_OR(CAST(1 AS BIGINT) << CAST(h % {_BLOOM_WORD} AS INT))
+                   AS bits
+        FROM hs GROUP BY word),
+    keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    probes AS ({probe_rows}),
+    hit AS (
+        SELECT p.k,
+               SUM(CASE WHEN (b.bits >> CAST(p.h % {_BLOOM_WORD} AS INT))
+                             & 1 = 1 THEN 1 ELSE 0 END) AS n_hit
+        FROM probes p
+        LEFT JOIN bloom b ON b.word = p.h // {_BLOOM_WORD}
+        GROUP BY p.k),
+    verdict AS (
+        SELECT h.k, h.n_hit = {_BLOOM_K} AS bloom_pass,
+               EXISTS (SELECT 1 FROM dim d WHERE d.o_orderkey = h.k)
+                   AS is_member
+        FROM hit h)
+    SELECT COUNT(*) AS n_keys,
+           SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_true,
+           SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
+           SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+               AS n_false_neg,
+           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+               * 1000
+               // GREATEST(COUNT(*) - SUM(CASE WHEN is_member THEN 1
+                                          ELSE 0 END), 1)
+               AS fp_permille,
+           {_BLOOM_M} AS m_bits, {_BLOOM_K} AS k_hashes
+    FROM verdict
+    """
+
+
+@query("join_existence_bloom", oracle=_bloom_oracle())
+def join_existence_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter EXISTENCE pre-join, measured: build an m = 2^18-bit
+    / k = 3 Bloom filter over a selective dim key set (urgent orders),
+    probe every distinct fact key map-side, and compare the verdict
+    against the exact semi join — n_false_neg MUST read 0 (the Bloom
+    guarantee, hash-checked by the oracle) and fp_permille is the
+    measured false-positive cost of skipping the exact join for
+    filtered-out rows. This is the runtime-filter pattern Spark's own
+    bloom-join rewrite applies under AQE, reified as a declared,
+    value-checked operator: at 100 TB you ship the 32 KB filter to
+    every scan task and drop non-member fact rows BEFORE the shuffle,
+    paying only the measured fp rate in extra rows.
+
+    Exactness: hash positions are md5-28-bit integers mod m (both
+    engines bit-identical); the filter packs into 32-bit words in
+    BIGINT lanes (no 1<<63 sign trap); membership is integer shift/AND;
+    all counts exact.
+
+    Scale shape: the build side partial-aggs |dim| keys into <= 8192
+    words (constant-size, broadcast); probes fold per fact key after a
+    DISTINCT partial-agg; the verdict joins fact keys against the
+    BROADCAST bloom + a semi-check against dim. The whole census is
+    one fact-key-sized exchange — the pair dump never exists."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    hs = None
+    for t in range(_BLOOM_K):
+        part = dim.select(
+            F.expr(_bloom_h("o_orderkey", t, "spark")).alias("h")
+        )
+        hs = part if hs is None else hs.unionAll(part)
+    bloom = (
+        hs.groupBy(F.expr(f"h div {_BLOOM_WORD}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, cast(h % {_BLOOM_WORD} as int)))"
+            ).alias("bits")
+        )
+    )
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probes = None
+    for t in range(_BLOOM_K):
+        part = keys.select(
+            "k", F.expr(_bloom_h("k", t, "spark")).alias("h")
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    hit = (
+        probes.join(
+            F.broadcast(bloom),
+            F.expr(f"h div {_BLOOM_WORD}") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            F.when(
+                F.expr(
+                    f"(bits >> cast(h % {_BLOOM_WORD} as int)) & 1"
+                ) == 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").alias("n_hit"))
+    )
+    member = dim.select(F.col("o_orderkey").alias("k")).withColumn(
+        "is_member", F.lit(True)
+    )
+    verdict = (
+        hit.join(member, "k", "left")
+        .select(
+            (F.col("n_hit") == _BLOOM_K).alias("bloom_pass"),
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+    return verdict.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_bloom_pass"
+        ),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+        F.expr(
+            "sum(case when bloom_pass and not is_member then 1 else 0 end)"
+            " * 1000 div greatest(count(1) - sum(case when is_member then 1"
+            " else 0 end), 1L)"
+        ).alias("fp_permille"),
+        F.lit(_BLOOM_M).alias("m_bits"),
+        F.lit(_BLOOM_K).alias("k_hashes"),
+    )

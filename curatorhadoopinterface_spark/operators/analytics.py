@@ -2552,3 +2552,233 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY day),
+    tot AS (
+        SELECT COUNT(*) AS n_days, SUM(rev_cents) AS total_cents FROM daily),
+    dev AS (
+        SELECT d.day, d.rev_cents,
+               d.rev_cents * t.n_days - t.total_cents AS dev_scaled,
+               t.n_days, t.total_cents
+        FROM daily d CROSS JOIN tot t),
+    cs AS (
+        SELECT day, rev_cents, n_days, total_cents,
+               SUM(dev_scaled) OVER (ORDER BY day) AS cusum_scaled
+        FROM dev),
+    mx AS (SELECT MAX(ABS(cusum_scaled)) AS max_abs FROM cs)
+    SELECT c.day,
+           ROUND(c.rev_cents / 100.0, 2) AS revenue,
+           c.cusum_scaled * 1000 // (c.n_days * c.total_cents)
+               AS cusum_permille,
+           c.cusum_scaled = m.max_abs OR c.cusum_scaled = -m.max_abs
+               AS is_changepoint
+    FROM cs c CROSS JOIN mx m
+    ORDER BY c.day
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily revenue — the
+    level-SHIFT locator that completes the time-series triad
+    (ts_decompose: stable weekly shape; ts_ewma: smoothed level;
+    CUSUM: WHERE the mean changed). The cumulative sum of deviations
+    from the global mean drifts while the series sits above or below
+    it; the |max| of that walk is the classic CUSUM change-point
+    estimate (Page 1954), emitted here as a per-day normalized census
+    with the argmax day(s) flagged.
+
+    Exactness: deviations are CROSS-MULTIPLIED integers
+    (rev*n - total), so the "mean" is never a rounded division; the
+    cusum is an exact BIGINT running sum (|cusum| <= n^2 * max_rev
+    ~ 6e15 at sf10's 2.4k days — in range); normalization is one
+    integer per-mille division at output.
+
+    Scale shape: the corpus touches only the partial-agged (day)
+    rollup (ts_decompose's shape); totals are a 1-row broadcast; the
+    running sum orders the DAYS-sized series (bounded by calendar,
+    not volume). The argmax flag is a 1-row max broadcast back —
+    no second corpus pass anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    dev = daily.join(F.broadcast(tot)).select(
+        "day",
+        "rev_cents",
+        "n_days",
+        "total_cents",
+        (F.col("rev_cents") * F.col("n_days") - F.col("total_cents")).alias(
+            "dev_scaled"
+        ),
+    )
+    cs = dev.select(
+        "day",
+        "rev_cents",
+        "n_days",
+        "total_cents",
+        F.sum("dev_scaled").over(Window.orderBy("day")).alias("cusum_scaled"),
+    )
+    mx = cs.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("max_abs"))
+    return (
+        cs.join(F.broadcast(mx))
+        .select(
+            "day",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.expr(
+                "cusum_scaled * 1000 div (n_days * total_cents)"
+            ).alias("cusum_permille"),
+            (
+                (F.col("cusum_scaled") == F.col("max_abs"))
+                | (F.col("cusum_scaled") == -F.col("max_abs"))
+            ).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+_KCORE_K = 3  # peel to the 3-core
+_KCORE_ROUNDS = 5  # unrolled peel rounds (census reports convergence)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: e0 = co-purchase edges; round r keeps nodes with
+    degree >= K in e_{r-1} and the edges both of whose endpoints
+    survive. MATERIALIZED everywhere — each CTE is referenced twice
+    (the graph_triangles DuckDB re-inlining lesson)."""
+    parts = [f"""
+    e0 AS MATERIALIZED (
+        SELECT a.p AS p1, b.p AS p2
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2)"""]
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT p1 AS node FROM e{r - 1}
+            UNION ALL SELECT p2 AS node FROM e{r - 1}) GROUP BY node),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+        SELECT e.p1, e.p2 FROM e{r - 1} e
+        JOIN k{r} a ON a.node = e.p1
+        JOIN k{r} b ON b.node = e.p2)""")
+        rows.append(
+            f"SELECT {r} AS round, (SELECT COUNT(*) FROM k{r}) AS n_kept,"
+            f" (SELECT COUNT(*) FROM e{r}) AS n_edges,"
+            f" (SELECT COUNT(*) FROM d{r}) - (SELECT COUNT(*) FROM k{r})"
+            f" AS n_peeled"
+        )
+    return (
+        "WITH basket AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem),"
+        + ",".join(parts)
+        + "\n"
+        + " UNION ALL ".join(rows)
+        + "\nORDER BY round"
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """k-CORE decomposition by iterative peeling (Matula-Beck / the
+    Batagelj-Zaversnik census form): repeatedly delete nodes of degree
+    < k from the co-purchase graph until the k-core remains, reporting
+    per round how many nodes survive, how many peel off, and the
+    surviving edge count — the density-skeleton census that locates
+    the cohesive cluster structure triangles/link-prediction operate
+    on, and the classic robustness measure for recommendation graphs
+    (a 3-core member keeps >= 3 co-purchase partners no matter what
+    fringe products are removed).
+
+    Exactness: the peel recurrence is pure integer degree counting —
+    both engines replay the identical unrolled rounds; no floats
+    anywhere. The round census converges when n_peeled reads 0 (at
+    this graph's density that's within the unrolled depth; the census
+    SHOWS convergence instead of asserting it, so the depth constant
+    is auditable).
+
+    Scale shape: pair-gen shares graph_triangles' order-bounded basket
+    self-join; each peel round is one partial-agged degree census (the
+    exploded union partial-aggregates map-side) plus two equi
+    semi-joins of the shrinking edge set against the |kept|-sized node
+    list — every exchange is keyed, every relation monotonically
+    shrinks, and each round's edge set is checkpointed so round r+1
+    never replays rounds 1..r (the graph_pagerank unroll discipline).
+    At 100 TB the first round dominates (it touches the full edge
+    set); later rounds cost |core| alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("p1", "p2")
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("p1").alias("node"))
+            .unionAll(edges.select(F.col("p2").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        kept = deg.where(F.col("d") >= _KCORE_K).select("node")
+        new_edges = (
+            edges.join(kept.withColumnRenamed("node", "p1"), "p1")
+            .join(kept.withColumnRenamed("node", "p2"), "p2")
+            .select("p1", "p2")
+        )
+        if checkpoint:
+            new_edges = new_edges.localCheckpoint(eager=False)
+        census = (
+            kept.agg(F.count(F.lit(1)).alias("n_kept"))
+            .crossJoin(
+                F.broadcast(
+                    new_edges.agg(F.count(F.lit(1)).alias("n_edges"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_all")))
+            )
+            .select(
+                F.lit(r).alias("round"),
+                "n_kept",
+                "n_edges",
+                (F.col("n_all") - F.col("n_kept")).alias("n_peeled"),
+            )
+        )
+        rounds.append(census)
+        edges = new_edges
+    out = rounds[0]
+    for c in rounds[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("round")

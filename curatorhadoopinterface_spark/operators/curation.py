@@ -2058,3 +2058,97 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ARES_K)
         .drop("_k")
     )
+
+
+# two-sided-geometric DP noise, alpha = 1/2 (epsilon = ln 2 ~ 0.693):
+# with u uniform on [0, 2^28), the geometric tail count
+# G = #{k >= 1 : u < 2^(28-k)} satisfies P(G >= k) = 2^-k EXACTLY —
+# every threshold is a power of two, so no float ever enters the
+# sampling path and both engines replay it bit-identically
+_DP_BITS = 28
+
+
+def _dp_geom(u_expr: str, dialect: str) -> str:
+    """SQL for the geometric tail count over a 28-bit uniform."""
+    cast = "CAST" if dialect == "duck" else "cast"
+    terms = [
+        f"{cast}(({u_expr}) < {1 << (_DP_BITS - k)} AS INT)"
+        if dialect == "duck"
+        else f"{cast}(({u_expr}) < {1 << (_DP_BITS - k)} as int)"
+        for k in range(1, _DP_BITS + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DP_U_SPARK = (
+    "cast(conv(substring(md5(concat(c_mktsegment, '#{tag}')), 1, 7),"
+    " 16, 10) as bigint)"
+)
+_DP_U_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(c_mktsegment, '#{tag}')), 1, 7))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "privacy_dp_count",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment, COUNT(*) AS true_count
+        FROM customer GROUP BY c_mktsegment),
+    n AS (
+        SELECT c_mktsegment, true_count,
+               {_dp_geom(_DP_U_DUCK.format(tag='a'), 'duck')}
+             - {_dp_geom(_DP_U_DUCK.format(tag='b'), 'duck')} AS noise
+        FROM g)
+    SELECT c_mktsegment, true_count, noise,
+           GREATEST(0, true_count + noise) AS noisy_count,
+           693 AS epsilon_milli
+    FROM n ORDER BY c_mktsegment
+    """,
+)
+def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the fourth rung of the
+    privacy ladder (k-anon -> l-div -> t-closeness -> DP): per-segment
+    customer counts perturbed with TWO-SIDED GEOMETRIC noise (the
+    discrete Laplace; Ghosh-Roughgarden-Sundararajan's universally
+    optimal mechanism for counts) at epsilon = ln 2. The noise is
+    SEEDED — u = md5(segment||tag) as a 28-bit uniform — so the release
+    is reproducible and the oracle replays it exactly; a production
+    deployment swaps the seed for a secret per-release salt (same
+    plumbing, the query's noise distribution is unchanged).
+
+    Exactness: alpha = 1/2 makes every geometric threshold a power of
+    two (P(G >= k) = 2^-k exactly on the 2^28 lattice) — the sampling
+    path is pure integer comparisons, no ln/exp anywhere, so both
+    engines compute identical noise. true_count + noise clamps at 0
+    (counts are non-negative by postprocessing invariance).
+
+    Scale shape: one partial-agged groupBy on the segment key; the
+    noise is a per-GROUP scalar expression over the |segments|-row
+    aggregate — the DP layer costs nothing at any corpus size (the
+    defining property that makes DP releases feasible at 100 TB).
+
+    Reference tie-in: the reference's record store gates re-release of
+    derived views (CuratorHandler.java:468-537); a DP count is the
+    same gate applied to aggregate egress."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("true_count"))
+    noise = F.expr(
+        _dp_geom(_DP_U_SPARK.format(tag="a"), "spark")
+        + " - "
+        + _dp_geom(_DP_U_SPARK.format(tag="b"), "spark")
+    )
+    return (
+        g.select(
+            "c_mktsegment",
+            "true_count",
+            noise.alias("noise"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (F.col("true_count") + noise).cast("bigint"),
+            ).alias("noisy_count"),
+            F.lit(693).alias("epsilon_milli"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1290,3 +1290,124 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eigenvalue",
         "explained_permille",
     ).orderBy("dim")
+
+
+# Johnson-Lindenstrauss random projection: d=64 -> k=16 with Rademacher
+# (+/-1) entries seeded from md5("rp_{j}_{i}") parity — the sign matrix
+# is a CONSTANT computed once here and inlined as the same literal into
+# the Spark expression and the DuckDB oracle, so both engines project
+# with the identical matrix (a production run swaps the seed string).
+_RP_K = 16
+_RP_SCALE = 10_000  # 1e4 keeps p2*1000 inside BIGINT (see docstring)
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[:7], 16) % 2
+            == 0
+            else -1
+            for i in range(_EMB_DIM)
+        ]
+        for j in range(_RP_K)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    mat = ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in signs
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {_RP_SCALE}) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings),
+    s AS (SELECT [{mat}] AS m),
+    pr AS (
+        SELECT vec_id,
+               [CAST(list_dot_product(qv, mj) AS BIGINT) FOR mj IN m]
+                   AS proj,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS q2
+        FROM q CROSS JOIN s),
+    r AS (
+        SELECT vec_id,
+               CAST(list_dot_product(proj, proj) AS BIGINT) AS p2, q2
+        FROM pr WHERE q2 > 0)
+    SELECT p2 * 1000 // ({_RP_K} * q2) // 100 AS bucket,
+           COUNT(*) AS n_vecs,
+           SUM(p2 * 1000 // ({_RP_K} * q2)) // COUNT(*)
+               AS mean_ratio_permille
+    FROM r GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION distortion census — the
+    dimensionality-reduction workhorse (d=64 -> k=16 via a seeded
+    Rademacher matrix) measured the way JL guarantees it: for every
+    vector, the squared-norm ratio ||Pv||^2 / (k * ||v||^2) should
+    concentrate near 1.0 (E[||Pv||^2] = k||v||^2 for +/-1 entries).
+    The output histograms that ratio in 0.1-wide per-mille buckets —
+    the empirical concentration curve that tells you whether k is
+    large enough before you commit the cheap projected representation
+    to the ANN index (sim_* family) or the dedup embedding store.
+
+    Exactness: components quantize to integer 1e-4 units BEFORE the
+    mat-vec; the projection is +/-1 dot products (exact BIGINT sums,
+    |p2|*1000 <= ~7e15 at this scale — in range by construction, the
+    emb_covariance headroom discipline); ratios are integer per-mille
+    floor-divisions. The sign matrix is the same md5-parity literal in
+    both engines.
+
+    Scale shape: pure map — transform(sequence(0,k-1)) folds the
+    zip_with dot product INSIDE the row, no explode, no join; the only
+    exchange is the |buckets|-row histogram aggregate. At 100 TB the
+    projection is scan-speed and the reduced vectors are 4x smaller
+    for every downstream shuffle."""
+    signs = _rp_signs()
+    mat = ", ".join(
+        "array(" + ", ".join(str(s) for s in row) + ")" for row in signs
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            f"transform(embedding,"
+            f" x -> cast(floor(cast(x as double) * {_RP_SCALE}) as bigint))"
+        ).alias("qv")
+    )
+    pr = q.select(
+        F.expr(
+            f"transform(array({mat}), mj ->"
+            f" aggregate(zip_with(qv, mj, (a, b) -> a * b),"
+            f" 0L, (acc, x) -> acc + x))"
+        ).alias("proj"),
+        F.expr(
+            "aggregate(zip_with(qv, qv, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("q2"),
+    )
+    r = pr.where(F.col("q2") > 0).select(
+        F.expr(
+            "aggregate(zip_with(proj, proj, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("p2"),
+        "q2",
+    )
+    ratio = F.expr(f"p2 * 1000 div ({_RP_K} * q2)")
+    return (
+        r.select(ratio.alias("ratio_permille"))
+        .groupBy(F.expr("ratio_permille div 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(ratio_permille) div count(1)").alias(
+                "mean_ratio_permille"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -559,3 +559,157 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all-null census row so both sides agree on every input.
         .filter(F.col("n_edges") > 0)
     )
+
+
+# Matryoshka (MRL) truncation ladder: recall@k when ranking by the
+# FIRST P dimensions only, vs the full-dim exact baseline
+_MRL_PREFIXES = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    parts = []
+    rows = []
+    for p in _MRL_PREFIXES:
+        cos = (
+            f"ROUND(list_dot_product(q.e[1:{p}], c.e[1:{p}]) /"
+            f" (SQRT(list_dot_product(q.e[1:{p}], q.e[1:{p}]))"
+            f" * SQRT(list_dot_product(c.e[1:{p}], c.e[1:{p}]))), 6)"
+        )
+        parts.append(f"""
+    ap{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, c.vec_id) AS rk
+            FROM q JOIN base c ON c.vec_id <> q.vec_id)
+        WHERE rk <= {TOP_K}),
+    h{p} AS (
+        SELECT e.query_id, COUNT(*) AS n_overlap
+        FROM exact e JOIN ap{p} a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id),
+    r{p} AS (
+        SELECT {p} AS prefix_dim,
+               COUNT(*) AS n_queries,
+               SUM(COALESCE(h.n_overlap, 0)) * 1000
+                   // (COUNT(*) * {TOP_K}) AS recall_permille,
+               MIN(COALESCE(h.n_overlap, 0)) * 1000 // {TOP_K}
+                   AS min_recall_permille
+        FROM (SELECT DISTINCT query_id FROM exact) e
+        LEFT JOIN h{p} h USING (query_id))""")
+        rows.append(f"SELECT * FROM r{p}")
+    return (
+        f"WITH {_O_BASE},\n"
+        f"    q AS (SELECT * FROM base WHERE vec_id < {N_QUERIES}),\n"
+        f"""    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_o_cos('q', 'c')} DESC, c.vec_id) AS rk
+            FROM q JOIN base c ON c.vec_id <> q.vec_id)
+        WHERE rk <= {TOP_K}),"""
+        + ",".join(parts)
+        + "\n"
+        + " UNION ALL ".join(rows)
+        + "\nORDER BY prefix_dim"
+    )
+
+
+@query("emb_matryoshka_recall", oracle=_mrl_oracle())
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation-recall ladder (Kusupati et al. 2022): how
+    much ANN recall survives when vectors are truncated to their first
+    P dimensions (P = 8/16/32 of 64) — the dimension-budget curve that
+    decides how small the serving index can be when embeddings are
+    MRL-trained (prefix dims carry the signal). Complements the
+    compression ladder sim_pq_recall measures for product quantization
+    and emb_random_projection measures for JL projection: THREE
+    compression families, one recall protocol.
+
+    Exactness: the sim_ann_recall protocol verbatim — sampled query
+    set, cosines rounded to 6dp before ranking, vec_id tie-break,
+    recall as integer per-mille divisions; both engines replay the
+    identical slices (Spark slice(e,1,P) == DuckDB e[1:P], both
+    1-based inclusive).
+
+    Scale shape: each rung is the sim_topk shape (broadcast query
+    sample x one corpus scan, partial-agged window top-k) — the ladder
+    shares the scan; no pair dump, census output is |prefixes| rows.
+    At 100 TB the exact baseline runs on the query SAMPLE only (the
+    standard recall-estimation protocol)."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    qids = exact.select("query_id").distinct()
+    out = None
+    for p in _MRL_PREFIXES:
+        bp = base.select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, 1, {p}),"
+                f" x -> cast(x as double))"
+            ).alias("ep"),
+        ).withColumn(
+            "normp",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(ep, ep, (x, y) -> x * y),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+            ),
+        )
+        q = bp.filter(F.col("vec_id") < N_QUERIES)
+        scored = (
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("ep").alias("qe"),
+                    F.col("normp").alias("qn"),
+                )
+            )
+            .join(bp.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("c.vec_id").alias("neighbor_id"),
+                F.round(
+                    F.expr(
+                        "aggregate(zip_with(qe, ep, (x, y) -> x * y),"
+                        " cast(0 as double), (acc, v) -> acc + v)"
+                    )
+                    / (F.col("qn") * F.col("normp")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        rung = (
+            qids.join(hits, "query_id", "left")
+            .select(
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")
+            )
+            .agg(
+                F.lit(p).alias("prefix_dim"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.expr(
+                    f"sum(n_overlap) * 1000 div (count(1) * {TOP_K})"
+                ).alias("recall_permille"),
+                F.expr(f"min(n_overlap) * 1000 div {TOP_K}").alias(
+                    "min_recall_permille"
+                ),
+            )
+        )
+        out = rung if out is None else out.unionAll(rung)
+    return out.orderBy("prefix_dim")

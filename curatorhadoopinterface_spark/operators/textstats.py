@@ -2077,3 +2077,96 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Kirchenbauer-style watermark green list: a token is "green" iff its
+# md5 28-bit integer is even (gamma = 1/2) — the proxy for the secret
+# hash-partition an LLM watermarker biases generation toward
+_WM_GREEN_SPARK = (
+    "cast(pmod(cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint), 2)"
+    " = 0 as int)"
+)
+_WM_GREEN_DUCK = (
+    "CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 7)) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE 0 END"
+)
+_WM_Z_FLAG = 4.0  # one-sided z threshold: P(false positive) ~ 3e-5
+
+
+@query(
+    "text_watermark_greenlist",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               UNNEST(string_split(text, ' ')) AS w
+        FROM documents),
+    per AS (
+        SELECT doc_id, source,
+               COUNT(*) AS n,
+               SUM({_WM_GREEN_DUCK}) AS g
+        FROM tok GROUP BY doc_id, source),
+    z AS (
+        SELECT source, n, g,
+               ROUND((2 * g - n) / SQRT(n), 6) AS z
+        FROM per WHERE n > 0)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN z > {_WM_Z_FLAG} THEN 1 ELSE 0 END) AS n_flagged,
+           SUM(g) * 1000 // SUM(n) AS green_permille,
+           ROUND(MAX(z), 6) AS max_z
+    FROM z GROUP BY source ORDER BY source
+    """,
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark DETECTION census (Kirchenbauer et al. 2023): a
+    watermarking decoder biases generation toward a pseudorandom
+    "green" half of the vocabulary; detection tests each document's
+    green-token fraction against the gamma = 1/2 null with a binomial
+    z-score, z = (2g - n)/sqrt(n). The census a training-data pipeline
+    runs to keep watermarked SYNTHETIC text out of the corpus (or to
+    measure how much is already in it): per source, the flagged-doc
+    count at z > 4 (false-positive rate ~3e-5 per doc), the corpus
+    green fraction in per-mille (should sit at ~500 under the null),
+    and the most-suspicious document's z.
+
+    Exactness: green membership is the md5-28-bit parity — a pure
+    integer path both engines replay bit-identically; g and n are
+    exact integer sums; z is one sqrt (IEEE exact-rounded in both
+    engines) + one division, rounded to 6dp in-query (the _cosine
+    policy); the corpus fraction is an integer per-mille division.
+
+    Scale shape: the green count folds ARRAY-LOCALLY inside each row
+    (aggregate over transform(split(...)) — no token explode, the
+    text_repetition discipline), so the corpus pass is scan-shaped;
+    the only exchange carries (source, n, g, z) — one partial-agged
+    groupBy on the source key. The oracle explodes tokens instead
+    (DuckDB has no array fold); both reduce to identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.expr("size(split(text, ' '))").alias("n"),
+        F.expr(
+            f"aggregate(transform(split(text, ' '), w -> {_WM_GREEN_SPARK}),"
+            f" 0, (a, x) -> a + x)"
+        ).alias("g"),
+    ).where(F.col("n") > 0)
+    z = per.select(
+        "source",
+        "n",
+        "g",
+        F.round((2 * F.col("g") - F.col("n")) / F.sqrt(F.col("n")), 6).alias(
+            "z"
+        ),
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("z") > _WM_Z_FLAG, 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.expr("sum(g) * 1000 div sum(n)").alias("green_permille"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,123 @@
+"""Round-7 operator invariants: CUSUM, DP counts, watermark census,
+JL projection, bloom pre-join, k-core peel, Matryoshka recall."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cusum_walk_closes_and_flags_one_argmax(spark):
+    """The cumulative sum of (rev*n - total) telescopes to zero at the
+    last day, and the argmax day(s) carry the changepoint flag."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        ts_changepoint_cusum,
+    )
+
+    rows = ts_changepoint_cusum(spark, SF).collect()
+    assert rows[-1].cusum_permille == 0
+    flags = [r for r in rows if r.is_changepoint]
+    assert 1 <= len(flags) <= 2  # |max| can tie on +/- in principle
+    peak = max(abs(r.cusum_permille) for r in rows)
+    assert all(abs(r.cusum_permille) == peak for r in flags)
+    assert all(-1000 <= r.cusum_permille <= 1000 for r in rows)
+
+
+def test_dp_count_noise_is_seeded_and_postprocessed(spark):
+    from curatorhadoopinterface_spark.operators.curation import (
+        privacy_dp_count,
+    )
+
+    a = {r.c_mktsegment: r for r in privacy_dp_count(spark, SF).collect()}
+    b = {r.c_mktsegment: r for r in privacy_dp_count(spark, SF).collect()}
+    assert a.keys() == b.keys() and len(a) >= 2
+    for seg, r in a.items():
+        assert r.noise == b[seg].noise  # seeded -> reproducible
+        assert r.noisy_count == max(0, r.true_count + r.noise)
+        assert r.epsilon_milli == 693
+        # two-sided geometric at alpha=1/2 is tightly concentrated
+        assert abs(r.noise) <= 28
+
+
+def test_watermark_natural_text_sits_at_the_null(spark):
+    """Organic fixture text should show ~50% green tokens and no
+    z>4 flags at doc sizes this small."""
+    from curatorhadoopinterface_spark.operators.textstats import (
+        text_watermark_greenlist,
+    )
+
+    rows = text_watermark_greenlist(spark, SF).collect()
+    assert rows
+    total_flagged = sum(r.n_flagged for r in rows)
+    assert total_flagged == 0
+    for r in rows:
+        assert 350 <= r.green_permille <= 650
+
+
+def test_rp_sign_matrix_is_deterministic_rademacher():
+    from curatorhadoopinterface_spark.operators.mlops import (
+        _EMB_DIM,
+        _RP_K,
+        _rp_signs,
+    )
+
+    m1, m2 = _rp_signs(), _rp_signs()
+    assert m1 == m2
+    assert len(m1) == _RP_K and all(len(r) == _EMB_DIM for r in m1)
+    flat = [s for row in m1 for s in row]
+    assert set(flat) == {-1, 1}
+    # md5 parity should be near-balanced, not degenerate
+    assert 0.35 < sum(s == 1 for s in flat) / len(flat) < 0.65
+
+
+def test_rp_distortion_concentrates_near_unity(spark):
+    from curatorhadoopinterface_spark.operators.mlops import (
+        emb_random_projection,
+    )
+
+    rows = emb_random_projection(spark, SF).collect()
+    total = sum(r.n_vecs for r in rows)
+    # JL: the ratio ||Pv||^2/(k||v||^2) has mean 1; the bulk of the
+    # mass must land within [0.4, 1.6] for k=16
+    bulk = sum(r.n_vecs for r in rows if 4 <= r.bucket <= 15)
+    assert bulk >= 0.9 * total
+
+
+def test_bloom_never_false_negative(spark):
+    from curatorhadoopinterface_spark.operators.advanced import (
+        join_existence_bloom,
+    )
+
+    r = join_existence_bloom(spark, SF).collect()[0]
+    assert r.n_false_neg == 0  # the Bloom guarantee
+    assert r.n_bloom_pass >= r.n_true
+    assert 0 <= r.fp_permille <= 1000
+    assert r.n_keys >= r.n_true
+
+
+def test_kcore_peel_is_monotone_and_converges(spark):
+    from curatorhadoopinterface_spark.operators.analytics import graph_kcore
+
+    rows = graph_kcore(spark, SF).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    kept = [r.n_kept for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    # once a round peels nothing, the core is fixed from then on
+    for i, r in enumerate(rows[:-1]):
+        if r.n_peeled == 0:
+            assert kept[i + 1] == kept[i] and edges[i + 1] == edges[i]
+
+
+def test_matryoshka_recall_grows_with_prefix(spark):
+    from curatorhadoopinterface_spark.operators.similarity import (
+        emb_matryoshka_recall,
+    )
+
+    rows = emb_matryoshka_recall(spark, SF).collect()
+    assert [r.prefix_dim for r in rows] == [8, 16, 32]
+    rec = [r.recall_permille for r in rows]
+    assert all(0 <= x <= 1000 for x in rec)
+    # on the synthetic fixture the ladder is strictly ordered
+    assert rec[0] <= rec[1] <= rec[2]
+    assert all(r.n_queries == 10 for r in rows)

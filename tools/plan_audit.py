@@ -815,6 +815,42 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # CUSUM: corpus -> (day) partial-agged rollup; 1-row totals/max
+    # broadcast; the running sum orders the days-sized series only
+    "ts_changepoint_cusum": {"partial": True, "no_bnlj": False,
+                             "prune": ["o_comment", "o_custkey"],
+                             "forbid": [r"CartesianProduct",
+                                        r"SortMergeJoin"]},
+    # DP release: one partial-agged groupBy; noise is scalar exprs on
+    # the |segments|-row aggregate — no join, no second pass
+    "privacy_dp_count": {"partial": True,
+                         "prune": ["c_comment", "c_acctbal"],
+                         "forbid": [r"CartesianProduct", r"Join"]},
+    # watermark census: green count folds array-locally (no explode);
+    # single (source) exchange
+    "text_watermark_greenlist": {"partial": True,
+                                 "prune": ["lang", "doc_id"],
+                                 "forbid": [r"CartesianProduct", r"Join",
+                                            r"Generate"]},
+    # JL projection: pure map + one histogram aggregate — no join, no
+    # explode of the corpus
+    "emb_random_projection": {"partial": True,
+                              "prune": ["label", "vec_id"],
+                              "forbid": [r"CartesianProduct", r"Join",
+                                         r"Generate"]},
+    # bloom pre-join: the 8192-word filter must BROADCAST to the probe
+    # side; no sort-merge anywhere in the census
+    "join_existence_bloom": {"partial": True, "no_bnlj": False,
+                             "require": [r"BroadcastHashJoin"],
+                             "prune": ["o_comment", "l_comment"]},
+    # k-core peel (audited with checkpoint=False): keyed equi joins
+    # only; degree census partial-aggregates before its exchange
+    "graph_kcore": {"partial": True, "no_bnlj": False,
+                    "prune": ["l_comment", "l_quantity"]},
+    # MRL ladder: per-rung broadcast query sample x corpus scan — the
+    # sim_topk shape (the <> predicate makes it a broadcast
+    # nested-loop over the TINY query sample, intended); census output
+    "emb_matryoshka_recall": {"partial": True, "no_bnlj": False},
     # PNG encode->decode roundtrip: pruned single-column scan into one
     # Arrow python stage, zero exchanges
     "mm_decode_png": {"partial": False, "prune": ["text", "lang", "source"],
@@ -1009,7 +1045,7 @@ def main() -> None:
             continue
         if name in ("graph_pagerank", "pack_sequences_hier",
                     "dedup_fuzzy_edit", "dedup_minhash_recall",
-                    "graph_triangles"):
+                    "graph_triangles", "graph_kcore"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
