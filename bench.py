@@ -199,6 +199,9 @@ OPTIONAL = [
     "join_existence_bloom",
     "graph_kcore",
     "emb_matryoshka_recall",
+    "shard_consistent_hash",
+    "contrastive_negatives",
+    "mm_phash_dedup",
     "ts_ewma",
 ]
 

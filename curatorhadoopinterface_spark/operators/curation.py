@@ -2152,3 +2152,279 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Consistent-hash ring: V virtual nodes per shard, positions from
+# md5("shard_{s}_vnode_{v}") on the 2^28 lattice — the ring is a
+# CONSTANT computed once here and inlined into both engines
+_CH_SHARDS_A = 8
+_CH_SHARDS_B = 9  # the reshard target: only ~1/9 of keys should move
+_CH_VNODES = 32
+
+
+def _ch_ring(n_shards: int) -> list[tuple[int, int]]:
+    """Sorted (position, shard) ring."""
+    import hashlib
+
+    ring = []
+    for s in range(n_shards):
+        for v in range(_CH_VNODES):
+            pos = (
+                int(
+                    hashlib.md5(f"shard_{s}_vnode_{v}".encode()).hexdigest()[
+                        :7
+                    ],
+                    16,
+                )
+                % (1 << 28)
+            )
+            ring.append((pos, s))
+    return sorted(ring)
+
+
+def _ch_case(ring: list[tuple[int, int]], dialect: str) -> str:
+    """Ring lookup as a CASE over sorted cut points: key h goes to the
+    first vnode clockwise (position >= h), wrapping to ring[0]."""
+    whens = "".join(
+        f" WHEN h <= {pos} THEN {shard}" for pos, shard in ring
+    )
+    kw = "CASE" if dialect == "duck" else "case"
+    return f"{kw}{whens} ELSE {ring[0][1]} END".lower() if dialect == "spark" else f"CASE{whens} ELSE {ring[0][1]} END"
+
+
+_CH_H_SPARK = (
+    "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+    " as bigint), 268435456)"
+)
+_CH_H_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7))"
+    " AS BIGINT) % 268435456"
+)
+
+
+@query(
+    "shard_consistent_hash",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, {_CH_H_DUCK} AS h FROM documents),
+    a AS (
+        SELECT doc_id, {_ch_case(_ch_ring(_CH_SHARDS_A), 'duck')} AS shard_a
+        FROM k),
+    b AS (
+        SELECT doc_id, {_ch_case(_ch_ring(_CH_SHARDS_B), 'duck')} AS shard_b
+        FROM k),
+    j AS (
+        SELECT a.shard_a, b.shard_b FROM a JOIN b USING (doc_id))
+    SELECT shard_a,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN shard_b <> shard_a THEN 1 ELSE 0 END) AS n_moved,
+           SUM(CASE WHEN shard_b <> shard_a THEN 1 ELSE 0 END) * 1000
+               // COUNT(*) AS moved_permille
+    FROM j GROUP BY shard_a ORDER BY shard_a
+    """,
+)
+def shard_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASH shard assignment with the reshard-movement
+    census: documents map onto a 2^28 hash ring with 32 virtual nodes
+    per shard; the query assigns every doc under an 8-shard ring AND a
+    9-shard ring and reports, per original shard, how many keys MOVE —
+    the defining consistent-hashing guarantee (≈ 1/(N+1) of keys move
+    when a shard is added, vs ~8/9 under doc_id % N). This is how a
+    100 TB record store (A18/A21's identifier-keyed parquet) grows
+    capacity without rewriting 8/9 of its layout, and the census is
+    the pre-flight check that the ring constants are balanced.
+
+    Exactness: key and vnode positions are md5-28-bit integers; the
+    ring lookup is a CASE over the sorted cut points (the identical
+    literal ring inlined in both engines); every count exact.
+
+    Scale shape: pure map (two CASE lookups per row) + one
+    partial-agged groupBy on shard_a — assignment never shuffles the
+    corpus, exactly like the production path where the ring is a
+    broadcast constant."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select("doc_id", F.expr(_CH_H_SPARK).alias("h"))
+    assigned = k.select(
+        F.expr(_ch_case(_ch_ring(_CH_SHARDS_A), "spark")).alias("shard_a"),
+        F.expr(_ch_case(_ch_ring(_CH_SHARDS_B), "spark")).alias("shard_b"),
+    )
+    return (
+        assigned.groupBy("shard_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_b") != F.col("shard_a"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.expr(
+                "sum(case when shard_b <> shard_a then 1 else 0 end) * 1000"
+                " div count(1)"
+            ).alias("moved_permille"),
+        )
+        .orderBy("shard_a")
+    )
+
+
+# Hash-ring negative sampling for contrastive training: every doc
+# sits on the 2^28 md5 ring; anchor a's j-th negative is the first
+# doc CLOCKWISE of u = md5(a||'#neg'||j) (wrapping to the ring's
+# first doc) — deterministic, uniform-ish, and computable with ONE
+# sorted merge instead of per-anchor random access
+_NEG_K = 4
+_NEG_EVERY = 20  # doc_id % 20 == 0 are anchors
+
+
+@query(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, lang,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 268435456 AS r
+        FROM documents),
+    probes AS (
+        SELECT d.doc_id AS anchor_id, d.lang AS anchor_lang, j.j,
+               CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(d.doc_id AS VARCHAR),
+                    '#neg', CAST(j.j AS VARCHAR))), 1, 7)) AS BIGINT)
+                   % 268435456 AS u
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_NEG_K - 1})) AS j) j
+        WHERE d.doc_id % {_NEG_EVERY} = 0),
+    uni AS (
+        SELECT r AS pos, 0 AS is_probe, doc_id, lang,
+               NULL AS anchor_id, NULL AS anchor_lang, NULL AS j
+        FROM pos
+        UNION ALL
+        SELECT u AS pos, 1 AS is_probe, NULL, NULL,
+               anchor_id, anchor_lang, j
+        FROM probes),
+    nxt AS (
+        SELECT *,
+               FIRST_VALUE(doc_id IGNORE NULLS) OVER w AS neg_id,
+               FIRST_VALUE(lang IGNORE NULLS) OVER w AS neg_lang
+        FROM uni
+        WINDOW w AS (ORDER BY pos, is_probe DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    wrap AS (
+        SELECT doc_id AS w_id, lang AS w_lang
+        FROM pos ORDER BY r, doc_id LIMIT 1),
+    pairs AS (
+        SELECT n.anchor_id, n.anchor_lang,
+               COALESCE(n.neg_id, w.w_id) AS neg_id,
+               COALESCE(n.neg_lang, w.w_lang) AS neg_lang
+        FROM nxt n CROSS JOIN wrap w WHERE n.is_probe = 1)
+    SELECT anchor_lang,
+           COUNT(DISTINCT anchor_id) AS n_anchors,
+           COUNT(*) AS n_negatives,
+           SUM(CASE WHEN neg_id = anchor_id THEN 1 ELSE 0 END)
+               AS n_self_hits,
+           SUM(CASE WHEN neg_lang = anchor_lang THEN 1 ELSE 0 END) * 1000
+               // COUNT(*) AS same_lang_permille
+    FROM pairs GROUP BY anchor_lang ORDER BY anchor_lang
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for contrastive training, as one sorted merge:
+    each anchor document draws k = 4 deterministic negatives by hashing
+    (anchor, j) onto the md5 ring and taking the first document
+    clockwise — the in-batch-negatives alternative that works ACROSS
+    batches and replays exactly (the sampling seed is the hash, so the
+    epoch's negative set is reproducible without RNG state — the
+    sample_weighted A-RES philosophy applied to pair mining). The
+    census reports, per anchor language, the self-hit count (anchor
+    drawn as its own negative — should be ~0) and the same-language
+    collision rate in per-mille — the "false negative" rate a
+    contrastive objective actually suffers when negatives share the
+    anchor's class.
+
+    Exactness: ring positions are md5-28-bit integers; the
+    first-clockwise lookup is FIRST_VALUE(... IGNORE NULLS) over the
+    (position, probe-first) ordering — the join_asof union trick on
+    the hash axis — with the wrap-around resolved by the ring's global
+    first doc (1-row broadcast); counts exact.
+
+    Scale shape: ONE sort of |docs| + k*|anchors| rows replaces
+    k*|anchors| random lookups; at 100 TB the union range-partitions
+    by ring position (the join_asof exchange) so the merge is
+    per-partition-local with boundary carry — no per-anchor shuffle,
+    no candidate explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 7),"
+            " 16, 10) as bigint), 268435456)"
+        ).alias("r"),
+    )
+    probes = (
+        d.where(F.col("doc_id") % _NEG_EVERY == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("lang").alias("anchor_lang"),
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "pmod(cast(conv(substring(md5(concat(cast(anchor_id as"
+                " string), '#neg', cast(j as string))), 1, 7), 16, 10)"
+                " as bigint), 268435456)"
+            ),
+        )
+    )
+    uni = pos.select(
+        F.col("r").alias("pos"),
+        F.lit(0).alias("is_probe"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("bigint").alias("anchor_id"),
+        F.lit(None).cast("string").alias("anchor_lang"),
+    ).unionAll(
+        probes.select(
+            F.col("u").alias("pos"),
+            F.lit(1).alias("is_probe"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            "anchor_id",
+            "anchor_lang",
+        )
+    )
+    w = (
+        Window.orderBy(F.asc("pos"), F.desc("is_probe"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = uni.select(
+        "is_probe",
+        "anchor_id",
+        "anchor_lang",
+        F.first("doc_id", ignorenulls=True).over(w).alias("neg_id"),
+        F.first("lang", ignorenulls=True).over(w).alias("neg_lang"),
+    ).where(F.col("is_probe") == 1)
+    wrap = (
+        pos.orderBy("r", "doc_id")
+        .limit(1)
+        .select(
+            F.col("doc_id").alias("w_id"), F.col("lang").alias("w_lang")
+        )
+    )
+    pairs = nxt.crossJoin(F.broadcast(wrap)).select(
+        "anchor_id",
+        "anchor_lang",
+        F.coalesce("neg_id", "w_id").alias("neg_id"),
+        F.coalesce("neg_lang", "w_lang").alias("neg_lang"),
+    )
+    return (
+        pairs.groupBy("anchor_lang")
+        .agg(
+            F.countDistinct("anchor_id").alias("n_anchors"),
+            F.count(F.lit(1)).alias("n_negatives"),
+            F.sum(
+                F.when(F.col("neg_id") == F.col("anchor_id"), 1).otherwise(0)
+            ).alias("n_self_hits"),
+            F.expr(
+                "sum(case when neg_lang = anchor_lang then 1 else 0 end)"
+                " * 1000 div count(1)"
+            ).alias("same_lang_permille"),
+        )
+        .orderBy("anchor_lang")
+    )

@@ -253,10 +253,11 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + bytes(px)
 
 
-def make_png(width: int, height: int) -> bytes:
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
     """8-bit RGB PNG with the shared deterministic gradient
-    (r=(x*7)%256, g=(y*13)%256, b=(x+y)%256). Each scanline is filtered
-    with type ``y % 5`` — None/Sub/Up/Average/Paeth in rotation — so a
+    (r=(x*7+seed)%256, g=(y*13+seed)%256, b=(x+y+seed)%256; seed=0 is
+    the original fixture gradient). Each scanline is filtered with
+    type ``y % 5`` — None/Sub/Up/Average/Paeth in rotation — so a
     round-trip through decode_png_pixels exercises every unfilter
     branch, not just the trivial one."""
     import struct as _s
@@ -269,7 +270,13 @@ def make_png(width: int, height: int) -> bytes:
     def px_row(y: int) -> bytearray:
         row = bytearray()
         for x in range(width):
-            row += bytes(((x * 7) % 256, (y * 13) % 256, (x + y) % 256))
+            row += bytes(
+                (
+                    (x * 7 + seed) % 256,
+                    (y * 13 + seed) % 256,
+                    (x + y + seed) % 256,
+                )
+            )
         return row
 
     filtered = bytearray()
@@ -719,3 +726,212 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+# aHash (average hash) over an 8x8 block grid; 64 bits split into two
+# 32-bit BIGINT lanes (hash_hi = bits 32..63) — no 1<<63 sign trap
+_PH_GRID = 8
+_PH_HAMMING = 6  # near-dup threshold
+_PH_SEED_MOD = 251  # prime: seeds vary per doc, repeat every 251 docs
+
+
+def ahash_pixels(w: int, h: int, px: bytes) -> tuple[int, int]:
+    """Average-hash of decoded RGB pixels: luminance proxy = r+g+b per
+    pixel, 8x8 grid with block(x) = x*8//w, bit set iff the block's
+    mean luminance exceeds the image mean (cross-multiplied integers,
+    no division)."""
+    bs = [[0] * _PH_GRID for _ in range(_PH_GRID)]
+    np_ = [[0] * _PH_GRID for _ in range(_PH_GRID)]
+    total = 0
+    for y in range(h):
+        j = y * _PH_GRID // h
+        row = y * w * 3
+        for x in range(w):
+            i = x * _PH_GRID // w
+            o = row + x * 3
+            lum = px[o] + px[o + 1] + px[o + 2]
+            bs[j][i] += lum
+            np_[j][i] += 1
+            total += lum
+    tp = w * h
+    lo = hi = 0
+    for j in range(_PH_GRID):
+        for i in range(_PH_GRID):
+            b = j * _PH_GRID + i
+            if bs[j][i] * tp > total * np_[j][i]:
+                if b < 32:
+                    lo |= 1 << b
+                else:
+                    hi |= 1 << (b - 32)
+    return hi, lo
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 12 AS INT) AS w,
+               CAST(3 + doc_id % 9 AS INT) AS h,
+               CAST(doc_id % {_PH_SEED_MOD} AS INT) AS seed
+        FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+        SELECT i.doc_id, i.w, i.h,
+               (x.x * 8) // i.w AS bi, (y.y * 8) // i.h AS bj,
+               (x.x * 7 + i.seed) % 256 + (y.y * 13 + i.seed) % 256
+                   + (x.x + y.y + i.seed) % 256 AS lum
+        FROM img i,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.w - 1)) AS x) x,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.h - 1)) AS y) y),
+    blk AS (
+        SELECT doc_id, w, h, bj, bi,
+               SUM(lum) AS bsum, COUNT(*) AS bpx
+        FROM px GROUP BY doc_id, w, h, bj, bi),
+    tot AS (
+        SELECT doc_id, SUM(bsum) AS tsum, SUM(bpx) AS tpx
+        FROM blk GROUP BY doc_id),
+    bits AS (
+        SELECT b.doc_id, b.w, b.h,
+               SUM(CASE WHEN b.bsum * t.tpx > t.tsum * b.bpx
+                         AND b.bj * 8 + b.bi < 32
+                        THEN CAST(1 AS BIGINT) << CAST(b.bj * 8 + b.bi
+                                                       AS INT)
+                        ELSE 0 END) AS hash_lo,
+               SUM(CASE WHEN b.bsum * t.tpx > t.tsum * b.bpx
+                         AND b.bj * 8 + b.bi >= 32
+                        THEN CAST(1 AS BIGINT) << CAST(b.bj * 8 + b.bi - 32
+                                                       AS INT)
+                        ELSE 0 END) AS hash_hi
+        FROM blk b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id, b.w, b.h),
+    dh AS (
+        SELECT w, h, hash_hi, hash_lo, COUNT(*) AS n_copies
+        FROM bits GROUP BY w, h, hash_hi, hash_lo),
+    prs AS (
+        SELECT a.w, a.h,
+               COUNT(*) AS n_pairs,
+               SUM(CASE WHEN bit_count(CAST(xor(a.hash_hi, b.hash_hi)
+                                       AS BIGINT))
+                        + bit_count(CAST(xor(a.hash_lo, b.hash_lo)
+                                         AS BIGINT)) <= {_PH_HAMMING}
+                        THEN 1 ELSE 0 END) AS n_neardup
+        FROM dh a JOIN dh b
+          ON b.w = a.w AND b.h = a.h
+         AND (a.hash_hi < b.hash_hi
+              OR (a.hash_hi = b.hash_hi AND a.hash_lo < b.hash_lo))
+        GROUP BY a.w, a.h)
+    SELECT d.w AS width, d.h AS height,
+           SUM(d.n_copies) AS n_images,
+           COUNT(*) AS n_distinct_hash,
+           COALESCE(MIN(p.n_pairs), 0) AS n_hash_pairs,
+           COALESCE(MIN(p.n_neardup), 0) AS n_neardup_pairs
+    FROM dh d LEFT JOIN prs p ON p.w = d.w AND p.h = d.h
+    GROUP BY d.w, d.h
+    ORDER BY width, height
+    """
+
+
+@query("mm_phash_dedup", oracle=_phash_oracle())
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-hash image dedup over REAL decoded pixels: every
+    'image' document synthesizes a doc-seeded gradient PNG, decodes it
+    through the full stdlib chain (inflate + unfilter), and computes
+    the classic aHash — 8x8 block-mean luminance thresholded at the
+    image mean, 64 bits. The census groups images by dimensions and
+    counts distinct hashes plus near-duplicate hash PAIRS at Hamming
+    <= 6 — the image-side analogue of dedup_simhash_hamming, and the
+    multimodal dedup tier above mm_dedup_binary's exact-byte digest
+    (aHash survives re-encoding/minor edits; md5 does not).
+
+    Exactness: luminance is integer r+g+b off the decoded bytes; block
+    membership is integer x*8//w; the threshold is CROSS-MULTIPLIED
+    (bsum*total_px > total*block_px — no float mean); the 64-bit hash
+    lives in two 32-bit BIGINT lanes (no sign trap) and Hamming is
+    bit_count(xor) in both engines. The oracle recomputes pixels
+    arithmetically — so the hash matches only if decode reconstructs
+    every byte.
+
+    Scale shape: decode+hash is one Arrow mapInPandas stage over the
+    pruned doc_id column (scan-shaped, like mm_decode_png); the census
+    shuffles (w, h, hash) rows — 16 bytes per image; the pair join
+    runs on DISTINCT hashes per dimension bucket (bounded by the
+    256-value seed space here; by content diversity in production),
+    never on images. At 100 TB: linear decode, constant-ish census."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, width int, height int, hash_hi bigint, hash_lo bigint"
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w = int(4 + doc_id % 12)
+                h = int(3 + doc_id % 9)
+                seed = int(doc_id % _PH_SEED_MOD)
+                w2, h2, _ch, px = decode_png_pixels(make_png(w, h, seed))
+                hi, lo = ahash_pixels(w2, h2, px)
+                rows.append((int(doc_id), w2, h2, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "hash_hi", "hash_lo"],
+            )
+
+    bits = docs.mapInPandas(hash_batches, out_schema)
+    dh = bits.groupBy("width", "height", "hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    a, b = dh.alias("a"), dh.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("b.width") == F.col("a.width"))
+            & (F.col("b.height") == F.col("a.height"))
+            & (
+                (F.col("a.hash_hi") < F.col("b.hash_hi"))
+                | (
+                    (F.col("a.hash_hi") == F.col("b.hash_hi"))
+                    & (F.col("a.hash_lo") < F.col("b.hash_lo"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.width").alias("width"),
+            F.col("a.height").alias("height"),
+            (
+                F.bit_count(
+                    F.expr("a.hash_hi ^ b.hash_hi").cast("bigint")
+                )
+                + F.bit_count(
+                    F.expr("a.hash_lo ^ b.hash_lo").cast("bigint")
+                )
+            ).alias("hamming"),
+        )
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_hash_pairs"),
+            F.sum(
+                F.when(F.col("hamming") <= _PH_HAMMING, 1).otherwise(0)
+            ).alias("n_neardup_pairs"),
+        )
+    )
+    return (
+        dh.groupBy("width", "height")
+        .agg(
+            F.sum("n_copies").alias("n_images"),
+            F.count(F.lit(1)).alias("n_distinct_hash"),
+        )
+        .join(prs, ["width", "height"], "left")
+        .select(
+            "width",
+            "height",
+            "n_images",
+            "n_distinct_hash",
+            F.coalesce("n_hash_pairs", F.lit(0)).alias("n_hash_pairs"),
+            F.coalesce("n_neardup_pairs", F.lit(0)).alias(
+                "n_neardup_pairs"
+            ),
+        )
+        .orderBy("width", "height")
+    )

