@@ -202,6 +202,8 @@ OPTIONAL = [
     "shard_consistent_hash",
     "contrastive_negatives",
     "mm_phash_dedup",
+    "agg_sketch_countmin",
+    "incremental_join_maintenance",
     "ts_ewma",
 ]
 

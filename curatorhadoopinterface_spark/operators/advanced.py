@@ -1118,3 +1118,108 @@ def join_existence_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BLOOM_M).alias("m_bits"),
         F.lit(_BLOOM_K).alias("k_hashes"),
     )
+
+
+# Count-Min sketch: D=4 hash rows x W=1024 columns; md5-derived column
+# positions, estimates take the min over rows — one-sided (never
+# under-counts), the mergeable heavy-hitter counter for 100 TB streams
+_CM_D = 4
+_CM_W = 1024
+_CM_PROBE = 20
+
+
+def _cm_col(key_sql: str, d: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substring(md5(concat(cast({key_sql} as string),"
+            f" '#cm{d}')), 1, 7), 16, 10) as bigint), {_CM_W})"
+        )
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST({key_sql} AS VARCHAR),"
+        f" '#cm{d}')), 1, 7)) AS BIGINT) % {_CM_W}"
+    )
+
+
+def _cm_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cm_col('l_partkey', d, 'duck')} AS col"
+        f" FROM lineitem"
+        for d in range(_CM_D)
+    )
+    probe_est = " UNION ALL ".join(
+        f"SELECT p.l_partkey, s.cnt FROM probe p JOIN sk s"
+        f" ON s.d = {d} AND s.col = {_cm_col('p.l_partkey', d, 'duck')}"
+        for d in range(_CM_D)
+    )
+    return f"""
+    WITH exact AS (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey),
+    probe AS (
+        SELECT l_partkey, n FROM exact
+        ORDER BY n DESC, l_partkey LIMIT {_CM_PROBE}),
+    cells AS ({cells}),
+    sk AS (SELECT d, col, COUNT(*) AS cnt FROM cells GROUP BY d, col),
+    est AS (
+        SELECT l_partkey, MIN(cnt) AS estimate
+        FROM ({probe_est}) GROUP BY l_partkey)
+    SELECT p.l_partkey, p.n AS exact_count, e.estimate,
+           e.estimate >= p.n AS never_undercounts,
+           (e.estimate - p.n) * 1000 // p.n AS over_permille
+    FROM probe p JOIN est e USING (l_partkey)
+    ORDER BY p.n DESC, p.l_partkey
+    """
+
+
+@query("agg_sketch_countmin", oracle=_cm_oracle())
+def agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch (Cormode-Muthukrishnan) with its guarantee
+    hash-checked: a D=4 x W=1024 counter array over the part-key
+    stream, probed at the 20 true heavy hitters — every estimate must
+    satisfy estimate >= exact (never_undercounts TRUE in the compared
+    output; a CM can only over-count on collisions) and the census
+    reports the collision inflation in per-mille. Completes the sketch
+    shelf: HLL (distinct), theta (set ops), GK (quantiles), Bloom
+    (membership), CM (frequencies) — the five constant-memory answers
+    a 100 TB pipeline substitutes for exact state.
+
+    Exactness: column positions are md5-28-bit integers mod W in both
+    engines; sketch cells and estimates are exact integer counts; the
+    probe set is the exact top-20 with a deterministic (count DESC,
+    key) tie-break.
+
+    Scale shape: the sketch build is ONE pass — the D-way explode
+    partial-aggregates map-side into at most D*W = 4096 cells
+    (constant exchange at any corpus size; this is the point of CM);
+    the exact side here exists only to verify the probes and is
+    partial-agged on the key; estimates join the 20-row probe set
+    against the 4096-cell sketch (both broadcast-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    probe = exact.orderBy(F.desc("n"), F.asc("l_partkey")).limit(_CM_PROBE)
+    cells = None
+    for d in range(_CM_D):
+        part = li.select(
+            F.lit(d).alias("d"),
+            F.expr(_cm_col("l_partkey", d, "spark")).alias("col"),
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sk = cells.groupBy("d", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    est = None
+    for d in range(_CM_D):
+        part = probe.join(
+            F.broadcast(sk.where(F.col("d") == d)),
+            F.expr(_cm_col("l_partkey", d, "spark")) == F.col("col"),
+        ).select("l_partkey", "cnt")
+        est = part if est is None else est.unionAll(part)
+    est = est.groupBy("l_partkey").agg(F.min("cnt").alias("estimate"))
+    return (
+        probe.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("n").alias("exact_count"),
+            "estimate",
+            (F.col("estimate") >= F.col("n")).alias("never_undercounts"),
+            F.expr("(estimate - n) * 1000 div n").alias("over_permille"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("l_partkey"))
+    )

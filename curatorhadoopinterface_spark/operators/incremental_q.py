@@ -309,3 +309,86 @@ def incremental_provide_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_views").alias("total_views"),
         )
     )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    WITH full_v AS (
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment)
+    SELECT c_mktsegment, n, revenue,
+           TRUE AS counts_match, TRUE AS revenue_matches
+    FROM full_v ORDER BY c_mktsegment
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of a join view — the A22 staleness model
+    applied to a materialized orders-by-segment rollup: the engine
+    materializes the view over the orders BEFORE a cutoff date, then a
+    "new batch" (orders at/after the cutoff) arrives and is maintained
+    in DELTA form — join only the delta against the customer dimension
+    and merge distributive partials (count adds, DECIMAL sum adds) —
+    never re-touching the historical fact rows. The result is compared
+    IN-QUERY against a full recompute: counts_match / revenue_matches
+    must read TRUE, and the oracle pins both the values and the flags
+    (a drifting delta-merge fails the hash; the A19 re-verification
+    discipline applied to view maintenance).
+
+    Exactness: revenue in exact DECIMAL(18,2) on both paths before the
+    final 2dp round (the flagship_pricing_summary policy), so
+    delta-merge order cannot drift a cent; counts are integers.
+
+    Scale shape: the maintained path joins ONLY |delta| fact rows
+    against the broadcast-able dimension and merges |segments|-row
+    partials — at 100 TB/day this is the difference between touching
+    a day and touching a decade; the full recompute exists here as
+    the verification rung (in production it's the A19 audit run, not
+    the steady state)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = "1996-01-01"
+
+    def rollup(orders):
+        return (
+            orders.join(c, orders["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("rev_dec"),
+            )
+        )
+    matview = rollup(o.where(F.col("o_orderdate") < cutoff))
+    delta = rollup(o.where(F.col("o_orderdate") >= cutoff))
+    maintained = (
+        matview.unionAll(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_m"),
+            F.sum("rev_dec").alias("rev_m"),
+        )
+    )
+    full_v = rollup(o).select(
+        "c_mktsegment",
+        F.col("n").alias("n_f"),
+        F.col("rev_dec").alias("rev_f"),
+    )
+    return (
+        full_v.join(maintained, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("n_f").alias("n"),
+            F.round(F.col("rev_f"), 2).cast("double").alias("revenue"),
+            (F.col("n_f") == F.col("n_m")).alias("counts_match"),
+            (F.col("rev_f") == F.col("rev_m")).alias("revenue_matches"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -184,3 +184,26 @@ def test_phash_census_counts_consistent(spark):
         assert r.n_neardup_pairs <= r.n_hash_pairs
         expected_pairs = r.n_distinct_hash * (r.n_distinct_hash - 1) // 2
         assert r.n_hash_pairs == expected_pairs
+
+
+def test_countmin_guarantee_on_every_probe(spark):
+    from curatorhadoopinterface_spark.operators.advanced import (
+        agg_sketch_countmin,
+    )
+
+    rows = agg_sketch_countmin(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.never_undercounts  # CM can only over-count
+        assert r.estimate >= r.exact_count
+        assert r.over_permille >= 0
+
+
+def test_ivm_delta_merge_equals_recompute(spark):
+    from curatorhadoopinterface_spark.operators.incremental_q import (
+        incremental_join_maintenance,
+    )
+
+    rows = incremental_join_maintenance(spark, SF).collect()
+    assert rows
+    assert all(r.counts_match and r.revenue_matches for r in rows)

@@ -815,6 +815,15 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # count-min: D-way explode partial-aggs into <=4096 cells; probe
+    # joins are broadcast against the tiny sketch
+    "agg_sketch_countmin": {"partial": True, "no_bnlj": False,
+                            "prune": ["l_comment", "l_quantity"],
+                            "require": [r"BroadcastHashJoin"]},
+    # IVM: delta join + partial merge; dimension side broadcast-able,
+    # both paths partial-agged
+    "incremental_join_maintenance": {"partial": True, "no_bnlj": False,
+                                     "prune": ["o_comment", "c_comment"]},
     # consistent-hash ring: two CASE lookups map-side, one groupBy
     "shard_consistent_hash": {"partial": True,
                               "prune": ["text", "lang", "source"],
