@@ -204,6 +204,8 @@ OPTIONAL = [
     "mm_phash_dedup",
     "agg_sketch_countmin",
     "incremental_join_maintenance",
+    "score_time_decay",
+    "bitmap_index_overlap",
     "ts_ewma",
 ]
 

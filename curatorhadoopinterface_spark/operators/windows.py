@@ -705,3 +705,70 @@ def ts_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DECAY_MAX_SHIFT = 40  # cents >> 40 is always 0 at these magnitudes
+_DECAY_TOP = 15
+
+
+@query(
+    "score_time_decay",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    scored AS (
+        SELECT o.o_custkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               // (CAST(1 AS BIGINT) <<
+                   CAST(LEAST(DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(a.mx AS DATE)) // 7,
+                              {_DECAY_MAX_SHIFT}) AS INT)) AS decayed,
+               o.o_orderdate
+        FROM orders o CROSS JOIN anchor a)
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           SUM(decayed) AS decayed_cents,
+           MAX(o_orderdate) AS last_order
+    FROM scored
+    GROUP BY o_custkey
+    ORDER BY decayed_cents DESC, o_custkey
+    LIMIT {_DECAY_TOP}
+    """,
+)
+def score_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED customer scoring with exact halving weights: each
+    order contributes its revenue halved once per week of age (anchor
+    = the corpus' newest order date), so the score is a recency-
+    weighted lifetime value — the feature-engineering staple behind
+    churn/propensity models, in the exact-integer idiom: cents >>
+    weeks is a floor-division by a power of two, bit-identical in
+    both engines, no float decay factor to drift (the ts_ewma
+    discipline applied per-entity instead of per-day).
+
+    Scale shape: the anchor is a 1-row broadcast; decay is a per-row
+    scalar; the per-customer rollup partial-aggregates before its
+    exchange and the top-15 is a TakeOrdered — no global sort, no
+    window over the corpus. At 100 TB the decay shift also acts as a
+    natural sparsifier: rows older than ~40 half-lives contribute
+    exactly 0 and can be pruned at scan time with a date predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    scored = o.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            f" div shiftleft(1L, cast(least("
+            f"datediff(cast(mx as date), cast(o_orderdate as date)) div 7,"
+            f" {_DECAY_MAX_SHIFT}) as int))"
+        ).alias("decayed"),
+    )
+    return (
+        scored.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("decayed").alias("decayed_cents"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy(F.desc("decayed_cents"), F.asc("o_custkey"))
+        .limit(_DECAY_TOP)
+    )

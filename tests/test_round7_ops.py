@@ -207,3 +207,46 @@ def test_ivm_delta_merge_equals_recompute(spark):
     rows = incremental_join_maintenance(spark, SF).collect()
     assert rows
     assert all(r.counts_match and r.revenue_matches for r in rows)
+
+
+def test_time_decay_orders_by_recency_weighted_value(spark):
+    from curatorhadoopinterface_spark.operators.windows import (
+        score_time_decay,
+    )
+
+    rows = score_time_decay(spark, SF).collect()
+    assert len(rows) == 15
+    scores = [r.decayed_cents for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_bitmap_overlap_is_exact_set_algebra(spark):
+    """Cross-check one pair's popcount intersection against a direct
+    distinct-join count."""
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.operators.advanced import (
+        bitmap_index_overlap,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    rows = bitmap_index_overlap(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) segment pairs
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    r0 = rows[0]
+    truth = (
+        base.where(F.col("seg") == r0.seg_a)
+        .select("p")
+        .intersect(base.where(F.col("seg") == r0.seg_b).select("p"))
+        .count()
+    )
+    assert r0.n_common == truth

@@ -815,6 +815,16 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # time-decay: 1-row anchor broadcast BNLJ (intended); rollup
+    # partial-aggs; TakeOrdered, no global sort
+    "score_time_decay": {"partial": True, "no_bnlj": False,
+                         "prune": ["o_comment", "o_orderstatus"],
+                         "require": [r"TakeOrderedAndProject"]},
+    # bitmap index: distinct members partial-agg, then word-equi join
+    # of packed bitmaps; member rows never pairwise-joined
+    "bitmap_index_overlap": {"partial": True, "no_bnlj": False,
+                             "prune": ["l_comment", "c_comment"],
+                             "forbid": [r"CartesianProduct"]},
     # count-min: D-way explode partial-aggs into <=4096 cells; probe
     # joins are broadcast against the tiny sketch
     "agg_sketch_countmin": {"partial": True, "no_bnlj": False,
