@@ -206,6 +206,7 @@ OPTIONAL = [
     "incremental_join_maintenance",
     "score_time_decay",
     "bitmap_index_overlap",
+    "ts_theilsen_trend",
     "ts_ewma",
 ]
 

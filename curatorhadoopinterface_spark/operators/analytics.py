@@ -2782,3 +2782,90 @@ def graph_kcore(
     for c in rounds[1:]:
         out = out.unionAll(c)
     return out.orderBy("round")
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY day),
+    pairs AS (
+        SELECT (b.rev_cents - a.rev_cents) * 1000
+               // DATE_DIFF('day', a.day, b.day) AS slope_milli
+        FROM daily a JOIN daily b ON b.day > a.day),
+    ranked AS (
+        SELECT slope_milli,
+               ROW_NUMBER() OVER (ORDER BY slope_milli) AS rk,
+               COUNT(*) OVER () AS n
+        FROM pairs),
+    med AS (
+        SELECT slope_milli AS median_slope_milli, n AS n_pairs
+        FROM ranked WHERE rk = (n + 1) // 2),
+    spn AS (
+        SELECT COUNT(*) AS n_days,
+               MIN(day) AS first_day, MAX(day) AS last_day
+        FROM daily)
+    SELECT s.n_days, m.n_pairs, m.median_slope_milli,
+           s.first_day, s.last_day
+    FROM spn s CROSS JOIN med m
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend over daily revenue: the median of all
+    pairwise day-to-day slopes — the estimator that shrugs off the
+    outlier days OLS bends toward (29% breakdown point), and the
+    third member of the trend shelf (ts_decompose's moving average,
+    ts_ewma's level, Theil-Sen's robust slope). Emits the lower-median
+    slope in integer milli-cents/day plus the span census.
+
+    Exactness: slopes quantize to integer milli-cents/day (dc*1000 div
+    dd, denominator always > 0) BEFORE ranking, so the median
+    selection is a pure integer rank pick — no double comparison can
+    flip it; lower median at even counts keeps the answer a value
+    that actually occurs.
+
+    Scale shape: the corpus collapses to the partial-agged (day)
+    rollup FIRST; the pairwise join is days x days — bounded by the
+    CALENDAR, not by volume (2.4k days -> ~3M pairs at any corpus
+    size), the same days-sized-relation argument as ts_decompose's
+    windows. The rank runs once over the pair relation."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.expr(
+            "(b.rev_cents - a.rev_cents) * 1000"
+            " div datediff(b.day, a.day)"
+        ).alias("slope_milli")
+    )
+    ranked = pairs.select(
+        "slope_milli",
+        F.row_number().over(Window.orderBy("slope_milli")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    med = ranked.where(F.expr("rk = (n + 1) div 2")).select(
+        F.col("slope_milli").alias("median_slope_milli"),
+        F.col("n").alias("n_pairs"),
+    )
+    spn = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+    return spn.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "median_slope_milli", "first_day", "last_day"
+    )

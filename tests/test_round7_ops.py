@@ -250,3 +250,14 @@ def test_bitmap_overlap_is_exact_set_algebra(spark):
         .count()
     )
     assert r0.n_common == truth
+
+
+def test_theilsen_median_is_an_occurring_slope(spark):
+    from curatorhadoopinterface_spark.operators.analytics import (
+        ts_theilsen_trend,
+    )
+
+    r = ts_theilsen_trend(spark, SF).collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert r.first_day < r.last_day
+    assert isinstance(r.median_slope_milli, int)

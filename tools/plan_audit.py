@@ -815,6 +815,10 @@ AUDITS: dict[str, dict] = {
     "diag_column_stats": {"partial": True,
                           "prune": ["l_comment", "l_suppkey"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # theil-sen: corpus -> (day) rollup first; the pairwise join is
+    # days x days (calendar-bounded); median is one rank pass
+    "ts_theilsen_trend": {"partial": True, "no_bnlj": False,
+                          "prune": ["o_comment", "o_custkey"]},
     # time-decay: 1-row anchor broadcast BNLJ (intended); rollup
     # partial-aggs; TakeOrdered, no global sort
     "score_time_decay": {"partial": True, "no_bnlj": False,
