@@ -130,13 +130,27 @@ def main() -> int:
         i = args.index("--limit")
         limit = int(args[i + 1])
         del args[i : i + 2]
+    only = None  # --only a b c: catch-up mode, merges into --out
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1 :]
+        del args[i:]
     sf_dir = args[0] if args else "/tmp/sf10_seed42"
     t0 = time.time()
 
     import __spark_entry__ as m
 
     all_names = sorted(m.queries())
-    tier23 = set(FINGERPRINT) | set(ENGINE_CHECK) | set(EXCLUDED)
+    fp_names = dict(FINGERPRINT)
+    ec_names = dict(ENGINE_CHECK)
+    ex_names = dict(EXCLUDED)
+    if only is not None:
+        keep = set(only)
+        all_names = [n for n in all_names if n in keep]
+        fp_names = {k: v for k, v in fp_names.items() if k in keep}
+        ec_names = {k: v for k, v in ec_names.items() if k in keep}
+        ex_names = {k: v for k, v in ex_names.items() if k in keep}
+    tier23 = set(fp_names) | set(ec_names) | set(ex_names)
     strict = [n for n in all_names if n not in tier23]
     if limit is not None:
         strict = strict[:limit]
@@ -145,8 +159,8 @@ def main() -> int:
 
     print(
         f"sweeping {len(all_names)} queries at {sf_dir}: "
-        f"{len(strict)} strict, {len(FINGERPRINT)} fingerprint, "
-        f"{len(ENGINE_CHECK)} invariant, {len(EXCLUDED)} reasoned-excluded",
+        f"{len(strict)} strict, {len(fp_names)} fingerprint, "
+        f"{len(ec_names)} invariant, {len(ex_names)} reasoned-excluded",
         flush=True,
     )
 
@@ -182,33 +196,37 @@ def main() -> int:
                 print(f"[FAIL] {name} — no verdict line", flush=True)
 
     # ---- tier 2: aggregate fingerprints ----
-    text = _run(
-        [
-            sys.executable,
-            "-u",
-            "tools/verify_fingerprint.py",
-            sf_dir,
-            *FINGERPRINT,
-        ]
+    text = (
+        _run(
+            [
+                sys.executable,
+                "-u",
+                "tools/verify_fingerprint.py",
+                sf_dir,
+                *fp_names,
+            ]
+        )
+        if fp_names
+        else ""
     )
     for ln in text.splitlines():
         mt = PASS_RE.match(ln)
         if not mt:
             continue
         status, name = mt.group(1), mt.group(2)
-        if name not in FINGERPRINT:
+        if name not in fp_names:
             continue
         sec = SEC_RE.search(ln)
         per_query[name] = {
             "status": "PASS-fingerprint" if status == "PASS" else "FAIL",
             "tier": "fingerprint",
             "sec": float(sec.group(1)) if sec else None,
-            "reason": FINGERPRINT[name],
+            "reason": fp_names[name],
         }
         if status == "FAIL":
             per_query[name]["detail"] = ln[:500]
         print(f"[{per_query[name]['status']}] {name}", flush=True)
-    for name in FINGERPRINT:
+    for name in fp_names:
         if name not in per_query:
             per_query[name] = {
                 "status": "FAIL",
@@ -218,9 +236,14 @@ def main() -> int:
             print(f"[FAIL] {name} — no fingerprint verdict", flush=True)
 
     # ---- tier 3: in-engine invariant blocks ----
-    blocks = sorted({b for b, _ in ENGINE_CHECK.values()})
-    text = _run(
-        [sys.executable, "-u", "tools/engine_check_sf10.py", sf_dir, *blocks]
+    blocks = sorted({b for b, _ in ec_names.values()})
+    text = (
+        _run(
+            [sys.executable, "-u", "tools/engine_check_sf10.py",
+             sf_dir, *blocks]
+        )
+        if blocks
+        else ""
     )
     block_ok = {}
     for b in blocks:
@@ -228,7 +251,7 @@ def main() -> int:
         # zero failures; engine_check prints per-assert [ok]/[FAIL]
         block_ok[b] = f"... {b} block took" in text
     tally_ok = bool(re.search(r"engine-check: \d+ pass, 0 fail", text))
-    for name, (block, reason) in ENGINE_CHECK.items():
+    for name, (block, reason) in ec_names.items():
         ok = tally_ok and block_ok.get(block, False)
         per_query[name] = {
             "status": "PASS-invariant" if ok else "FAIL",
@@ -240,7 +263,7 @@ def main() -> int:
         print(f"[{per_query[name]['status']}] {name}", flush=True)
 
     # ---- reasoned exclusions ----
-    for name, reason in EXCLUDED.items():
+    for name, reason in ex_names.items():
         per_query[name] = {
             "status": "EXCLUDED",
             "tier": "excluded",
@@ -263,6 +286,25 @@ def main() -> int:
         "excluded_reasoned": statuses.count("EXCLUDED"),
         "fail": statuses.count("FAIL"),
     }
+    # catch-up merge: keep prior results for names outside --only
+    if only is not None:
+        import os
+
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                prior = json.load(fh)
+            merged = dict(prior.get("per_query", {}))
+            merged.update(per_query)
+            per_query = merged
+            statuses = [v["status"] for v in per_query.values()]
+            tally = {
+                "n_queries": len(per_query),
+                "pass_strict": statuses.count("PASS"),
+                "pass_fingerprint": statuses.count("PASS-fingerprint"),
+                "pass_invariant": statuses.count("PASS-invariant"),
+                "excluded_reasoned": statuses.count("EXCLUDED"),
+                "fail": statuses.count("FAIL"),
+            }
     artifact = {
         "sf_dir": sf_dir,
         "elapsed_sec": round(time.time() - t0, 1),
