@@ -2184,12 +2184,12 @@ def _ch_ring(n_shards: int) -> list[tuple[int, int]]:
 
 def _ch_case(ring: list[tuple[int, int]], dialect: str) -> str:
     """Ring lookup as a CASE over sorted cut points: key h goes to the
-    first vnode clockwise (position >= h), wrapping to ring[0]."""
-    whens = "".join(
-        f" WHEN h <= {pos} THEN {shard}" for pos, shard in ring
-    )
-    kw = "CASE" if dialect == "duck" else "case"
-    return f"{kw}{whens} ELSE {ring[0][1]} END".lower() if dialect == "spark" else f"CASE{whens} ELSE {ring[0][1]} END"
+    first vnode clockwise (position >= h), wrapping to ring[0].
+    CASE syntax is dialect-identical; dialect is kept for symmetry
+    with the other dual-engine fragment builders."""
+    del dialect
+    whens = "".join(f" WHEN h <= {pos} THEN {shard}" for pos, shard in ring)
+    return f"CASE{whens} ELSE {ring[0][1]} END"
 
 
 _CH_H_SPARK = (
