@@ -2299,11 +2299,11 @@ _NEG_EVERY = 20  # doc_id % 20 == 0 are anchors
         FROM probes),
     nxt AS (
         SELECT *,
-               FIRST_VALUE(doc_id IGNORE NULLS) OVER w AS neg_id,
-               FIRST_VALUE(lang IGNORE NULLS) OVER w AS neg_lang
+               LAST_VALUE(doc_id IGNORE NULLS) OVER w AS neg_id,
+               LAST_VALUE(lang IGNORE NULLS) OVER w AS neg_lang
         FROM uni
-        WINDOW w AS (ORDER BY pos, is_probe DESC
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        WINDOW w AS (ORDER BY pos DESC, is_probe
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     wrap AS (
         SELECT doc_id AS w_id, lang AS w_lang
         FROM pos ORDER BY r, doc_id LIMIT 1),
@@ -2389,16 +2389,22 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_lang",
         )
     )
+    # DESCENDING running frame: Spark evaluates UNBOUNDED PRECEDING ->
+    # CURRENT ROW incrementally (O(n)), while CURRENT -> UNBOUNDED
+    # FOLLOWING re-scans the tail per row (O(n^2) — measured as a
+    # 1h+ hang at sf10's 900k union rows before this rewrite). Scanning
+    # the ring from high to low, the LAST doc seen is exactly the
+    # first-clockwise doc of every probe passed on the way down.
     w = (
-        Window.orderBy(F.asc("pos"), F.desc("is_probe"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.orderBy(F.desc("pos"), F.asc("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     nxt = uni.select(
         "is_probe",
         "anchor_id",
         "anchor_lang",
-        F.first("doc_id", ignorenulls=True).over(w).alias("neg_id"),
-        F.first("lang", ignorenulls=True).over(w).alias("neg_lang"),
+        F.last("doc_id", ignorenulls=True).over(w).alias("neg_id"),
+        F.last("lang", ignorenulls=True).over(w).alias("neg_lang"),
     ).where(F.col("is_probe") == 1)
     wrap = (
         pos.orderBy("r", "doc_id")
