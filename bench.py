@@ -208,6 +208,15 @@ OPTIONAL = [
     "bitmap_index_overlap",
     "ts_theilsen_trend",
     "ts_ewma",
+    "skyline_pareto",
+    "benford_digit_audit",
+    "stats_bootstrap_ci",
+    "winsorize_stats",
+    "drift_ks_test",
+    "ml_tree_split",
+    "calibration_ece",
+    "feature_pit_trailing",
+    "text_ngram_novelty",
 ]
 
 N_RUNS = 3

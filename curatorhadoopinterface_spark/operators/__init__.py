@@ -39,6 +39,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.curation",
     "curatorhadoopinterface_spark.operators.mlops",
     "curatorhadoopinterface_spark.operators.retrieval",
+    "curatorhadoopinterface_spark.operators.stats",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

@@ -921,6 +921,56 @@ AUDITS: dict[str, dict] = {
                                   "require": [r"ShuffledHashJoin"],
                                   "prune": ["lang", "source", "n_chars"],
                                   "forbid": [r"CartesianProduct"]},
+    # skyline: corpus -> per-price max partial-agg; frontier window over
+    # distinct prices; tiny frontier broadcast back — no pairwise join
+    "skyline_pareto": {"partial": True, "broadcast": True,
+                       "prune": ["p_name", "p_brand", "p_type"],
+                       "forbid": [r"CartesianProduct",
+                                  r"SortMergeJoin"]},
+    # benford: one scan into a <=9-group partial agg; share window over
+    # the census only
+    "benford_digit_audit": {"partial": True,
+                            "prune": ["o_comment", "o_custkey",
+                                      "o_orderstatus"],
+                            "forbid": [r"CartesianProduct", r"Join"]},
+    # bootstrap: constant 32x explode partial-aggs into 32 groups before
+    # the exchange; rank over 32 rows; 1-row point estimate broadcast
+    "stats_bootstrap_ci": {"partial": True, "no_bnlj": False,
+                           "prune": ["o_comment", "o_orderstatus",
+                                     "o_orderdate"],
+                           "forbid": [r"CartesianProduct",
+                                      r"SortMergeJoin"]},
+    # winsorize: corpus -> (flag, cents) value histogram partial-agg;
+    # windows + 3-row threshold broadcast over the domain-sized relation
+    "winsorize_stats": {"partial": True, "broadcast": True,
+                        "prune": ["l_comment", "l_quantity", "l_discount"],
+                        "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
+    # KS: both sample counts in ONE partial-agged histogram pass (no
+    # join between samples); CDF window over distinct values
+    "drift_ks_test": {"partial": True,
+                      "prune": ["text", "doc_id", "source"],
+                      "forbid": [r"CartesianProduct", r"Join"]},
+    # tree split: one partial-agged label histogram (50 quantity
+    # levels); cumulative + argmin over the domain-sized relation
+    "ml_tree_split": {"partial": True,
+                      "prune": ["l_comment", "l_extendedprice"],
+                      "forbid": [r"CartesianProduct", r"Join"]},
+    # ECE: 1-row max-date anchor broadcast (deliberate BNLJ, the
+    # score_time_decay pattern); <=10-bin partial agg
+    "calibration_ece": {"partial": True, "no_bnlj": False,
+                        "prune": ["o_comment", "o_totalprice"],
+                        "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
+    # PIT features: ONE custkey exchange shared by both range frames
+    # (same Window node); top-100 via TakeOrdered, no global sort
+    "feature_pit_trailing": {"prune": ["o_comment", "o_orderstatus",
+                                       "o_orderpriority"],
+                             "require": [r"TakeOrderedAndProject"],
+                             "forbid": [r"CartesianProduct", r"Join"]},
+    # novelty: explode -> ONE partial-agged groupBy on the shingle (MIN
+    # combines map-side; skew-safe), then doc-sized equi join back
+    "text_ngram_novelty": {"partial": True,
+                           "prune": ["lang", "n_chars"],
+                           "forbid": [r"CartesianProduct"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
