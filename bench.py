@@ -217,6 +217,11 @@ OPTIONAL = [
     "calibration_ece",
     "feature_pit_trailing",
     "text_ngram_novelty",
+    "drift_psi",
+    "conformal_threshold",
+    "sample_coherent",
+    "graph_community_lpa",
+    "privacy_dp_median",
 ]
 
 N_RUNS = 3

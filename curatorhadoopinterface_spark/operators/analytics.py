@@ -2869,3 +2869,139 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spn.crossJoin(F.broadcast(med)).select(
         "n_days", "n_pairs", "median_slope_milli", "first_day", "last_day"
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """3 unrolled synchronous label-propagation rounds; each round's
+    relabel is (count DESC, label ASC) over neighbor labels — the
+    deterministic LPA tie-break both engines replay identically."""
+    parts = [
+        """
+    WITH basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.p AS p1, b.p AS p2
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+    und AS MATERIALIZED (
+        SELECT p1 AS src, p2 AS dst FROM edges
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM edges),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{r} AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+             FROM und e JOIN l{r - 1} l ON e.dst = l.node
+             GROUP BY e.src, l.label),
+    l{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                       ORDER BY c DESC, label) AS rk
+            FROM c{r}) t WHERE rk = 1)"""
+        )
+    rows = " UNION ALL ".join(
+        f"""
+    SELECT {r} AS round,
+           (SELECT COUNT(*) FROM l{r} j JOIN l{r - 1} p
+             ON j.node = p.node AND j.label <> p.label) AS n_changed,
+           (SELECT COUNT(DISTINCT label) FROM l{r}) AS n_comms"""
+        for r in range(1, _LPA_ROUNDS + 1)
+    )
+    return "".join(parts) + rows + " ORDER BY round"
+
+
+@query("graph_community_lpa", oracle=_lpa_oracle())
+def graph_community_lpa(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """LABEL-PROPAGATION community detection (Raghavan et al.) over the
+    co-purchase graph, 3 unrolled SYNCHRONOUS rounds: every node adopts
+    its neighbors' most frequent label (count DESC, then MIN label —
+    an injective tie-break, so both engines relabel identically).
+    Complements dedup_clusters' connected components: LPA finds DENSE
+    communities inside a component, the structure mixture/dedup
+    policies act on. Census per round: labels changed + distinct
+    communities — convergence is SHOWN, not asserted (the graph_kcore
+    discipline).
+
+    Exactness: labels are node ids, counts are integers, the relabel
+    rank is injective — no float anywhere.
+
+    Scale shape: pair-gen shares graph_triangles' order-bounded basket
+    self-join and runs ONCE (checkpointed, so round r never replays
+    rounds 1..r-1 — the graph_pagerank unroll discipline); each round
+    is one keyed equi join (edge dst -> label) into one partial-agged
+    (node, label) count exchange and a per-node rank. Per-round cost
+    is |edges| regardless of round number; rounds are a constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("p1", "p2")
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
+    und = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=False)
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        cand = (
+            und.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new_labels = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(
+                        F.desc("c"), F.asc("label")
+                    )
+                ),
+            )
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("j")
+            .join(labels.alias("p"), "node")
+            .where(F.col("j.label") != F.col("p.label"))
+            .agg(F.count(F.lit(1)).alias("n_changed"))
+        )
+        comms = new_labels.agg(
+            F.countDistinct("label").alias("n_comms")
+        )
+        rounds.append(
+            changed.crossJoin(F.broadcast(comms)).select(
+                F.lit(r).alias("round"), "n_changed", "n_comms"
+            )
+        )
+        labels = new_labels
+    out = rounds[0]
+    for c in rounds[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("round")

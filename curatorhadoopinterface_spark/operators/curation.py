@@ -2434,3 +2434,117 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_lang")
     )
+
+
+# DP median: the seeded 28-bit uniforms are Python-computed constants
+# (md5('dpmedian6#a'/'#b') first 7 hex chars) inlined into BOTH engines;
+# the geometric tail count runs in-query on the same power-of-two
+# lattice as privacy_dp_count.
+_DPM_U_A = 237218170
+_DPM_U_B = 37988488
+
+
+@query(
+    "privacy_dp_median",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY cents),
+    cum AS (
+        SELECT cents,
+               SUM(cnt) OVER (ORDER BY cents) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist),
+    ranks AS (
+        SELECT *,
+               (n + 1) // 2 AS true_rank,
+               {_dp_geom(str(_DPM_U_A), 'duck')}
+                 - {_dp_geom(str(_DPM_U_B), 'duck')} AS noise
+        FROM cum),
+    picked AS (
+        SELECT MAX(n) AS n, MAX(true_rank) AS true_rank, MAX(noise) AS noise,
+               LEAST(GREATEST(MAX(true_rank) + MAX(noise), 1), MAX(n))
+                   AS noisy_rank,
+               MIN(CASE WHEN cum >= true_rank THEN cents END)
+                   AS true_median_cents,
+               MIN(CASE WHEN cum >=
+                   LEAST(GREATEST(true_rank + noise, 1), n)
+                   THEN cents END) AS dp_median_cents
+        FROM ranks)
+    SELECT n, true_rank, noise, noisy_rank, true_median_cents,
+           dp_median_cents, 693 AS epsilon_milli
+    FROM picked
+    """,
+)
+def privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN release via the noisy-rank
+    mechanism: the true median rank (n+1)//2 is perturbed with the
+    same seeded two-sided geometric noise as privacy_dp_count (discrete
+    Laplace on the 2^28 power-of-two lattice — pure integer
+    comparisons, no ln/exp to diverge between engines), clamped to
+    [1, n], and the released value is the order statistic at the noisy
+    rank — rank perturbation gives the quantile mechanism's robustness
+    (the answer is always a VALUE THAT OCCURS, and an outlier can move
+    the release by at most its rank distance). Completes the privacy
+    shelf: counts (dp_count) and now quantiles.
+
+    Exactness: the value histogram + cumulative window make the rank
+    pick a pure integer selection (the winsorize_stats discipline);
+    the seeded uniforms are Python-computed constants inlined into
+    both engines, so the release replays bit-identically. true_median
+    is emitted alongside for the A19-style audit delta; a production
+    release drops that column and swaps the seed for a secret salt.
+
+    Scale shape: one partial-agged (cents) value histogram — bounded
+    by the price domain, not the corpus; the cumulative window and the
+    rank pick run over that domain-sized relation. The DP layer is a
+    scalar expression."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("cents"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    noise_sql = (
+        _dp_geom(str(_DPM_U_A), "spark")
+        + " - "
+        + _dp_geom(str(_DPM_U_B), "spark")
+    )
+    ranks = cum.withColumn("true_rank", F.expr("(n + 1) div 2")).withColumn(
+        "noise", F.expr(noise_sql)
+    )
+    picked = ranks.agg(
+        F.max("n").alias("n"),
+        F.max("true_rank").alias("true_rank"),
+        F.max("noise").alias("noise"),
+        F.expr(
+            "least(greatest(max(true_rank) + max(noise), 1), max(n))"
+        ).alias("noisy_rank"),
+        F.min(
+            F.when(F.col("cum") >= F.col("true_rank"), F.col("cents"))
+        ).alias("true_median_cents"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr("least(greatest(true_rank + noise, 1), n)"),
+                F.col("cents"),
+            )
+        ).alias("dp_median_cents"),
+    )
+    return picked.select(
+        "n",
+        "true_rank",
+        "noise",
+        "noisy_rank",
+        "true_median_cents",
+        "dp_median_cents",
+        F.lit(693).alias("epsilon_milli"),
+    )

@@ -849,3 +849,334 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# drift_psi: population stability index in fixed point
+# --------------------------------------------------------------------------
+_PSI_BINS = 10
+
+
+@query(
+    "drift_psi",
+    oracle=f"""
+    WITH base AS (
+        SELECT n_chars AS v, doc_id % 2 AS grp FROM documents),
+    anchor AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM base),
+    binned AS (
+        SELECT LEAST({_PSI_BINS - 1},
+                     (b.v - a.vmin) * {_PSI_BINS} // (a.vmax - a.vmin + 1))
+                   AS bin,
+               CASE WHEN grp = 0 THEN 1 ELSE 0 END AS s1
+        FROM base b CROSS JOIN anchor a),
+    hist AS (
+        SELECT bin, SUM(s1) AS c1, SUM(1 - s1) AS c2
+        FROM binned GROUP BY bin),
+    tot AS (
+        SELECT bin, c1, c2,
+               c1 + 1 AS c1s, c2 + 1 AS c2s,
+               SUM(c1) OVER () + COUNT(*) OVER () AS n1s,
+               SUM(c2) OVER () + COUNT(*) OVER () AS n2s
+        FROM hist),
+    terms AS (
+        SELECT bin, c1, c2,
+               c1s * 1000000 // n1s AS p1_ppm,
+               c2s * 1000000 // n2s AS p2_ppm,
+               CAST(FLOOR(LN(
+                   (CAST(c1s AS DOUBLE) * CAST(n2s AS DOUBLE)) /
+                   (CAST(c2s AS DOUBLE) * CAST(n1s AS DOUBLE))
+               ) * 1e9) AS BIGINT) AS ln_nano
+        FROM tot)
+    SELECT bin, c1, c2, p1_ppm, p2_ppm, ln_nano,
+           SUM((p1_ppm - p2_ppm) * ln_nano) OVER () // 1000000000
+               AS psi_micro
+    FROM terms ORDER BY bin
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between two halves of the corpus
+    (even vs odd doc_id, standing in for baseline vs current ingest):
+    sum((p1-p2) * ln(p1/p2)) over 10 equal-width document-length bins —
+    the model-monitoring drift number (PSI < 0.1 stable, > 0.25 act)
+    that complements drift_ks_test's sup-norm with a mass-weighted
+    divergence. Laplace +1 smoothing keeps every present bin finite.
+
+    Exactness (the text_kl_divergence fixed-point composition): the
+    log of the smoothed odds ratio quantizes to integer nano-nats
+    FIRST (the ln argument is the identical left-associated double
+    chain in both engines), shares are integer ppm, and the PSI
+    reduction is an order-free integer sum quantized once to
+    micro-PSI at the end.
+
+    Scale shape: a 1-row min/max anchor broadcast onto the scan (the
+    calibration_ece pattern), then ONE partial-agged exchange into
+    <= 10 bins carrying both sample counts (no join between the
+    samples); every window runs over the 10-row census. Constant
+    exchange at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2).alias("grp")
+    )
+    anchor = base.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = base.crossJoin(F.broadcast(anchor)).select(
+        F.expr(
+            f"least({_PSI_BINS - 1},"
+            f" (v - vmin) * {_PSI_BINS} div (vmax - vmin + 1))"
+        ).alias("bin"),
+        F.when(F.col("grp") == 0, 1).otherwise(0).alias("s1"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum("s1").alias("c1"), F.sum(F.expr("1 - s1")).alias("c2")
+    )
+    wall = Window.partitionBy()
+    tot = (
+        hist.withColumn("c1s", F.expr("c1 + 1"))
+        .withColumn("c2s", F.expr("c2 + 1"))
+        .withColumn("n1s", F.sum("c1").over(wall) + F.count(F.lit(1)).over(wall))
+        .withColumn("n2s", F.sum("c2").over(wall) + F.count(F.lit(1)).over(wall))
+    )
+    terms = tot.select(
+        "bin",
+        "c1",
+        "c2",
+        F.expr("c1s * 1000000 div n1s").alias("p1_ppm"),
+        F.expr("c2s * 1000000 div n2s").alias("p2_ppm"),
+        F.expr(
+            "cast(floor(ln((cast(c1s as double) * cast(n2s as double)) /"
+            " (cast(c2s as double) * cast(n1s as double))) * 1e9) as bigint)"
+        ).alias("ln_nano"),
+    )
+    return (
+        terms.withColumn(
+            "psi_micro",
+            F.expr("sum((p1_ppm - p2_ppm) * ln_nano)").over(wall) / F.lit(1),
+        )
+        .withColumn("psi_micro", F.expr("cast(psi_micro as bigint) div 1000000000"))
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# conformal_threshold: split-conformal quantile + empirical coverage
+# --------------------------------------------------------------------------
+_CONF_TARGET_PPM = 900_000  # 90% nominal coverage
+
+
+def _conf_u100(key: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substring(md5(concat(cast({key} as string),"
+            f" '#cal')), 1, 12), 16, 10) as bigint), 100)"
+        )
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST({key} AS VARCHAR),"
+        f" '#cal')), 1, 12)) AS BIGINT) % 100"
+    )
+
+
+@query(
+    "conformal_threshold",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_CENTS} AS cents,
+               CASE WHEN {_conf_u100("o_orderkey", "duckdb")} < 50
+                    THEN 1 ELSE 0 END AS is_cal
+        FROM orders),
+    hist AS (
+        SELECT cents, SUM(is_cal) AS c_cal
+        FROM scored GROUP BY cents),
+    cum AS (
+        SELECT cents,
+               SUM(c_cal) OVER (ORDER BY cents) AS cum_cal,
+               SUM(c_cal) OVER () AS n_cal
+        FROM hist),
+    q AS (
+        SELECT MAX(n_cal) AS n_cal,
+               LEAST((9 * MAX(n_cal) + 18) // 10, MAX(n_cal)) AS q_rank,
+               MIN(CASE WHEN cum_cal >=
+                   LEAST((9 * n_cal + 18) // 10, n_cal)
+                   THEN cents END) AS q_hat_cents
+        FROM cum),
+    cov AS (
+        SELECT COUNT(*) AS n_test,
+               SUM(CASE WHEN s.cents <= q.q_hat_cents THEN 1 ELSE 0 END)
+                   AS n_covered
+        FROM scored s CROSS JOIN q WHERE s.is_cal = 0)
+    SELECT q.n_cal, c.n_test, q.q_rank, q.q_hat_cents,
+           c.n_covered * 1000000 // c.n_test AS coverage_ppm,
+           {_CONF_TARGET_PPM} AS target_ppm
+    FROM q CROSS JOIN cov c
+    """,
+)
+def conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL threshold calibration: a deterministic md5 coin
+    splits orders into calibration/test halves; the calibration
+    quantile at rank ceil(0.9*(n+1)) (the finite-sample-corrected
+    conformal rank, clamped to n) becomes the prediction threshold,
+    and the test half reports empirical coverage — the
+    distribution-free uncertainty wrapper every learned scorer should
+    ship with, verified A19-style against held-out data in the same
+    query.
+
+    Exactness: the split is the module's md5 recipe (seeded,
+    replayable); the quantile is a discrete order statistic from the
+    cumulative value histogram (no interpolation); coverage is integer
+    ppm. The conformal guarantee (coverage >= 90% in expectation over
+    calibration draws) is REPORTED, not asserted — a single draw may
+    under-cover by finite-sample noise, and the query's job is the
+    measurement.
+
+    Scale shape: one partial-agged (cents) value histogram carrying
+    the calibration counts (domain-bounded, the winsorize_stats
+    discipline); the threshold is a 1-row aggregate broadcast onto
+    the test-side scan. Two scans, domain-sized tail."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.when(F.expr(_conf_u100("o_orderkey", "spark")) < 50, 1)
+        .otherwise(0)
+        .alias("is_cal"),
+    )
+    hist = scored.groupBy("cents").agg(F.sum("is_cal").alias("c_cal"))
+    cum = hist.withColumn(
+        "cum_cal", F.sum("c_cal").over(Window.orderBy("cents"))
+    ).withColumn("n_cal", F.sum("c_cal").over(Window.partitionBy()))
+    q = cum.agg(
+        F.max("n_cal").alias("n_cal"),
+        F.expr("least((9 * max(n_cal) + 18) div 10, max(n_cal))").alias("q_rank"),
+        F.min(
+            F.when(
+                F.col("cum_cal")
+                >= F.expr("least((9 * n_cal + 18) div 10, n_cal)"),
+                F.col("cents"),
+            )
+        ).alias("q_hat_cents"),
+    )
+    cov = (
+        scored.where(F.col("is_cal") == 0)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("q_hat_cents"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            "n_test",
+            "q_rank",
+            "q_hat_cents",
+            F.expr("n_covered * 1000000 div n_test").alias("coverage_ppm"),
+            F.lit(_CONF_TARGET_PPM).alias("target_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_coherent: zero-coordination cross-table sampling
+# --------------------------------------------------------------------------
+_COH_PCT = 20
+
+
+def _coh_u100(key: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substring(md5(concat(cast({key} as string),"
+            f" '#coh')), 1, 12), 16, 10) as bigint), 100)"
+        )
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST({key} AS VARCHAR),"
+        f" '#coh')), 1, 12)) AS BIGINT) % 100"
+    )
+
+
+@query(
+    "sample_coherent",
+    oracle=f"""
+    WITH cs AS (
+        SELECT c_custkey,
+               CASE WHEN {_coh_u100("c_custkey", "duckdb")} < {_COH_PCT}
+                    THEN 1 ELSE 0 END AS kept
+        FROM customer),
+    os AS (
+        SELECT o_custkey,
+               CASE WHEN {_coh_u100("o_custkey", "duckdb")} < {_COH_PCT}
+                    THEN 1 ELSE 0 END AS kept
+        FROM orders),
+    orphans AS (
+        SELECT COUNT(*) AS n_orphans
+        FROM os WHERE os.kept = 1 AND os.o_custkey NOT IN
+            (SELECT c_custkey FROM cs WHERE kept = 1)),
+    c AS (SELECT COUNT(*) AS n_cust, SUM(kept) AS n_cust_s FROM cs),
+    o AS (SELECT COUNT(*) AS n_orders, SUM(kept) AS n_orders_s FROM os)
+    SELECT c.n_cust, c.n_cust_s, o.n_orders, o.n_orders_s, p.n_orphans,
+           c.n_cust_s * 1000000 // c.n_cust AS cust_share_ppm,
+           o.n_orders_s * 1000000 // o.n_orders AS order_share_ppm
+    FROM c CROSS JOIN o CROSS JOIN orphans p
+    """,
+)
+def sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHERENT cross-table sampling: customers and orders each keep
+    rows where md5(custkey)%100 < 20 — the SAME hash of the SHARED key,
+    evaluated independently per table with ZERO coordination — and the
+    query verifies A19-style that the resulting sample is referentially
+    closed (n_orphans must read 0: every sampled order's customer was
+    sampled). The debugging workhorse at 100 TB: a 20% slice of a
+    multi-table warehouse that still JOINS correctly, without shipping
+    a key list between tables.
+
+    Exactness: the keep decision is the module's md5 recipe on the
+    join key (kept iff the KEY hashes low, so FK rows agree by
+    construction); shares are integer ppm; the orphan count is an
+    exact anti-join census.
+
+    Scale shape: each table filters scan-locally (no exchange to
+    decide membership); the orphan CHECK is one keyed anti join of the
+    sampled orders against the sampled customers — the only shuffle,
+    and only over the 20% slice. At 100 TB the sample is produced by
+    two independent scans."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.expr(_coh_u100("c_custkey", "spark")) < _COH_PCT, 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.expr(_coh_u100("o_custkey", "spark")) < _COH_PCT, 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    orphans = (
+        o.where(F.col("kept") == 1)
+        .join(
+            c.where(F.col("kept") == 1).select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    cagg = c.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("kept").alias("n_cust_s")
+    )
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("kept").alias("n_orders_s")
+    )
+    return (
+        cagg.crossJoin(F.broadcast(oagg))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_cust",
+            "n_cust_s",
+            "n_orders",
+            "n_orders_s",
+            "n_orphans",
+            F.expr("n_cust_s * 1000000 div n_cust").alias("cust_share_ppm"),
+            F.expr("n_orders_s * 1000000 div n_orders").alias("order_share_ppm"),
+        )
+    )

@@ -190,3 +190,83 @@ def test_novelty_conserves_shingles_and_first_doc_wins(spark):
         .count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_psi_terms_are_smoothed_and_total_is_weighted(spark):
+    from curatorhadoopinterface_spark.operators.stats import drift_psi
+
+    rows = drift_psi(spark, SF).collect()
+    assert rows
+    psi = sum((r.p1_ppm - r.p2_ppm) * r.ln_nano for r in rows) // 10**9
+    for r in rows:
+        assert r.psi_micro == psi
+        # sign coupling: ln of the smoothed odds agrees with the share gap
+        if r.p1_ppm > r.p2_ppm:
+            assert r.ln_nano >= 0
+        # smoothing keeps every present bin finite
+        assert r.ln_nano is not None
+    # even/odd halves of one corpus: drift must read SMALL
+    assert 0 <= psi < 250_000  # < 0.25 PSI
+
+
+def test_conformal_coverage_is_consistent(spark):
+    from curatorhadoopinterface_spark.operators.stats import (
+        conformal_threshold,
+    )
+
+    r = conformal_threshold(spark, SF).collect()[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert 1 <= r.q_rank <= r.n_cal
+    assert r.target_ppm == 900_000
+    # the 90% split-conformal threshold on a homogeneous split can't
+    # stray far from nominal coverage
+    assert 850_000 <= r.coverage_ppm <= 960_000
+
+
+def test_coherent_sample_is_referentially_closed(spark):
+    from curatorhadoopinterface_spark.operators.stats import sample_coherent
+
+    r = sample_coherent(spark, SF).collect()[0]
+    assert r.n_orphans == 0  # the A19 invariant
+    assert 0 < r.n_cust_s < r.n_cust
+    assert 0 < r.n_orders_s < r.n_orders
+    # md5 is uniform: both shares near 20%
+    assert 150_000 <= r.cust_share_ppm <= 250_000
+    assert 150_000 <= r.order_share_ppm <= 250_000
+
+
+def test_lpa_monotone_census_and_stable_labels(spark):
+    from curatorhadoopinterface_spark.operators.analytics import (
+        graph_community_lpa,
+    )
+
+    rows = graph_community_lpa(spark, SF).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.n_changed >= 0 and r.n_comms >= 1
+    # communities can only merge or stabilize after round 1 on this
+    # co-purchase topology (label mass concentrates)
+    assert rows[-1].n_comms <= rows[0].n_comms
+
+
+def test_dp_median_is_an_occurring_value_at_the_noisy_rank(spark):
+    from curatorhadoopinterface_spark.operators.curation import (
+        privacy_dp_median,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+    import pyspark.sql.functions as F
+
+    r = privacy_dp_median(spark, SF).collect()[0]
+    assert r.noise == -2  # seeded lattice draw, pinned
+    assert r.noisy_rank == max(1, min(r.true_rank + r.noise, r.n))
+    assert r.epsilon_milli == 693
+    cents = sorted(
+        x[0]
+        for x in load_table(spark, SF, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        )
+        .collect()
+    )
+    assert r.true_median_cents == cents[r.true_rank - 1]
+    assert r.dp_median_cents == cents[r.noisy_rank - 1]

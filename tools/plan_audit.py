@@ -971,6 +971,35 @@ AUDITS: dict[str, dict] = {
     "text_ngram_novelty": {"partial": True,
                            "prune": ["lang", "n_chars"],
                            "forbid": [r"CartesianProduct"]},
+    # PSI: 1-row min/max anchor broadcast (deliberate BNLJ); <=10-bin
+    # partial agg carries both sample counts; windows over the census
+    "drift_psi": {"partial": True, "no_bnlj": False,
+                  "prune": ["text", "lang", "source"],
+                  "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
+    # conformal: (cents) value-histogram partial agg; 1-row threshold
+    # broadcast onto the test scan (deliberate BNLJ)
+    "conformal_threshold": {"partial": True, "no_bnlj": False,
+                            "prune": ["o_comment", "o_orderstatus",
+                                      "o_orderdate"],
+                            "forbid": [r"CartesianProduct",
+                                       r"SortMergeJoin"]},
+    # coherent sample: scan-local keep decisions; the orphan check is
+    # the only join (keyed anti over the 20% slice)
+    "sample_coherent": {"partial": True, "no_bnlj": False,
+                        "prune": ["o_comment", "c_comment", "c_acctbal"],
+                        "forbid": [r"CartesianProduct"]},
+    # LPA (audited with checkpoint=False): pair-gen is the order-bounded
+    # basket self-join; each round a keyed equi join + partial-agged
+    # (node, label) count + per-node rank
+    "graph_community_lpa": {"partial": True, "no_bnlj": False,
+                            "prune": ["l_comment", "l_quantity"],
+                            "forbid": [r"CartesianProduct"]},
+    # DP median: (cents) value-histogram partial agg; noise is a scalar
+    # expr over the domain-sized relation; no joins
+    "privacy_dp_median": {"partial": True,
+                          "prune": ["o_comment", "o_custkey",
+                                    "o_orderstatus"],
+                          "forbid": [r"CartesianProduct", r"Join"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
@@ -1131,7 +1160,8 @@ def main() -> None:
             continue
         if name in ("graph_pagerank", "pack_sequences_hier",
                     "dedup_fuzzy_edit", "dedup_minhash_recall",
-                    "graph_triangles", "graph_kcore"):
+                    "graph_triangles", "graph_kcore",
+                    "graph_community_lpa"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
