@@ -222,6 +222,7 @@ OPTIONAL = [
     "sample_coherent",
     "graph_community_lpa",
     "privacy_dp_median",
+    "mm_decode_gif",
 ]
 
 N_RUNS = 3

@@ -8,10 +8,11 @@ metadata columns; every media op is a Pandas-batched UDF over
 Arrow batches without ever materializing on the driver.
 
 The decode step is REAL for the containers the stdlib can parse —
-PPM (P6), BMP, WAV and (round 7) PNG are decoded byte-for-byte by
-``decode_media`` (PNG through full zlib inflate + scanline unfiltering,
-see ``decode_png_pixels``; width/height/channels from actual headers
-and pixel/frame data, with matching stdlib encoders for tests).
+PPM (P6), BMP, WAV and (round 7) PNG and GIF are decoded byte-for-byte
+by ``decode_media`` (PNG through full zlib inflate + scanline
+unfiltering, see ``decode_png_pixels``; GIF through a full pure-Python
+LZW codec, see ``decode_gif_pixels``; width/height/channels from actual
+headers and pixel/frame data, with matching stdlib encoders for tests).
 Codec-heavy formats (JPEG/MP4/Opus)
 still require PIL/pyav and fall back — like the fixtures' text-byte
 payloads — to the deterministic fake, which derives every "decoded"
@@ -122,7 +123,10 @@ def decode_media(payload: bytes, modality: str | None = None) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, ch, _px = decode_png_pixels(payload)
         return {"n_bytes": n, "width": w, "height": h, "channels": ch, "est_kb": est_kb}
-    raise ValueError("unrecognized media container (no PPM/BMP/WAV/PNG magic)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, _rgb = decode_gif_pixels(payload)
+        return {"n_bytes": n, "width": w, "height": h, "channels": 3, "est_kb": est_kb}
+    raise ValueError("unrecognized media container (no PPM/BMP/WAV/PNG/GIF magic)")
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
@@ -935,3 +939,259 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height")
     )
+
+
+# --------------------------------------------------------------------------
+# GIF: full LZW codec in pure stdlib (the second codec-stub closure
+# after PNG — GIF's compression is LZW, which needs no library at all)
+# --------------------------------------------------------------------------
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (GIF spec)
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavored LZW: variable code width starting at
+    min_code_size+1, growing when next_code passes the width ("early
+    change off": encoder grows at (1<<cs)+1, one code AFTER the decoder
+    grows at (1<<cs) — the standard one-code table lag), CLEAR emitted
+    and the table reset when the 12-bit space fills. Codes pack
+    LSB-first (GIF bit order)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    bits: list[tuple[int, int]] = []
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, cs = fresh()
+    bits.append((clear, cs))
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        bits.append((table[cur], cs))
+        if next_code < _GIF_MAX_CODE:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:
+            bits.append((clear, cs))
+            table, next_code, cs = fresh()
+        cur = bytes([b])
+    if cur:
+        bits.append((table[cur], cs))
+    bits.append((eoi, cs))
+    # LSB-first bit packing
+    out = bytearray()
+    acc = nbits = 0
+    for code, width in bits:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_encode — and of any spec-conforming GIF encoder:
+    handles the deferred-entry special case (code == next_code), width
+    growth at (1<<cs), table reset on CLEAR, and the 12-bit cap."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    cs = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < cs:
+            if pos >= n:
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            cs = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < clear or code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} out of sequence")
+        out += entry
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+
+
+def _gif_palette() -> bytes:
+    """256-entry deterministic palette: entry i -> (i, i*3%256, i*7%256)."""
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, (i * 3) % 256, (i * 7) % 256))
+    return bytes(pal)
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF87a with a 256-color global palette and LZW-compressed
+    indexed pixels, index(x, y) = (x*7 + y*13) % 256 — the write-side
+    twin of decode_gif_pixels (same fixture-encoder role as
+    make_png/make_ppm)."""
+    import struct
+
+    idx = bytes(
+        ((x * 7 + y * 13) % 256) for y in range(height) for x in range(width)
+    )
+    lzw = _lzw_encode(idx, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 colors
+        + _gif_palette()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)  # image descriptor
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """FULL pure-stdlib GIF decode: header + logical-screen parse,
+    global color table, image descriptor, sub-block reassembly, LZW
+    decompression (variable width, CLEAR/EOI, deferred-entry case),
+    palette expansion to RGB. Returns ``(width, height, rgb)`` with
+    ``rgb`` row-major 3 bytes/pixel. Interlace and local color tables
+    raise ValueError (wire-format variants the fixtures never produce;
+    same disclosure contract as decode_png_pixels)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w_s, h_s, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n_colors]
+        pos += 3 * n_colors
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported (stdlib decoder)")
+    if iflags & 0x80:
+        raise ValueError("local color table unsupported (stdlib decoder)")
+    if not gct:
+        raise ValueError("GIF missing global color table")
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(lzw), min_code_size)
+    if len(idx) != w * h:
+        raise ValueError("GIF pixel count mismatch after LZW decode")
+    rgb = bytearray(w * h * 3)
+    for i, v in enumerate(idx):
+        rgb[3 * i : 3 * i + 3] = gct[3 * v : 3 * v + 3]
+    return w, h, bytes(rgb)
+
+
+@query(
+    "mm_decode_gif",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(6 + doc_id % 11 AS INT) AS width,
+               CAST(4 + doc_id % 7 AS INT) AS height
+        FROM documents WHERE doc_id % 3 = 1),
+    px AS (
+        SELECT i.doc_id, i.width, i.height,
+               SUM((x.x * 7 + y.y * 13) % 256
+                   + ((x.x * 7 + y.y * 13) % 256 * 3) % 256
+                   + ((x.x * 7 + y.y * 13) % 256 * 7) % 256) AS pixel_sum
+        FROM img i,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.width - 1)) AS x) x,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(0, i.height - 1)) AS y) y
+        GROUP BY i.doc_id, i.width, i.height)
+    SELECT doc_id, width, height, 3 AS channels, pixel_sum
+    FROM px
+    """,
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, end-to-end and value-checked: for every third
+    document the engine ENCODES a deterministic indexed-color GIF
+    (make_gif — real LZW with variable code width, CLEAR resets, and
+    sub-block framing), DECODES it back through the pure-stdlib
+    chunk-walk + LZW + palette expansion (decode_gif_pixels), and emits
+    the SUM of the recovered RGB bytes. The oracle never sees a GIF: it
+    recomputes the palette-expanded gradient arithmetically over the
+    (x, y) grid — the hash matches only if every LZW branch (width
+    growth, deferred-entry case, table reset) reconstructs exact
+    indices. Second codec-stub closure after mm_decode_png; JPEG
+    remains the one disclosed stub (it genuinely needs a DCT library
+    the sandbox lacks).
+
+    Plan shape: mapInPandas over the pruned (doc_id) column — encode +
+    decode are per-row Python work in Arrow batches, zero shuffle
+    (the mm_decode_png cost model: linear in image count)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    ).select("doc_id")
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, width int, height int, channels int, pixel_sum bigint"
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w, h = int(6 + doc_id % 11), int(4 + doc_id % 7)
+                w2, h2, rgb = decode_gif_pixels(make_gif(w, h))
+                rows.append((int(doc_id), w2, h2, 3, sum(rgb)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "pixel_sum"],
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema)

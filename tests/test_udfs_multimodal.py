@@ -235,3 +235,63 @@ def test_png_rejects_interlace_and_truncation():
     # try_decode falls back to the deterministic fake instead of dying
     feats = try_decode(bytes(bad))
     assert feats["n_bytes"] == len(bad)
+
+
+def test_gif_lzw_roundtrips_with_table_reset():
+    """The LZW decoder must survive width growth to 12 bits AND a
+    mid-stream CLEAR/table reset (a 20k-byte noisy stream overflows
+    the 4096-entry space)."""
+    import random
+
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    noisy = bytes(rng.randrange(256) for _ in range(20000))
+    assert _lzw_decode(_lzw_encode(noisy)) == noisy
+    runs = b"".join(bytes([i % 17] * 50) for i in range(200))
+    assert _lzw_decode(_lzw_encode(runs)) == runs
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+
+
+def test_gif_decoder_matches_hand_packed_stream():
+    """Independent check against a HAND-built code stream (not the
+    encoder): codes CLEAR,1,2,3,4,EOI packed LSB-first at 9 bits must
+    decode to the four root pixels — pins the bit order and the
+    special codes without trusting _lzw_encode."""
+    from curatorhadoopinterface_spark.operators.multimodal import _lzw_decode
+
+    codes = [256, 1, 2, 3, 4, 257]
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    assert _lzw_decode(bytes(packed)) == bytes([1, 2, 3, 4])
+
+
+def test_gif_decode_recovers_the_exact_palette_gradient():
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_media,
+        make_gif,
+    )
+
+    w, h, rgb = decode_gif_pixels(make_gif(9, 5))
+    assert (w, h) == (9, 5)
+    expect = bytearray()
+    for y in range(5):
+        for x in range(9):
+            i = (x * 7 + y * 13) % 256
+            expect += bytes((i, (i * 3) % 256, (i * 7) % 256))
+    assert rgb == bytes(expect)
+    meta = decode_media(make_gif(9, 5))
+    assert (meta["width"], meta["height"], meta["channels"]) == (9, 5, 3)

@@ -1000,6 +1000,11 @@ AUDITS: dict[str, dict] = {
                           "prune": ["o_comment", "o_custkey",
                                     "o_orderstatus"],
                           "forbid": [r"CartesianProduct", r"Join"]},
+    # GIF encode->LZW-decode roundtrip: pruned single-column scan into
+    # one Arrow python stage, zero exchanges (the mm_decode_png shape)
+    "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
+                      "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
+                      "require": [r"MapInPandas"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
