@@ -223,6 +223,7 @@ OPTIONAL = [
     "graph_community_lpa",
     "privacy_dp_median",
     "mm_decode_gif",
+    "dedup_allpairs_prefix",
 ]
 
 N_RUNS = 3

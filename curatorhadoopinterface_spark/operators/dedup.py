@@ -1961,3 +1961,208 @@ def dedup_containment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blind_cross").alias("n_jaccard_blind_pairs"),
         (F.col("common_within") + F.col("common_cross")).alias("sum_common"),
     )
+
+
+# AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07): for
+# Jaccard >= t under a GLOBAL df-ascending token order, two sets can
+# only qualify if their (|d| - ceil(t*|d|) + 1)-token prefixes share a
+# token — so only the RAREST slice of each set is indexed.
+_AP_T_PERMILLE = 500  # Jaccard threshold 0.5
+
+
+@query(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+    WITH classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY ck),
+    reps AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON d.doc_id = c.rep),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words),
+    dft AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+        SELECT s.doc_id, s.shingle,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                   ORDER BY d.df, s.shingle) AS rn,
+               COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+        FROM sh s JOIN dft d ON d.shingle = s.shingle),
+    prefix AS MATERIALIZED (
+        SELECT doc_id, shingle, sz FROM ranked
+        WHERE rn <= sz - (sz + 1) // 2 + 1),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b,
+                        a.sz AS sz_a, b.sz AS sz_b
+        FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+         AND a.doc_id < b.doc_id
+         AND 2 * LEAST(a.sz, b.sz) >= GREATEST(a.sz, b.sz)),
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM sh GROUP BY doc_id),
+    ver AS MATERIALIZED (
+        SELECT c.rep_a, c.rep_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) * 1000
+                   // (c.sz_a + c.sz_b - LEN(LIST_INTERSECT(sa.s, sb.s)))
+                   AS jac_permille
+        FROM cand c JOIN sets sa ON sa.doc_id = c.rep_a
+                    JOIN sets sb ON sb.doc_id = c.rep_b),
+    qual AS (
+        SELECT v.jac_permille, ca.n_mem AS n_a, cb.n_mem AS n_b
+        FROM ver v JOIN classes ca ON ca.rep = v.rep_a
+                   JOIN classes cb ON cb.rep = v.rep_b
+        WHERE v.jac_permille >= {_AP_T_PERMILLE}),
+    agg AS (
+        SELECT COUNT(*) AS n_rep_pairs,
+               COALESCE(SUM(n_a * n_b), 0) AS n_doc_pairs_cross,
+               COALESCE(MAX(jac_permille), 0) AS max_jac_permille,
+               COALESCE(SUM(jac_permille), 0) AS sum_jac_permille
+        FROM qual),
+    wth AS (
+        SELECT COUNT(*) AS n_classes,
+               SUM((n_mem * (n_mem - 1)) // 2) AS n_doc_pairs_within,
+               SUM(n_mem) AS n_docs
+        FROM classes),
+    cc AS (SELECT COUNT(*) AS n_rep_candidates FROM cand)
+    SELECT w.n_docs, w.n_classes, cc.n_rep_candidates, a.n_rep_pairs,
+           a.n_doc_pairs_cross, w.n_doc_pairs_within,
+           a.n_doc_pairs_cross + w.n_doc_pairs_within AS n_doc_pairs_total,
+           a.max_jac_permille, a.sum_jac_permille
+    FROM wth w CROSS JOIN cc CROSS JOIN agg a
+    """,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join via ALLPAIRS PREFIX FILTERING
+    (Bayardo et al.) at Jaccard >= 0.5 — the deterministic complement
+    to dedup_minhash's probabilistic LSH: zero false negatives BY
+    THEOREM (under a consistent global token order, two sets at
+    J >= t must share a token in their |d|-ceil(t|d|)+1 prefixes), so
+    only the RAREST slice of each shingle set is indexed and the
+    candidate join runs over short posting lists. The size filter
+    (2*min >= max for t=0.5) prunes mismatched-length pairs before the
+    verify. Exact-dup classes collapse FIRST and pair counts expand by
+    class arithmetic (the dedup_containment_classes discipline — a
+    key-shifted corpus multiplies duplication, not distinct content).
+
+    Exactness: the prefix rank orders by (df ASC, shingle ASC) — an
+    injective key both engines sort identically; jaccard quantizes by
+    integer division at permille; the census is all-integer.
+
+    Scale shape: one (shingle) df exchange, one doc-keyed rank window,
+    then the prefix equi join — posting lists bounded by the df of
+    RARE tokens by construction (the algorithm's point); verify joins
+    carry arrays and stay pinned shuffle_hash (the _minhash_core
+    trap); the report is 1-row aggregates crossed broadcast. Linear in
+    distinct content at any duplication factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
+    )
+    reps = docs.join(
+        classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
+        "doc_id",
+    ).select("doc_id", "text")
+    sh = shingle_explode(ensure_min_partitions(reps))
+    dft = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dft, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    prefix = ranked.where(
+        F.expr("rn <= sz - (sz + 1) div 2 + 1")
+    ).select("doc_id", "shingle", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                2 * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s")).hint(
+        "shuffle_hash"
+    )
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    ver = (
+        cand.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            (inter * 1000).alias("i1000"),
+            (F.col("sz_a") + F.col("sz_b") - inter).alias("u"),
+        )
+        .select("rep_a", "rep_b", F.expr("i1000 div u").alias("jac_permille"))
+    )
+    # class sizes join rep-keyed and stay shuffled: |classes| scales
+    # with distinct content, never broadcast-size by assumption
+    mem = classes.select("rep", "n_mem")
+    qual = (
+        ver.where(F.col("jac_permille") >= _AP_T_PERMILLE)
+        .join(
+            mem.select(
+                F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
+            ).hint("shuffle_hash"),
+            "rep_a",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("rep_b"), F.col("n_mem").alias("n_b")
+            ).hint("shuffle_hash"),
+            "rep_b",
+        )
+    )
+    agg = qual.agg(
+        F.count(F.lit(1)).alias("n_rep_pairs"),
+        F.coalesce(F.sum(F.expr("n_a * n_b")), F.lit(0)).alias(
+            "n_doc_pairs_cross"
+        ),
+        F.coalesce(F.max("jac_permille"), F.lit(0)).alias("max_jac_permille"),
+        F.coalesce(F.sum("jac_permille"), F.lit(0)).alias("sum_jac_permille"),
+    )
+    wth = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.expr("sum((n_mem * (n_mem - 1)) div 2)").alias("n_doc_pairs_within"),
+        F.sum("n_mem").alias("n_docs"),
+    )
+    cc = cand.agg(F.count(F.lit(1)).alias("n_rep_candidates"))
+    return (
+        wth.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_docs",
+            "n_classes",
+            "n_rep_candidates",
+            "n_rep_pairs",
+            "n_doc_pairs_cross",
+            "n_doc_pairs_within",
+            F.expr("n_doc_pairs_cross + n_doc_pairs_within").alias(
+                "n_doc_pairs_total"
+            ),
+            "max_jac_permille",
+            "sum_jac_permille",
+        )
+    )

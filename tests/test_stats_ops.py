@@ -270,3 +270,52 @@ def test_dp_median_is_an_occurring_value_at_the_noisy_rank(spark):
     )
     assert r.true_median_cents == cents[r.true_rank - 1]
     assert r.dp_median_cents == cents[r.noisy_rank - 1]
+
+
+def test_allpairs_prefix_has_zero_false_negatives(spark):
+    """Brute-force every representative pair at sf0.001 and assert the
+    prefix-filtered census counts EXACTLY the pairs at J >= 0.5 — the
+    Bayardo prefix theorem checked against enumeration."""
+    from itertools import combinations
+
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_allpairs_prefix,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+    import pyspark.sql.functions as F
+
+    row = dedup_allpairs_prefix(spark, SF).collect()[0]
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    by_text = {}
+    for r in docs:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    reps = {min(ids): r_text for r_text, ids in
+            ((t, ids) for t, ids in by_text.items())}
+    shingles = {}
+    for rep, text in reps.items():
+        w = text.split(" ")
+        if len(w) >= 3:
+            ss = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        else:
+            ss = {" ".join(w)}
+        shingles[rep] = ss
+    brute = 0
+    brute_cross_docs = 0
+    sizes = {min(ids): len(ids) for _, ids in by_text.items()}
+    # recompute sizes keyed by rep correctly
+    sizes = {min(ids): len(ids) for ids in by_text.values()}
+    for ra, rb in combinations(sorted(shingles), 2):
+        sa, sb = shingles[ra], shingles[rb]
+        inter = len(sa & sb)
+        jac_permille = inter * 1000 // (len(sa) + len(sb) - inter)
+        if jac_permille >= 500:
+            brute += 1
+            brute_cross_docs += sizes[ra] * sizes[rb]
+    assert row.n_rep_pairs == brute
+    assert row.n_doc_pairs_cross == brute_cross_docs
+    within = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert row.n_doc_pairs_within == within
+    assert row.n_doc_pairs_total == brute_cross_docs + within
+    assert row.n_classes == len(by_text)
+    assert row.n_rep_candidates >= row.n_rep_pairs

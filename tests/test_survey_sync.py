@@ -34,6 +34,8 @@ ALLOW = {
     "provide_incremental",
     "forced_start_plan",
     "view_count_col",
+    # join-strategy hint named in scale-shape prose, not a query
+    "shuffle_hash",
     # tools / files
     "stress_dedup",
     "stress_pack_hier",

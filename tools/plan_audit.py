@@ -1005,6 +1005,14 @@ AUDITS: dict[str, dict] = {
     "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
                       "require": [r"MapInPandas"]},
+    # AllPairs: prefix equi join + array-carrying verify joins, all
+    # pinned shuffle_hash (the _minhash_core trap); class collapse
+    # first; 1-row report aggregates cross broadcast (deliberate BNLJ)
+    "dedup_allpairs_prefix": {"partial": True, "no_bnlj": False,
+                              "require": [r"ShuffledHashJoin"],
+                              "prune": ["lang", "source", "n_chars"],
+                              "forbid": [r"CartesianProduct",
+                                         r"BroadcastHashJoin"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
