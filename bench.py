@@ -224,6 +224,7 @@ OPTIONAL = [
     "privacy_dp_median",
     "mm_decode_gif",
     "dedup_allpairs_prefix",
+    "retrieval_ndcg",
 ]
 
 N_RUNS = 3

@@ -113,3 +113,25 @@ def test_bow_signature_word_order_invariant(spark):
     rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", sig.alias("s")).collect()}
     assert rows[0] == rows[1] == rows[2]
     assert rows[3] != rows[0]
+
+
+def test_ndcg_is_bounded_and_mrr_matches_first_good(spark):
+    """NDCG@10 in (0, 1000]; recompute DCG/IDCG in Python from the
+    engine's own ranking constants."""
+    from curatorhadoopinterface_spark.operators.retrieval import (
+        _NDCG_DISC,
+        retrieval_ndcg,
+    )
+
+    r = retrieval_ndcg(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r.ndcg_permille <= 1000
+    assert r.dcg_nano <= r.idcg_nano
+    assert r.ndcg_permille == r.dcg_nano * 1000 // r.idcg_nano
+    # IDCG replay from counts
+    levels = [3] * r.n_rel3 + [2] * r.n_rel2 + [1] * r.n_rel1
+    ideal = sum(
+        (2 ** lev - 1) * _NDCG_DISC[i + 1]
+        for i, lev in enumerate(levels[:10])
+    )
+    assert r.idcg_nano == ideal
+    assert 0 <= r.mrr_micro <= 1_000_000

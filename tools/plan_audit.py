@@ -1005,6 +1005,12 @@ AUDITS: dict[str, dict] = {
     "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
                       "require": [r"MapInPandas"]},
+    # NDCG/MRR: array-local tf/rel, TakeOrdered top-10, 1-row count
+    # aggregate broadcast onto a 10-row rank spine (deliberate BNLJ)
+    "retrieval_ndcg": {"partial": True, "no_bnlj": False,
+                       "prune": ["lang", "source", "n_chars"],
+                       "require": [r"TakeOrderedAndProject"],
+                       "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
     # AllPairs: prefix equi join + array-carrying verify joins, all
     # pinned shuffle_hash (the _minhash_core trap); class collapse
     # first; 1-row report aggregates cross broadcast (deliberate BNLJ)
