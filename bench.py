@@ -225,6 +225,7 @@ OPTIONAL = [
     "mm_decode_gif",
     "dedup_allpairs_prefix",
     "retrieval_ndcg",
+    "ml_tree_split2",
 ]
 
 N_RUNS = 3

@@ -1180,3 +1180,198 @@ def sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_orders_s * 1000000 div n_orders").alias("order_share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ml_tree_split2: depth-2 tree growth (the recursive histogram pattern)
+# --------------------------------------------------------------------------
+def _tree2_oracle() -> str:
+    gini_l = _GINI_L.replace("div", "//")
+    gini_r = _GINI_R.replace("div", "//")
+    return f"""
+    WITH hist AS (
+        SELECT CAST(l_quantity AS BIGINT) AS thr,
+               COUNT(*) AS cnt,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        FROM lineitem GROUP BY thr),
+    cum AS (
+        SELECT thr,
+               SUM(cnt) OVER (ORDER BY thr) AS l,
+               SUM(pos) OVER (ORDER BY thr) AS pl,
+               SUM(cnt) OVER () AS t, SUM(pos) OVER () AS p
+        FROM hist),
+    scored AS (
+        SELECT thr, l, t - l AS r, pl, p - pl AS pr,
+               CAST((CAST(l AS HUGEINT) * ({gini_l})
+                   + CAST(t - l AS HUGEINT) * (1000000000000
+                       - ((p - pl) * 1000000 // (t - l))
+                           * ((p - pl) * 1000000 // (t - l))
+                       - ((t - l - p + pl) * 1000000 // (t - l))
+                           * ((t - l - p + pl) * 1000000 // (t - l))))
+                   // t AS BIGINT) AS w_e12
+        FROM cum WHERE l < t),
+    root AS (
+        SELECT thr AS root_thr FROM scored
+        ORDER BY w_e12, thr LIMIT 1),
+    hist2 AS (
+        SELECT CASE WHEN CAST(li.l_quantity AS BIGINT) <= rt.root_thr
+                    THEN 0 ELSE 1 END AS side,
+               CAST(FLOOR(li.l_discount * 100 + 0.5) AS BIGINT) AS thr,
+               COUNT(*) AS cnt,
+               SUM(CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        FROM lineitem li CROSS JOIN root rt
+        GROUP BY side, thr),
+    cum2 AS (
+        SELECT side, thr,
+               SUM(cnt) OVER (PARTITION BY side ORDER BY thr) AS l,
+               SUM(pos) OVER (PARTITION BY side ORDER BY thr) AS pl,
+               SUM(cnt) OVER (PARTITION BY side) AS t,
+               SUM(pos) OVER (PARTITION BY side) AS p
+        FROM hist2),
+    scored2 AS (
+        SELECT side, thr, l AS n_left, t - l AS n_right,
+               CAST((CAST(l AS HUGEINT) * ({gini_l})
+                   + CAST(t - l AS HUGEINT) * (1000000000000
+                       - ((p - pl) * 1000000 // (t - l))
+                           * ((p - pl) * 1000000 // (t - l))
+                       - ((t - l - p + pl) * 1000000 // (t - l))
+                           * ((t - l - p + pl) * 1000000 // (t - l))))
+                   // t AS BIGINT) AS w_e12,
+               1000000000000 - (p * 1000000 // t) * (p * 1000000 // t)
+                   - ((t - p) * 1000000 // t) * ((t - p) * 1000000 // t)
+                   AS node_gini_e12
+        FROM cum2 WHERE l < t),
+    best2 AS (
+        SELECT side, thr, n_left, n_right, node_gini_e12, w_e12,
+               ROW_NUMBER() OVER (PARTITION BY side
+                   ORDER BY w_e12, thr) AS rk
+        FROM scored2)
+    SELECT b.side, r.root_thr, b.thr AS child_thr, b.n_left, b.n_right,
+           b.node_gini_e12, b.w_e12 AS child_split_e12,
+           b.node_gini_e12 - b.w_e12 AS gain_e12
+    FROM best2 b CROSS JOIN root r WHERE b.rk = 1 ORDER BY b.side
+    """
+
+
+@query("ml_tree_split2", oracle=_tree2_oracle())
+def ml_tree_split2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-2 decision-tree growth: the root split on quantity (from
+    ml_tree_split's argmin) partitions the corpus into two children,
+    and each child finds ITS best split on a SECOND feature (discount)
+    — the recursive histogram pattern every distributed tree learner
+    (MLlib, XGBoost-on-Spark) runs per level: one pass builds ALL
+    nodes' per-(node, value) label histograms simultaneously, so a
+    level costs one scan regardless of node count.
+
+    Exactness: the root threshold comes from the same ppm-quantized
+    Gini argmin as ml_tree_split (injective tie-break); child
+    histograms key on (side, discount-cents); the size-weighted child
+    impurities run in the same DECIMAL(38)/HUGEINT headroom. Output is
+    one row per child: its best threshold, sizes, node impurity,
+    post-split impurity, and gain.
+
+    Scale shape: pass 1 is ml_tree_split's domain-bounded histogram;
+    the 1-row root threshold broadcasts back onto pass 2's scan (the
+    calibration_ece anchor pattern), which partial-aggregates into
+    (2 sides x 11 discount levels) rows; each child's cumulative +
+    argmin windows run per side over that domain-sized relation. Two
+    scans, constant exchange — per tree LEVEL, not per node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("thr"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos"))
+    )
+    wv = Window.orderBy("thr")
+    wall = Window.partitionBy()
+    cum = (
+        hist.withColumn("l", F.sum("cnt").over(wv))
+        .withColumn("pl", F.sum("pos").over(wv))
+        .withColumn("t", F.sum("cnt").over(wall))
+        .withColumn("p", F.sum("pos").over(wall))
+    )
+    scored = cum.where(F.col("l") < F.col("t")).select(
+        "thr",
+        "l",
+        F.expr("t - l").alias("r"),
+        "pl",
+        F.expr("p - pl").alias("pr"),
+        "t",
+    )
+    w_e12 = F.expr(
+        f"cast((cast(l as decimal(38, 0)) * ({_GINI_L})"
+        f" + cast(r as decimal(38, 0)) * ({_GINI_R})) div t as bigint)"
+    )
+    root = (
+        scored.select("thr", w_e12.alias("w_e12"))
+        .orderBy("w_e12", "thr")
+        .limit(1)
+        .select(F.col("thr").alias("root_thr"))
+    )
+    hist2 = (
+        li.crossJoin(F.broadcast(root))
+        .select(
+            F.when(
+                F.col("l_quantity").cast("bigint") <= F.col("root_thr"), 0
+            )
+            .otherwise(1)
+            .alias("side"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("thr"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("side", "thr")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos"))
+    )
+    ws = Window.partitionBy("side").orderBy("thr")
+    wside = Window.partitionBy("side")
+    cum2 = (
+        hist2.withColumn("l", F.sum("cnt").over(ws))
+        .withColumn("pl", F.sum("pos").over(ws))
+        .withColumn("t", F.sum("cnt").over(wside))
+        .withColumn("p", F.sum("pos").over(wside))
+    )
+    scored2 = cum2.where(F.col("l") < F.col("t")).select(
+        "side",
+        "thr",
+        F.col("l").alias("n_left"),
+        F.expr("t - l").alias("n_right"),
+        F.col("l").alias("l"),
+        F.expr("t - l").alias("r"),
+        "pl",
+        F.expr("p - pl").alias("pr"),
+        "t",
+        F.expr(
+            "1000000000000 - (p * 1000000 div t) * (p * 1000000 div t)"
+            " - ((t - p) * 1000000 div t) * ((t - p) * 1000000 div t)"
+        ).alias("node_gini_e12"),
+    )
+    best2 = scored2.select(
+        "side",
+        "thr",
+        "n_left",
+        "n_right",
+        "node_gini_e12",
+        w_e12.alias("child_split_e12"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("side").orderBy("child_split_e12", "thr")
+        ),
+    ).where(F.col("rk") == 1)
+    return (
+        best2.crossJoin(F.broadcast(root))
+        .select(
+            "side",
+            "root_thr",
+            F.col("thr").alias("child_thr"),
+            "n_left",
+            "n_right",
+            "node_gini_e12",
+            "child_split_e12",
+            F.expr("node_gini_e12 - child_split_e12").alias("gain_e12"),
+        )
+        .orderBy("side")
+    )

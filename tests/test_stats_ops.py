@@ -319,3 +319,24 @@ def test_allpairs_prefix_has_zero_false_negatives(spark):
     assert row.n_doc_pairs_total == brute_cross_docs + within
     assert row.n_classes == len(by_text)
     assert row.n_rep_candidates >= row.n_rep_pairs
+
+
+def test_tree2_children_partition_the_root_split(spark):
+    from curatorhadoopinterface_spark.operators.stats import (
+        ml_tree_split,
+        ml_tree_split2,
+    )
+
+    root = ml_tree_split(spark, SF).collect()[0]
+    rows = ml_tree_split2(spark, SF).collect()
+    assert [r.side for r in rows] == [0, 1]
+    for r in rows:
+        assert r.root_thr == root.thr  # same argmin, replayed
+        assert r.n_left > 0 and r.n_right > 0
+        assert 0 <= r.child_split_e12 <= r.node_gini_e12
+        assert r.gain_e12 == r.node_gini_e12 - r.child_split_e12
+    # child node sizes partition the corpus
+    assert (
+        sum(r.n_left + r.n_right for r in rows)
+        == root.n_left + root.n_right
+    )

@@ -1005,6 +1005,11 @@ AUDITS: dict[str, dict] = {
     "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
                       "require": [r"MapInPandas"]},
+    # depth-2 tree: pass 1 histogram + 1-row root broadcast onto pass
+    # 2's (side, discount) histogram; per-side windows over the domain
+    "ml_tree_split2": {"partial": True, "no_bnlj": False,
+                       "prune": ["l_comment", "l_extendedprice"],
+                       "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
     # NDCG/MRR: array-local tf/rel, TakeOrdered top-10, 1-row count
     # aggregate broadcast onto a 10-row rank spine (deliberate BNLJ)
     "retrieval_ndcg": {"partial": True, "no_bnlj": False,
