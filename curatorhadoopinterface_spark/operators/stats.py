@@ -3,10 +3,11 @@
 The reference's verification discipline (CuratorClient.java:660-853:
 re-read what you wrote and CHECK it) applied to the statistics a
 training-data pipeline runs before it trusts a corpus: distributional
-audits (Benford, KS drift), robust summaries (winsorized/trimmed
-means), resampled uncertainty (deterministic bootstrap), model-side
-diagnostics (1-level decision-tree split, calibration error), Pareto
-frontiers, leakage-free point-in-time feature assembly, and
+audits (Benford, KS drift, PSI), robust summaries (winsorized/trimmed
+means), resampled uncertainty (deterministic bootstrap, split-conformal
+coverage), model-side diagnostics (decision-tree splits at depth 1 and
+2, calibration error), Pareto frontiers, leakage-free point-in-time
+feature assembly, zero-coordination coherent cross-table sampling, and
 first-occurrence n-gram novelty.
 
 House rules (same as every operator module):
