@@ -1,0 +1,79 @@
+"""sf10 -> sf30 growth-ratio measurement, contention-paired.
+
+Unlike two sequential tools/time_heavy.py sweeps, this runner times
+each query's sf10 and sf30 rungs BACK-TO-BACK in one Spark session, so
+whatever else the machine is doing (e.g. a live oracle sweep) loads
+both rungs of a ratio roughly equally — the RATIO vs the 3x data ratio
+is the signal, not the absolute seconds (the round-6
+graph_degree_distribution lesson: compare like with like).
+
+Usage: python -u tools/growth_ratio.py <sf10_dir> <sf30_dir> \
+           [n_runs] [query ...]
+Writes growth_ratio.json {query: {sf10: s, sf30: s, ratio: r}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT = [
+    "dedup_cascade",
+    "dedup_minhash",
+    "dedup_minhash_tuning",
+    "dedup_incremental_minhash",
+    "index_inverted",
+    "shuffle_deterministic",
+    "text_vocab_growth",
+    "graph_copurchase_topk",
+    "sim_knn_graph",
+    "emb_covariance",
+    "graph_triangles",
+    "graph_kcore",
+    "dedup_clusters",
+    "graph_community_lpa",
+    "text_ngram_novelty",
+    "dedup_allpairs_prefix",
+    # controls with known round-6 verdicts (linear / flat)
+    "orders_backlog",
+    "dedup_containment_classes",
+]
+
+
+def main() -> None:
+    sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_seed42"
+    sf30 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf30_seed42"
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    names = sys.argv[4:] or DEFAULT
+
+    import __spark_entry__ as m
+    from curatorhadoopinterface_spark.session import get_spark
+
+    spark = get_spark("growth-ratio")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = m.queries()
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        for key, sf_dir in (("sf10", sf10), ("sf30", sf30)):
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                samples.append(round(time.time() - t0, 1))
+            row[key] = min(samples)
+        row["ratio"] = round(row["sf30"] / max(row["sf10"], 0.1), 2)
+        out[name] = row
+        print(f"{name}: {row}", flush=True)
+        with open("growth_ratio.json", "w") as fh:
+            json.dump({"n_runs": n_runs, "times": out}, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

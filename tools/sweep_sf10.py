@@ -113,6 +113,52 @@ PASS_RE = re.compile(r"^\[(PASS|WEAK|FAIL)\] (\S+?)(?::| )(.*)$")
 SEC_RE = re.compile(r"(\d+(?:\.\d+)?)s\)")
 
 
+def _flush(
+    out_path: str,
+    sf_dir: str,
+    t0: float,
+    per_query: dict,
+    complete: bool = False,
+) -> dict:
+    """Merge ``per_query`` into any artifact already on disk and write —
+    called after EVERY chunk and tier, so a killed sweep keeps its
+    completed results (round-7 lesson: a 4-hour sweep that only writes
+    at exit loses everything to a deadline). Successive partial runs —
+    including ``--only`` catch-ups — accumulate into one artifact;
+    ``complete`` marks a run that covered its whole planned scope."""
+    import os
+
+    merged: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                merged = json.load(fh).get("per_query", {})
+        except Exception:
+            merged = {}
+    merged.update(per_query)
+    statuses = [v["status"] for v in merged.values()]
+    tally = {
+        "n_queries": len(merged),
+        "pass_strict": statuses.count("PASS"),
+        "pass_fingerprint": statuses.count("PASS-fingerprint"),
+        "pass_invariant": statuses.count("PASS-invariant"),
+        "excluded_reasoned": statuses.count("EXCLUDED"),
+        "fail": statuses.count("FAIL"),
+    }
+    artifact = {
+        "sf_dir": sf_dir,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "complete": complete,
+        "tally": tally,
+        "per_query": dict(sorted(merged.items())),
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    os.replace(tmp, out_path)
+    return tally
+
+
 def _run(cmd: list[str]) -> str:
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     return (r.stdout + r.stderr).replace("\r", "\n")
@@ -194,6 +240,7 @@ def main() -> int:
                     "detail": f"no verdict line (chunk crash?) {text[-300:]}",
                 }
                 print(f"[FAIL] {name} — no verdict line", flush=True)
+        _flush(out_path, sf_dir, t0, per_query)
 
     # ---- tier 2: aggregate fingerprints ----
     text = (
@@ -234,6 +281,7 @@ def main() -> int:
                 "detail": f"no verdict line {text[-300:]}",
             }
             print(f"[FAIL] {name} — no fingerprint verdict", flush=True)
+    _flush(out_path, sf_dir, t0, per_query)
 
     # ---- tier 3: in-engine invariant blocks ----
     blocks = sorted({b for b, _ in ec_names.values()})
@@ -261,6 +309,7 @@ def main() -> int:
         if not ok:
             per_query[name]["detail"] = text[-500:]
         print(f"[{per_query[name]['status']}] {name}", flush=True)
+    _flush(out_path, sf_dir, t0, per_query)
 
     # ---- reasoned exclusions ----
     for name, reason in ex_names.items():
@@ -277,42 +326,7 @@ def main() -> int:
             name, {"status": "FAIL", "detail": "covered by no tier"}
         )
 
-    statuses = [v["status"] for v in per_query.values()]
-    tally = {
-        "n_queries": len(per_query),
-        "pass_strict": statuses.count("PASS"),
-        "pass_fingerprint": statuses.count("PASS-fingerprint"),
-        "pass_invariant": statuses.count("PASS-invariant"),
-        "excluded_reasoned": statuses.count("EXCLUDED"),
-        "fail": statuses.count("FAIL"),
-    }
-    # catch-up merge: keep prior results for names outside --only
-    if only is not None:
-        import os
-
-        if os.path.exists(out_path):
-            with open(out_path) as fh:
-                prior = json.load(fh)
-            merged = dict(prior.get("per_query", {}))
-            merged.update(per_query)
-            per_query = merged
-            statuses = [v["status"] for v in per_query.values()]
-            tally = {
-                "n_queries": len(per_query),
-                "pass_strict": statuses.count("PASS"),
-                "pass_fingerprint": statuses.count("PASS-fingerprint"),
-                "pass_invariant": statuses.count("PASS-invariant"),
-                "excluded_reasoned": statuses.count("EXCLUDED"),
-                "fail": statuses.count("FAIL"),
-            }
-    artifact = {
-        "sf_dir": sf_dir,
-        "elapsed_sec": round(time.time() - t0, 1),
-        "tally": tally,
-        "per_query": dict(sorted(per_query.items())),
-    }
-    with open(out_path, "w") as fh:
-        json.dump(artifact, fh, indent=1)
+    tally = _flush(out_path, sf_dir, t0, per_query, complete=True)
     print(f"\nsf10 rung: {tally}", flush=True)
     print(f"wrote {out_path}", flush=True)
     return 1 if tally["fail"] else 0
