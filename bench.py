@@ -226,6 +226,7 @@ OPTIONAL = [
     "dedup_allpairs_prefix",
     "retrieval_ndcg",
     "ml_tree_split2",
+    "sim_knn_classes",
 ]
 
 N_RUNS = 3

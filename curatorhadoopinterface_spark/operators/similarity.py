@@ -713,3 +713,174 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rung if out is None else out.unionAll(rung)
     return out.orderBy("prefix_dim")
+
+
+# class key: md5 of the micro-quantized component string — integers
+# render identically in both engines (float formatting would not)
+_CLS_KEY_SPARK = (
+    "md5(array_join(transform(embedding,"
+    " x -> cast(cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    " as string)), ','))"
+)
+_CLS_KEY_DUCK = (
+    "MD5(ARRAY_TO_STRING(LIST_TRANSFORM(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"
+)
+
+
+@query(
+    "sim_knn_classes",
+    oracle=f"""
+    WITH cls AS MATERIALIZED (
+        SELECT {_CLS_KEY_DUCK} AS ck, MIN(vec_id) AS rep,
+               COUNT(*) AS n_mem
+        FROM embeddings GROUP BY ck),
+    base AS (
+        SELECT emb.vec_id, emb.embedding::DOUBLE[] AS e,
+               SQRT(list_dot_product(emb.embedding::DOUBLE[],
+                                     emb.embedding::DOUBLE[])) AS norm
+        FROM embeddings emb JOIN cls ON emb.vec_id = cls.rep),
+    bkt AS (
+        SELECT b.*, {_O_BUCKET} AS bucket
+        FROM base b JOIN embeddings USING (vec_id)),
+    scored AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst,
+               ROUND(list_dot_product(a.e, c.e) / (a.norm * c.norm), 6)
+                   AS cosine
+        FROM bkt a JOIN bkt c
+          ON c.bucket = a.bucket AND c.vec_id <> a.vec_id),
+    edges AS (
+        SELECT src, dst,
+               CAST(FLOOR(cosine * 1e6 + 0.5) AS BIGINT) AS cos_micro
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}),
+    em AS (
+        SELECT e.src, e.dst, e.cos_micro,
+               ca.n_mem AS n_a, cb.n_mem AS n_b
+        FROM edges e JOIN cls ca ON ca.rep = e.src
+                     JOIN cls cb ON cb.rep = e.dst),
+    mut AS (
+        SELECT COUNT(*) AS n_rep_mutual
+        FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+    tot AS (SELECT COUNT(*) AS n_vectors FROM embeddings),
+    cstat AS (
+        SELECT COUNT(*) AS n_classes,
+               SUM((n_mem * (n_mem - 1)) // 2) AS within_pairs
+        FROM cls)
+    SELECT t.n_vectors, c.n_classes, c.within_pairs,
+           COUNT(DISTINCT em.src) AS n_rep_nodes,
+           COUNT(*) AS n_rep_edges,
+           m.n_rep_mutual,
+           SUM(em.n_a * em.n_b) AS expanded_cross_pairs,
+           SUM(em.cos_micro) // COUNT(*) AS mean_cosine_micro
+    FROM em CROSS JOIN mut m CROSS JOIN tot t CROSS JOIN cstat c
+    GROUP BY t.n_vectors, c.n_classes, c.within_pairs, m.n_rep_mutual
+    """,
+)
+def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS form of sim_knn_graph — the round-7 growth-table catch
+    re-planned the house way (dedup_containment_classes applied to
+    vector space): identical embeddings (md5 of the micro-quantized
+    component string — integers render identically in both engines)
+    collapse into classes FIRST, the bucket-equi kNN join runs over
+    class REPRESENTATIVES only, and doc-level pair counts expand by
+    class arithmetic — within_pairs = sum C(n,2) (distance-0 duplicate
+    pairs, all trivially mutual), expanded_cross_pairs = sum n_a*n_b
+    over rep edges.
+
+    Why: GROWTH_RATIO_r7.json measured sim_knn_graph at 8.68x wall for
+    3x data — the planted 300-copy duplication makes each kNN bucket
+    pair-QUADRATIC in copies (pairs grow 9x when data grows 3x; no
+    join strategy fixes an output that is pair-shaped). Candidate
+    volume here is bounded by DISTINCT classes per bucket, flat at any
+    duplication factor, and the rep graph answers the production
+    question: the near-neighbor structure of distinct content. On an
+    already-deduplicated corpus the two forms coincide (classes ==
+    vectors, within_pairs == 0 — the sf0.01 oracle fixture).
+
+    Exactness: the class key quantizes components to integer micro
+    units before hashing; cosines follow the similarity.py sequential-
+    fold + 6dp contract; every census column is an exact integer.
+
+    Scale shape: one (class-key) exchange collapses duplicates
+    map-side; the kNN machinery inherits sim_knn_graph's pinned
+    shuffles over the rep-sized relation; class sizes join rep-keyed
+    (never broadcast — classes scale with distinct content); report is
+    1-row aggregates crossed broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    classes = emb.groupBy(F.expr(_CLS_KEY_SPARK).alias("ck")).agg(
+        F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
+    )
+    reps = emb.join(
+        classes.select(F.col("rep").alias("vec_id")).hint("shuffle_hash"),
+        "vec_id",
+    )
+    base = _with_norm(reps).withColumn("bucket", F.expr(_SPARK_BUCKET))
+    a = base.alias("a")
+    c = base.alias("c").hint("shuffle_hash")
+    scored = a.join(
+        c,
+        (F.col("c.bucket") == F.col("a.bucket"))
+        & (F.col("c.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("c.vec_id").alias("dst"),
+        _cosine("a", "c").alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "src",
+            "dst",
+            F.floor(F.col("cosine") * 1e6 + 0.5).cast("bigint").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    mem = classes.select("rep", "n_mem")
+    em = edges.join(
+        mem.select(F.col("rep").alias("src"), F.col("n_mem").alias("n_a")).hint(
+            "shuffle_hash"
+        ),
+        "src",
+    ).join(
+        mem.select(F.col("rep").alias("dst"), F.col("n_mem").alias("n_b")).hint(
+            "shuffle_hash"
+        ),
+        "dst",
+    )
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mut = edges.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_rep_mutual")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    cstat = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.expr("sum((n_mem * (n_mem - 1)) div 2)").alias("within_pairs"),
+    )
+    return (
+        em.agg(
+            F.countDistinct("src").alias("n_rep_nodes"),
+            F.count(F.lit(1)).alias("n_rep_edges"),
+            F.expr("sum(n_a * n_b)").alias("expanded_cross_pairs"),
+            F.expr("sum(cos_micro) div count(1)").alias("mean_cosine_micro"),
+        )
+        .crossJoin(F.broadcast(mut))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cstat))
+        .select(
+            "n_vectors",
+            "n_classes",
+            "within_pairs",
+            "n_rep_nodes",
+            "n_rep_edges",
+            "n_rep_mutual",
+            "expanded_cross_pairs",
+            "mean_cosine_micro",
+        )
+        .filter(F.col("n_rep_edges") > 0)
+    )

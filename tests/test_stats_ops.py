@@ -340,3 +340,23 @@ def test_tree2_children_partition_the_root_split(spark):
         sum(r.n_left + r.n_right for r in rows)
         == root.n_left + root.n_right
     )
+
+
+def test_knn_class_form_coincides_on_deduplicated_corpus(spark):
+    """On a corpus with no duplicate embeddings, the class form's rep
+    graph IS sim_knn_graph's graph — cross-query identity (the
+    containment_classes pinning discipline applied to vectors)."""
+    from curatorhadoopinterface_spark.operators.similarity import (
+        sim_knn_classes,
+        sim_knn_graph,
+    )
+
+    g = sim_knn_graph(spark, SF).collect()[0]
+    c = sim_knn_classes(spark, SF).collect()[0]
+    assert c.n_classes == c.n_vectors == g.n_vectors  # no duplicates
+    assert c.within_pairs == 0
+    assert c.n_rep_edges == g.n_edges
+    assert c.n_rep_mutual == g.n_mutual
+    assert c.n_rep_nodes == g.n_nodes
+    assert c.expanded_cross_pairs == g.n_edges  # all class sizes are 1
+    assert c.mean_cosine_micro == g.mean_cosine_micro

@@ -1010,6 +1010,12 @@ AUDITS: dict[str, dict] = {
     "ml_tree_split2": {"partial": True, "no_bnlj": False,
                        "prune": ["l_comment", "l_extendedprice"],
                        "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
+    # kNN class form: class-key exchange collapses duplicates first;
+    # rep-sized bucket join + class-size joins all pinned shuffled
+    "sim_knn_classes": {"no_bnlj": False, "partial": True,
+                        "require": [r"ShuffledHashJoin"],
+                        "prune": ["label"],
+                        "forbid": [r"CartesianProduct"]},
     # NDCG/MRR: array-local tf/rel, TakeOrdered top-10, 1-row count
     # aggregate broadcast onto a 10-row rank spine (deliberate BNLJ)
     "retrieval_ndcg": {"partial": True, "no_bnlj": False,
