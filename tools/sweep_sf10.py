@@ -99,6 +99,14 @@ ENGINE_CHECK = {
 
 # reasoned exclusions (still named in the artifact, never silent)
 EXCLUDED = {
+    "dedup_method_agreement": (
+        "oracle-side limit measured this round: DuckDB materializes "
+        "BOTH full dedup pipelines (minhash bands + simhash) for the "
+        "agreement matrix and was OOM-killed at 86 GB RSS at sf10 "
+        "(dmesg autopsy in SCALE.md r7); the engine-side machinery is "
+        "the SAME _minhash_core/simhash paths tier-1-swept via "
+        "dedup_minhash and dedup_simhash; value-exact through sf0.1"
+    ),
     "dedup_minhash_recall": (
         "audit-only recall measurement: ground truth is a sample x "
         "corpus exact-Jaccard verify, quadratic BY INTENT on both "
