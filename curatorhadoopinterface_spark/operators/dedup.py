@@ -36,9 +36,9 @@ _SHINGLES_ORACLE = """
     shingles AS (
         SELECT doc_id,
                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   GENERATE_SERIES(1, LEN(w) - 2),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM words)
+        FROM words WHERE LEN(w) >= 3)
 """
 
 
@@ -47,23 +47,28 @@ def shingle_explode(df: DataFrame, *keep_cols: str) -> DataFrame:
     text) — works on batch AND streaming DataFrames (pure per-row
     column algebra, no shuffle). Spark arrays are 0-based in SQL-expr
     indexing; the DuckDB oracle's lists are 1-based — both slide the
-    same window. concat_ws drops out-of-range NULLs the same way in
-    both engines for the <3-word degenerate case. The words array is
-    materialized ONCE per row — inlining split(text) into every element
-    access makes codegen re-split per gram term."""
-    return df.select(
-        "doc_id", *keep_cols, F.split("text", " ").alias("w")
-    ).select(
-        "doc_id",
-        *keep_cols,
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, greatest(size(w) - 3, 0)),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    same window. Docs under 3 words are filtered out on BOTH sides
+    (a doc with no 3-gram has no shingles): without the guard the
+    engines diverge — Spark's concat_ws drops the out-of-range NULLs
+    and emits a degenerate short gram while DuckDB's || propagates
+    NULL into zero shingles (r7 ADVICE dedup.py:1974). The words
+    array is materialized ONCE per row — inlining split(text) into
+    every element access makes codegen re-split per gram term."""
+    return (
+        df.select("doc_id", *keep_cols, F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            *keep_cols,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    )
                 )
-            )
-        ).alias("shingle"),
+            ).alias("shingle"),
+        )
     )
 
 
@@ -1780,9 +1785,9 @@ def dedup_minhash_recall(
     shingles AS (
         SELECT doc_id,
                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   GENERATE_SERIES(1, LEN(w) - 2),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM words),
+        FROM words WHERE LEN(w) >= 3),
     sigs AS (
         SELECT doc_id,
 {_MINHASH_AGG_ORACLE}
@@ -1983,9 +1988,9 @@ _AP_T_PERMILLE = 500  # Jaccard threshold 0.5
     sh AS MATERIALIZED (
         SELECT doc_id,
                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   GENERATE_SERIES(1, LEN(w) - 2),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM words),
+        FROM words WHERE LEN(w) >= 3),
     dft AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
     ranked AS (
         SELECT s.doc_id, s.shingle,

@@ -947,12 +947,16 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (cast(c2s as double) * cast(n1s as double))) * 1e9) as bigint)"
         ).alias("ln_nano"),
     )
+    # stay in BIGINT end-to-end: the window sum already is bigint, and the
+    # oracle's `// 1000000000` is integer too — any double hop would lose
+    # exactness once |sum| clears 2^53 (the extreme-drift regime a drift
+    # gate exists to report; r7 ADVICE stats.py:953)
     return (
         terms.withColumn(
             "psi_micro",
-            F.expr("sum((p1_ppm - p2_ppm) * ln_nano)").over(wall) / F.lit(1),
+            F.expr("sum((p1_ppm - p2_ppm) * ln_nano)").over(wall),
         )
-        .withColumn("psi_micro", F.expr("cast(psi_micro as bigint) div 1000000000"))
+        .withColumn("psi_micro", F.expr("psi_micro div 1000000000"))
         .orderBy("bin")
     )
 

@@ -244,10 +244,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (
         SELECT doc_id,
                UNNEST(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 1)),
+                   GENERATE_SERIES(1, LEN(w) - 4),
                    i -> MD5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
                             || w[i+3] || ' ' || w[i+4]))) AS gh
-        FROM words),
+        FROM words WHERE LEN(w) >= 5),
     fp AS (SELECT doc_id, MIN(gh) AS fingerprint FROM grams GROUP BY doc_id)
     SELECT fingerprint,
            COUNT(*) AS cluster_size,
@@ -263,14 +263,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # words array materialized once per row (same reasoning as
     # dedup._shingles: inlined split re-evaluates per gram term)
-    grams = d.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(w) - 5, 0)),"
-                " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"
-            )
-        ).alias("gh"),
+    # docs under 5 words carry no 5-gram: guard BOTH engines identically
+    # (Spark's concat_ws would otherwise emit a degenerate short gram
+    # where DuckDB's || NULL-propagates — the shingle_explode divergence)
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5),"
+                    " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"
+                )
+            ).alias("gh"),
+        )
     )
     fp = grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
     return fp.groupBy("fingerprint").agg(

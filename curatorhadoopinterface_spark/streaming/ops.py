@@ -853,9 +853,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles AS (
         SELECT doc_id,
                UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                   GENERATE_SERIES(1, LEN(w) - 2),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM words),
+        FROM words WHERE LEN(w) >= 3),
     eval_sh AS (
         SELECT DISTINCT shingle FROM shingles WHERE doc_id % 10 = 0),
     hits AS (

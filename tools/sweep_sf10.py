@@ -127,23 +127,39 @@ def _flush(
     t0: float,
     per_query: dict,
     complete: bool = False,
+    registry: set | None = None,
 ) -> dict:
     """Merge ``per_query`` into any artifact already on disk and write —
     called after EVERY chunk and tier, so a killed sweep keeps its
     completed results (round-7 lesson: a 4-hour sweep that only writes
     at exit loses everything to a deadline). Successive partial runs —
-    including ``--only`` catch-ups — accumulate into one artifact;
-    ``complete`` marks a run that covered its whole planned scope."""
+    including ``--only`` catch-ups — accumulate into one artifact.
+    Hygiene (r7 ADVICE sweep_sf10.py:124): merged rows are dropped when
+    (a) the on-disk artifact was produced against a DIFFERENT sf_dir
+    (results from another rung must not masquerade as this one), or
+    (b) ``registry`` is given (full runs) and a merged name is no longer
+    in the live registry — renamed/removed queries can't inflate the
+    tally or ride into a ``complete: true`` stamp."""
     import os
 
     merged: dict = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as fh:
-                merged = json.load(fh).get("per_query", {})
+                prior = json.load(fh)
+            if prior.get("sf_dir", sf_dir) == sf_dir:
+                merged = prior.get("per_query", {})
+            else:
+                print(
+                    f"[sweep] discarding on-disk rows for sf_dir="
+                    f"{prior.get('sf_dir')!r} (this run: {sf_dir!r})",
+                    flush=True,
+                )
         except Exception:
             merged = {}
     merged.update(per_query)
+    if registry is not None:
+        merged = {k: v for k, v in merged.items() if k in registry}
     statuses = [v["status"] for v in merged.values()]
     tally = {
         "n_queries": len(merged),
@@ -189,12 +205,36 @@ def main() -> int:
         i = args.index("--only")
         only = args[i + 1 :]
         del args[i:]
+    resume = "--resume" in args  # skip names already green in --out
+    if resume:
+        args.remove("--resume")
     sf_dir = args[0] if args else "/tmp/sf10_seed42"
     t0 = time.time()
 
     import __spark_entry__ as m
 
     all_names = sorted(m.queries())
+    registry = set(all_names)
+    done: set[str] = set()
+    if resume:
+        import os
+
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    prior = json.load(fh)
+                if prior.get("sf_dir") == sf_dir:
+                    done = {
+                        k
+                        for k, v in prior.get("per_query", {}).items()
+                        if str(v.get("status", "")).startswith(
+                            ("PASS", "EXCLUDED")
+                        )
+                    }
+            except Exception:
+                done = set()
+        print(f"[sweep] resume: skipping {len(done)} already-green names",
+              flush=True)
     fp_names = dict(FINGERPRINT)
     ec_names = dict(ENGINE_CHECK)
     ex_names = dict(EXCLUDED)
@@ -204,6 +244,14 @@ def main() -> int:
         fp_names = {k: v for k, v in fp_names.items() if k in keep}
         ec_names = {k: v for k, v in ec_names.items() if k in keep}
         ex_names = {k: v for k, v in ex_names.items() if k in keep}
+    if done:
+        all_names = [n for n in all_names if n not in done]
+        fp_names = {k: v for k, v in fp_names.items() if k not in done}
+        ec_names = {k: v for k, v in ec_names.items() if k not in done}
+        ex_names = {k: v for k, v in ex_names.items() if k not in done}
+    # registry pruning applies to full-scope runs only; --only catch-ups
+    # merge into an artifact whose other rows they must not disturb
+    reg = registry if only is None else None
     tier23 = set(fp_names) | set(ec_names) | set(ex_names)
     strict = [n for n in all_names if n not in tier23]
     if limit is not None:
@@ -248,7 +296,7 @@ def main() -> int:
                     "detail": f"no verdict line (chunk crash?) {text[-300:]}",
                 }
                 print(f"[FAIL] {name} — no verdict line", flush=True)
-        _flush(out_path, sf_dir, t0, per_query)
+        _flush(out_path, sf_dir, t0, per_query, registry=reg)
 
     # ---- tier 2: aggregate fingerprints ----
     text = (
@@ -289,7 +337,7 @@ def main() -> int:
                 "detail": f"no verdict line {text[-300:]}",
             }
             print(f"[FAIL] {name} — no fingerprint verdict", flush=True)
-    _flush(out_path, sf_dir, t0, per_query)
+    _flush(out_path, sf_dir, t0, per_query, registry=reg)
 
     # ---- tier 3: in-engine invariant blocks ----
     blocks = sorted({b for b, _ in ec_names.values()})
@@ -317,7 +365,7 @@ def main() -> int:
         if not ok:
             per_query[name]["detail"] = text[-500:]
         print(f"[{per_query[name]['status']}] {name}", flush=True)
-    _flush(out_path, sf_dir, t0, per_query)
+    _flush(out_path, sf_dir, t0, per_query, registry=reg)
 
     # ---- reasoned exclusions ----
     for name, reason in ex_names.items():
@@ -334,7 +382,8 @@ def main() -> int:
             name, {"status": "FAIL", "detail": "covered by no tier"}
         )
 
-    tally = _flush(out_path, sf_dir, t0, per_query, complete=True)
+    tally = _flush(out_path, sf_dir, t0, per_query, complete=True,
+                   registry=reg)
     print(f"\nsf10 rung: {tally}", flush=True)
     print(f"wrote {out_path}", flush=True)
     return 1 if tally["fail"] else 0
