@@ -227,6 +227,8 @@ OPTIONAL = [
     "retrieval_ndcg",
     "ml_tree_split2",
     "sim_knn_classes",
+    # round 8
+    "dedup_minhash_classes",
 ]
 
 N_RUNS = 3

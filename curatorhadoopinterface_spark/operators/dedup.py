@@ -28,6 +28,7 @@ from curatorhadoopinterface_spark.session import ensure_min_partitions, load_tab
 N_HASHES = 12
 BAND_SIZE = 3  # 4 bands of 3 rows; P(candidate) ~= 1-(1-J^3)^4
 VERIFY_J = 0.5
+VERIFY_J_PERMILLE = 500  # the same threshold in exact integer permille
 
 # ---- shared shingle CTEs ---------------------------------------------------
 
@@ -177,15 +178,177 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (h0..h{N_HASHES-1}) PLUS the distinct
-    shingle set, in ONE aggregation: one scan + one shuffle on doc_id,
-    and every downstream reader (bands, verify-left, verify-right) hits
-    the same exchange, which Spark reuses (ReusedExchange) instead of
-    recomputing the corpus. Each minhash is an affine permutation of the
-    one shared md5. Shared by dedup_minhash/dedup_clusters and the
-    doc-level decontamination pass (curation.contamination_minhash)."""
-    sh = _shingles(spark, sf_dir).withColumn(
+@query(
+    "dedup_minhash_classes",
+    oracle=f"""
+    WITH classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY ck),
+    reps AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON d.doc_id = c.rep),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    shingles AS MATERIALIZED (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words WHERE LEN(w) >= 3),
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    ver AS (
+        SELECT c.rep_a, c.rep_b,
+               LEN(LIST_INTERSECT(sa.s, sb.s)) * 1000
+                   // LEN(LIST_DISTINCT(sa.s || sb.s)) AS jac_permille
+        FROM cands c JOIN sets sa ON sa.doc_id = c.rep_a
+                     JOIN sets sb ON sb.doc_id = c.rep_b),
+    cross_pairs AS (
+        SELECT v.rep_a, v.rep_b, v.jac_permille,
+               ca.n_mem AS n_a, cb.n_mem AS n_b,
+               ca.n_mem * cb.n_mem AS n_doc_pairs
+        FROM ver v JOIN classes ca ON ca.rep = v.rep_a
+                   JOIN classes cb ON cb.rep = v.rep_b
+        WHERE v.jac_permille >= {VERIFY_J_PERMILLE}),
+    within AS (
+        -- restricted to SHINGLED classes: a sub-3-word dup class has no
+        -- shingles, so the pair form emits nothing for it (exact dups of
+        -- gram-free docs are dedup_exact's job); the join keeps the
+        -- class form == pair form identity exact
+        SELECT c.rep AS rep_a, c.rep AS rep_b, 1000 AS jac_permille,
+               c.n_mem AS n_a, c.n_mem AS n_b,
+               c.n_mem * (c.n_mem - 1) // 2 AS n_doc_pairs
+        FROM classes c JOIN sets s ON s.doc_id = c.rep
+        WHERE c.n_mem >= 2)
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
+    """,
+)
+def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dedup in CLASS form — the production default at
+    high duplication (the sim_knn_classes re-plan applied to the minhash
+    family, r7 verdict item 2): exact-duplicate classes (md5(text))
+    collapse FIRST, signatures/bands/verify run over class
+    REPRESENTATIVES only, and each surviving representative pair
+    expands to its member-pair count by class arithmetic
+    (n_a * n_b cross-class; n*(n-1)/2 within-class self rows at
+    jac_permille = 1000).
+
+    The expansion is EXACT on any corpus, not an approximation:
+    identical texts shingle to identical sets, hence identical
+    signatures and band keys, so every member pair of (A, B) is a
+    candidate iff the rep pair is, and member-pair Jaccard equals
+    rep-pair Jaccard. dedup_minhash (the pair dump) stays available as
+    the diagnostic on already-deduplicated corpora; pytest pins
+    sum(n_doc_pairs) here == the pair form's row count.
+
+    Scale shape: output rows scale with DISTINCT near-dup content — a
+    duplication-heavy corpus (the very case near-dedup exists for)
+    multiplies class sizes, not rows, so the band join and the verify
+    never see the duplication-quadratic that killed the pair dump at
+    sf30 (SCALE.md r7). Joins: band self-join and verify pinned
+    shuffle_hash (array-carrying relations mis-sized by the planner —
+    the _minhash_core trap); class-size joins rep-keyed shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
+    )
+    reps = docs.join(
+        classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
+        "doc_id",
+    ).select("doc_id", "text")
+    doc_agg = _minhash_doc_agg_over(
+        shingle_explode(ensure_min_partitions(reps))
+    )
+    bands = _band_explode(doc_agg)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+        .distinct()
+    )
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    uni = F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
+    ver = (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            (inter * 1000).alias("i1000"),
+            uni.alias("u"),
+        )
+        .select("rep_a", "rep_b", F.expr("i1000 div u").alias("jac_permille"))
+        .where(F.col("jac_permille") >= VERIFY_J_PERMILLE)
+    )
+    mem = classes.select("rep", "n_mem")
+    cross = (
+        ver.join(
+            mem.select(
+                F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
+            ).hint("shuffle_hash"),
+            "rep_a",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("rep_b"), F.col("n_mem").alias("n_b")
+            ).hint("shuffle_hash"),
+            "rep_b",
+        )
+        .select(
+            "rep_a",
+            "rep_b",
+            "jac_permille",
+            "n_a",
+            "n_b",
+            F.expr("n_a * n_b").alias("n_doc_pairs"),
+        )
+    )
+    # within rows only for SHINGLED classes (see oracle comment): the
+    # semi join against the signature relation reuses doc_agg's exchange
+    within = (
+        classes.where(F.col("n_mem") >= 2)
+        .join(
+            doc_agg.select(F.col("doc_id").alias("rep")).hint("shuffle_hash"),
+            "rep",
+            "left_semi",
+        )
+        .select(
+            F.col("rep").alias("rep_a"),
+            F.col("rep").alias("rep_b"),
+            F.lit(1000).cast("long").alias("jac_permille"),
+            F.col("n_mem").alias("n_a"),
+            F.col("n_mem").alias("n_b"),
+            F.expr("n_mem * (n_mem - 1) div 2").alias("n_doc_pairs"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_doc_agg_over(sh: DataFrame) -> DataFrame:
+    """Signature+set aggregation over ANY (doc_id, shingle) frame —
+    the class-form pipeline feeds it class representatives only."""
+    sh = sh.withColumn(
         "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
     )
     return sh.groupBy("doc_id").agg(
@@ -197,6 +360,17 @@ def _minhash_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.collect_list("shingle").alias("s"),
     )
+
+
+def _minhash_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (h0..h{N_HASHES-1}) PLUS the distinct
+    shingle set, in ONE aggregation: one scan + one shuffle on doc_id,
+    and every downstream reader (bands, verify-left, verify-right) hits
+    the same exchange, which Spark reuses (ReusedExchange) instead of
+    recomputing the corpus. Each minhash is an affine permutation of the
+    one shared md5. Shared by dedup_minhash/dedup_clusters and the
+    doc-level decontamination pass (curation.contamination_minhash)."""
+    return _minhash_doc_agg_over(_shingles(spark, sf_dir))
 
 
 def _band_explode(sigs: DataFrame) -> DataFrame:

@@ -448,6 +448,19 @@ def dedup_embed_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# class key: md5 of the micro-quantized component string — integers
+# render identically in both engines (float formatting would not)
+_CLS_KEY_SPARK = (
+    "md5(array_join(transform(embedding,"
+    " x -> cast(cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    " as string)), ','))"
+)
+_CLS_KEY_DUCK = (
+    "MD5(ARRAY_TO_STRING(LIST_TRANSFORM(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"
+)
+
+
 @query(
     "sim_knn_graph",
     oracle=f"""
@@ -471,26 +484,42 @@ def dedup_embed_cosine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     mut AS (
         SELECT COUNT(*) AS n_mutual
         FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src),
-    tot AS (SELECT COUNT(*) AS n_vectors FROM base)
+    tot AS (SELECT COUNT(*) AS n_vectors FROM base),
+    ncls AS (
+        SELECT COUNT(DISTINCT {_CLS_KEY_DUCK}) AS n_classes
+        FROM embeddings)
     SELECT t.n_vectors,
            COUNT(DISTINCT e.src) AS n_nodes,
            t.n_vectors - COUNT(DISTINCT e.src) AS n_isolated,
            COUNT(*) AS n_edges,
            m.n_mutual,
-           SUM(e.cos_micro) // COUNT(*) AS mean_cosine_micro
-    FROM edges e CROSS JOIN mut m CROSS JOIN tot t
-    GROUP BY t.n_vectors, m.n_mutual
+           SUM(e.cos_micro) // COUNT(*) AS mean_cosine_micro,
+           t.n_vectors * 1000 // k.n_classes AS dup_factor_permille
+    FROM edges e CROSS JOIN mut m CROSS JOIN tot t CROSS JOIN ncls k
+    GROUP BY t.n_vectors, m.n_mutual, k.n_classes
     """,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN GRAPH construction census — every vector (not just a query
-    sample) finds its top-k cosine neighbors within its sign-bucket,
-    and the census reports edge count, MUTUAL-edge count (a->b and
-    b->a both in the graph — the symmetric-kNN signal SemDedup-style
-    clustering consumes), isolation (vectors alone in their bucket),
-    and mean neighbor cosine. The precursor statistic to any
-    graph-based embedding dedup/clustering: if n_mutual is tiny or
-    isolation is high, the bucket width is wrong for this corpus.
+    """k-NN GRAPH construction census, DIAGNOSTIC form for
+    already-deduplicated corpora — the PRODUCTION default is
+    sim_knn_classes (below): this pair-shaped plan is QUADRATIC in the
+    duplication factor (GROWTH_RATIO_r7 measured 8.68x wall at 3x data
+    under 300x duplication; no join strategy fixes a pair-shaped
+    output). The census now carries ``dup_factor_permille``
+    (n_vectors * 1000 / distinct-embedding classes, 1000 = fully
+    deduplicated) so the trap announces itself: above ~2000 switch to
+    sim_knn_classes, whose candidate volume is bounded by distinct
+    classes per bucket and whose result coincides with this one on a
+    deduplicated corpus (pytest-pinned).
+
+    Every vector (not just a query sample) finds its top-k cosine
+    neighbors within its sign-bucket, and the census reports edge
+    count, MUTUAL-edge count (a->b and b->a both in the graph — the
+    symmetric-kNN signal SemDedup-style clustering consumes),
+    isolation (vectors alone in their bucket), and mean neighbor
+    cosine. The precursor statistic to any graph-based embedding
+    dedup/clustering: if n_mutual is tiny or isolation is high, the
+    bucket width is wrong for this corpus.
 
     Exactness: cosines round to 6dp off the deterministic sequential
     fold (the similarity.py contract), then quantize to integer micro
@@ -538,6 +567,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_mutual")
     )
     tot = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    # duplication self-announcement: distinct quantized-embedding
+    # classes via the sim_knn_classes key — one map-side-partial
+    # count-distinct over the same scan, constant exchange
+    ncls = load_table(spark, sf_dir, "embeddings").agg(
+        F.countDistinct(F.expr(_CLS_KEY_SPARK)).alias("n_classes")
+    )
     return (
         edges.agg(
             F.countDistinct("src").alias("n_nodes"),
@@ -546,6 +581,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(mut))
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ncls))
         .select(
             "n_vectors",
             "n_nodes",
@@ -553,6 +589,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_mutual",
             "mean_cosine_micro",
+            F.expr("n_vectors * 1000 div n_classes").alias(
+                "dup_factor_permille"
+            ),
         )
         # Degenerate-corpus guard: with zero kNN edges the oracle's
         # GROUP BY over the empty edge join yields 0 rows; drop the
@@ -715,19 +754,6 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("prefix_dim")
 
 
-# class key: md5 of the micro-quantized component string — integers
-# render identically in both engines (float formatting would not)
-_CLS_KEY_SPARK = (
-    "md5(array_join(transform(embedding,"
-    " x -> cast(cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
-    " as string)), ','))"
-)
-_CLS_KEY_DUCK = (
-    "MD5(ARRAY_TO_STRING(LIST_TRANSFORM(embedding,"
-    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"
-)
-
-
 @query(
     "sim_knn_classes",
     oracle=f"""
@@ -780,8 +806,12 @@ _CLS_KEY_DUCK = (
     """,
 )
 def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLASS form of sim_knn_graph — the round-7 growth-table catch
-    re-planned the house way (dedup_containment_classes applied to
+    """kNN graph, PRODUCTION DEFAULT — reach for this one first; the
+    pair-shaped sim_knn_graph (above) is the diagnostic for corpora its
+    dup_factor_permille column already certifies as deduplicated.
+
+    The round-7 growth-table catch re-planned the house way
+    (dedup_containment_classes applied to
     vector space): identical embeddings (md5 of the micro-quantized
     component string — integers render identically in both engines)
     collapse into classes FIRST, the bucket-equi kNN join runs over

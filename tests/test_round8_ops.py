@@ -55,3 +55,56 @@ def test_drift_psi_integer_end_to_end(spark):
     assert len(rows) >= 2
     psi = {r.psi_micro for r in rows}
     assert len(psi) == 1  # window over () -> one global PSI
+
+
+def test_minhash_class_form_equals_pair_form_under_duplication(spark, tmp_path):
+    """The class-form expansion is EXACT: on a corpus where every doc
+    appears 3x, sum(n_doc_pairs) of dedup_minhash_classes equals the
+    pair dump's row count, and every dumped pair maps into a class row."""
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_minhash_classes,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    n = docs.count()
+    tripled = docs
+    for k in (1, 2):
+        tripled = tripled.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000 * k))
+        )
+    sf = str(tmp_path)
+    tripled.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    pairs = dedup_minhash(spark, sf).collect()
+    classes = dedup_minhash_classes(spark, sf).collect()
+
+    assert sum(r.n_doc_pairs for r in classes) == len(pairs)
+    # duplication produced within-class rows: 3 copies -> C(3,2)=3 each
+    within = [r for r in classes if r.rep_a == r.rep_b]
+    assert within and all(
+        r.jac_permille == 1000 and r.n_doc_pairs == 3 for r in within
+    )
+    assert len(within) <= n
+    # every dumped doc pair lands in exactly the class row its reps name
+    rep_of = {
+        r.doc_id: r.rep
+        for r in tripled.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .select(F.explode("ids").alias("doc_id"), "rep")
+        .collect()
+    }
+    class_rows = {(r.rep_a, r.rep_b) for r in classes}
+    for p in pairs:
+        ra, rb = sorted((rep_of[p.doc_a], rep_of[p.doc_b]))
+        assert (ra, rb) in class_rows
+    # cross rows respect the verify threshold and canonical ordering
+    for r in classes:
+        if r.rep_a != r.rep_b:
+            assert r.jac_permille >= 500 and r.rep_a < r.rep_b

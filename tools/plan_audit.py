@@ -1030,6 +1030,13 @@ AUDITS: dict[str, dict] = {
                               "prune": ["lang", "source", "n_chars"],
                               "forbid": [r"CartesianProduct",
                                          r"BroadcastHashJoin"]},
+    # class-form minhash: collapse-first, then the SAME pinned-shuffled
+    # band/verify shape as dedup_minhash; class-size joins rep-keyed
+    "dedup_minhash_classes": {"partial": True,
+                              "require": [r"ShuffledHashJoin"],
+                              "prune": ["lang", "source", "n_chars"],
+                              "forbid": [r"CartesianProduct",
+                                         r"BroadcastHashJoin"]},
 }
 
 # blanket coverage for the remaining batch registry: the default
