@@ -9,13 +9,20 @@ Each query is forced end-to-end with a noop sink (full computation, no
 driver collect — the 100 TB-honest way to measure).
 
 Instrumentation (so a real regression is separable from machine load in
-one artifact): every query runs 3 times; ``queries`` reports the MIN
-(the operator's actual cost — spikes on a shared machine are load, not
-the plan), and ``detail`` adds min/median/max plus the stage count and
-shuffle read/write bytes of the final run, taken from the Spark
-AppStatusStore. Unchanged code whose min moves <20% round-over-round
-with identical stage/shuffle counts is load; a shuffle-byte or
-stage-count delta is a plan change.
+one artifact): every query runs 3 times in INTERLEAVED passes (the
+whole suite once, then again, then again — r8: a transient contention
+window can no longer own all samples of one query, the r7 false-breach
+mode); ``queries`` reports the MIN across the time-separated samples,
+and ``detail`` adds min/median/max, a ``load_suspect`` flag when
+median/min exceeds 3x (one pass sat in a contention window), plus the
+stage count and shuffle read/write bytes of the final pass, taken from
+the Spark AppStatusStore. Three fixed calibration probes (scan /
+shuffle / agg) run at suite start+end and their ratio to a committed
+quiet-machine reference is recorded as ``env_factor`` — divide
+round-over-round walls by it before calling anything a regression.
+Unchanged code whose min moves <20% round-over-round with identical
+stage/shuffle counts is load; a shuffle-byte or stage-count delta is a
+plan change.
 """
 
 from __future__ import annotations
@@ -268,51 +275,90 @@ def _stage_snapshot(spark) -> dict:
         return {}
 
 
-def run_one(qfn, spark, sf_dir: str) -> dict:
-    """N_RUNS end-to-end executions; min is the reported cost, the final
-    run's stage/shuffle delta is the plan fingerprint. For streaming
-    queries the final run's per-micro-batch triggerExecution times
-    (StreamingQueryProgress, via streaming.ops.BATCH_LOG) ride along —
-    wall time is drain/orchestration latency; batch_ms is the number
-    that regresses when an operator INSIDE the stream regresses."""
+def _run_once(qfn, spark, sf_dir: str, capture_fp: bool):
+    """ONE end-to-end execution. Returns (seconds, fingerprint-or-None,
+    batch_ms-or-None). The stage/shuffle fingerprint and streaming
+    micro-batch log are captured only when ``capture_fp`` (the final
+    interleaved pass) to keep the other passes' timed windows clean."""
     from curatorhadoopinterface_spark.streaming import ops as stream_ops
 
-    samples = []
-    stages = shuffle_read = shuffle_write = 0
-    for i in range(N_RUNS):
-        before = _stage_snapshot(spark) if i == N_RUNS - 1 else None
-        stream_ops.BATCH_LOG.clear()
-        t0 = time.time()
-        df = qfn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        samples.append(time.time() - t0)
-        if before is not None:
-            # listener bus is async; let the final events land (outside
-            # the timed window)
-            time.sleep(0.4)
-            after = _stage_snapshot(spark)
-            new = {k: v for k, v in after.items() if k not in before}
-            stages = len(new)
-            shuffle_read = sum(v[0] for v in new.values())
-            shuffle_write = sum(v[1] for v in new.values())
-    out = {
-        "min": round(min(samples), 3),
-        "median": round(statistics.median(samples), 3),
-        "max": round(max(samples), 3),
-        "stages": stages,
-        "shuffle_read_mb": round(shuffle_read / 1e6, 2),
-        "shuffle_write_mb": round(shuffle_write / 1e6, 2),
-    }
+    before = _stage_snapshot(spark) if capture_fp else None
+    stream_ops.BATCH_LOG.clear()
+    t0 = time.time()
+    df = qfn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    sec = time.time() - t0
+    fp = None
+    if before is not None:
+        # listener bus is async; let the final events land (outside
+        # the timed window)
+        time.sleep(0.4)
+        after = _stage_snapshot(spark)
+        new = {k: v for k, v in after.items() if k not in before}
+        fp = {
+            "stages": len(new),
+            "shuffle_read_mb": round(sum(v[0] for v in new.values()) / 1e6, 2),
+            "shuffle_write_mb": round(sum(v[1] for v in new.values()) / 1e6, 2),
+        }
+    batch_ms = None
     batches = [b for b in stream_ops.BATCH_LOG if b.get("trigger_ms") is not None]
-    if batches:
+    if capture_fp and batches:
         ms = [b["trigger_ms"] for b in batches]
-        out["batch_ms"] = {
+        batch_ms = {
             "n_batches": len(ms),
             "sum": sum(ms),
             "max": max(ms),
             "per_batch": ms,
         }
+    return sec, fp, batch_ms
+
+
+# ---- environment calibration --------------------------------------------
+# Three fixed probes (pure scan / pure shuffle / pure agg) run at suite
+# START and END; their ratio against the committed quiet-machine
+# reference is the round's ENVIRONMENT FACTOR, written into the
+# artifact so cross-round wall-time comparisons can self-normalize
+# (r7 adjudication: the whole environment drifted 1.8-2.7x between
+# measurement days with identical plan fingerprints — bench.py must
+# carry the evidence itself, not leave it to a judge session).
+# The probes bypass the registry on purpose: fixed code, fixed tables,
+# immune to operator changes round-over-round.
+
+
+def _cal_probes(spark, sf_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {}
+    t0 = time.time()
+    li.write.mode("overwrite").format("noop").save()
+    out["scan"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    li.repartition(32, "l_orderkey").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    out["shuffle"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity"), F.count(F.lit(1))
+    ).write.mode("overwrite").format("noop").save()
+    out["agg"] = round(time.time() - t0, 3)
     return out
+
+
+# quiet-machine reference for the probes at sf0.1 / local[32]
+# (measured on the round-8 machine with no concurrent load; update
+# only from a verified-quiet window). Valid ONLY at CAL_REF_SF — at
+# any other sf the probes are still recorded but env_factor is null.
+CAL_REF = {"scan": 0.252, "shuffle": 0.578, "agg": 0.616}
+CAL_REF_SF = "0.1"
+
+# min/median spread beyond this flags a query as load-suspect: a real
+# plan is this stable across time-separated passes; a contention
+# window that owns one pass is not
+LOAD_SPREAD = 3.0
 
 
 def main() -> None:
@@ -334,13 +380,54 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    names = HEADLINE + [n for n in OPTIONAL if n in qs]
+    names = [n for n in HEADLINE + OPTIONAL if n in qs]
+
+    cal_start = _cal_probes(spark, sf_dir)
+
+    # INTERLEAVED passes (r7 verdict, What's wrong #1): pass 1 runs the
+    # whole suite, then pass 2, then pass 3 — so the three samples of
+    # any one query are separated by the full suite's wall time and a
+    # transient contention window can no longer own all of them; min is
+    # taken across time-separated samples.
+    samples: dict[str, list] = {n: [] for n in names}
+    fps: dict[str, dict] = {}
+    batch: dict[str, dict] = {}
+    for p in range(N_RUNS):
+        final = p == N_RUNS - 1
+        for name in names:
+            sec, fp, bms = _run_once(qs[name], spark, sf_dir, final)
+            samples[name].append(sec)
+            if fp is not None:
+                fps[name] = fp
+            if bms is not None:
+                batch[name] = bms
+
+    cal_end = _cal_probes(spark, sf_dir)
+    env_factor = None
+    if sf == CAL_REF_SF:
+        cal_ratios = [
+            min(cal_start[k], cal_end[k]) / CAL_REF[k] for k in CAL_REF
+        ]
+        env_factor = round(statistics.median(cal_ratios), 3)
+
     times: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
-        if name not in qs:
-            continue
-        d = run_one(qs[name], spark, sf_dir)
+        ss = samples[name]
+        d = {
+            "min": round(min(ss), 3),
+            "median": round(statistics.median(ss), 3),
+            "max": round(max(ss), 3),
+            **fps.get(name, {}),
+        }
+        # spread across time-separated passes: a >LOAD_SPREAD gap means
+        # at least one pass ran inside a contention window — the MIN is
+        # still trustworthy, the median/max are not
+        d["load_suspect"] = (
+            d["median"] / d["min"] > LOAD_SPREAD if d["min"] > 0 else False
+        )
+        if name in batch:
+            d["batch_ms"] = batch[name]
         times[name] = d["min"]
         detail[name] = d
 
@@ -364,9 +451,19 @@ def main() -> None:
             {
                 "detail": detail,
                 "n_runs": N_RUNS,
+                "interleaved_passes": True,
                 "sf": sf,
                 "suite_total_sec": total,
                 "suite_total_excl_orchestration_sec": total_operators,
+                "calibration": {
+                    "probes_start": cal_start,
+                    "probes_end": cal_end,
+                    "reference": CAL_REF,
+                    "env_factor": env_factor,
+                },
+                "n_load_suspect": sum(
+                    1 for d in detail.values() if d.get("load_suspect")
+                ),
             },
             fh,
             indent=1,
@@ -381,6 +478,7 @@ def main() -> None:
                 "queries": {n: times[n] for n in HEADLINE if n in times},
                 "n_queries_total": len(times),
                 "n_runs": N_RUNS,
+                "env_factor": env_factor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),
