@@ -236,6 +236,7 @@ OPTIONAL = [
     "sim_knn_classes",
     # round 8
     "dedup_minhash_classes",
+    "mm_decode_jpeg",
 ]
 
 N_RUNS = 3

@@ -982,13 +982,14 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
         SELECT a.dim AS dim_i, b.dim AS dim_j,
                SUM(a.cv * b.cv) AS s, COUNT(*) AS n
-        FROM c a JOIN c b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        FROM c a JOIN c b ON b.vec_id = a.vec_id
+         AND (b.dim = a.dim
+              OR (a.dim <= 8 AND b.dim <= 8 AND b.dim > a.dim))
         GROUP BY a.dim, b.dim)
     SELECT dim_i, dim_j, n AS n_vecs,
            s // n AS cov_pico,
            ROUND((s // n) / 1e12, 9) AS cov
     FROM p
-    WHERE dim_i <= 8 AND dim_j <= 8 OR dim_i = dim_j
     ORDER BY dim_i, dim_j
     """,
 )
@@ -1010,10 +1011,17 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pass 1 is a 64-group partial-agged exchange (means);
     pass 2 broadcasts the 64-entry mean array, builds each vector's
-    centered array JVM-side, and map-side explodes only the upper
-    triangle (d(d+1)/2 structs per vector) straight into a hash
-    aggregate with 2080 groups — the exchange carries
-    partitions x 2080 rows regardless of corpus size. Products
+    centered array JVM-side, and map-side explodes ONLY THE OUTPUT
+    CELLS — the diagonal plus the strict-upper 8x8 block, 92 structs
+    per vector (r8: the cell filter is pushed INTO the explode; the
+    old plan generated all d(d+1)/2 = 2080 upper-triangle products and
+    filtered 96% of them away afterward — a 22x map-side constant for
+    rows the query never returns, the dominant operator-hour on the
+    sf10 rung at 147 s). The hash aggregate has 92 groups and the
+    exchange carries partitions x 92 rows regardless of corpus size.
+    A consumer needing the FULL Gram (distributed PCA's d x d input)
+    composes it the emb_pca_power way — this query's contract is the
+    variance diagonal + leading block. Products
     |cv|^2 <= 1e12 per vector keep the BIGINT sum in range past 10^6
     vectors; beyond that, drop the quantization scale one decade (the
     knob is the shared _OUT_SCALE pattern). That precondition is now
@@ -1071,11 +1079,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("zip_with(qv_arr, m_arr, (a, b) -> a - b)").alias("cv")
         )
     )
+    # only the cells the query RETURNS are generated: j == i (diagonal)
+    # plus j > i within the leading 8x8 block — 92 structs per vector,
+    # not 2080 (0-based i/j here; the 1-based output adds 1)
     pairs = centered.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {_EMB_DIM - 1}),"
-                f" i -> transform(sequence(i, {_EMB_DIM - 1}),"
+                f" i -> transform("
+                f"   filter(sequence(i, {_EMB_DIM - 1}),"
+                f"          j -> j = i or (i < 8 and j < 8)),"
                 f" j -> struct(i + 1 as dim_i, j + 1 as dim_j,"
                 f" cv[i] * cv[j] as prod))))"
             )
@@ -1085,10 +1098,7 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("prod").alias("s"), F.count(F.lit(1)).alias("n_vecs")
     )
     return (
-        agg.where(
-            ((F.col("dim_i") <= 8) & (F.col("dim_j") <= 8))
-            | (F.col("dim_i") == F.col("dim_j"))
-        )
+        agg
         .select(
             "dim_i",
             "dim_j",

@@ -108,3 +108,82 @@ def test_minhash_class_form_equals_pair_form_under_duplication(spark, tmp_path):
     for r in classes:
         if r.rep_a != r.rep_b:
             assert r.jac_permille >= 500 and r.rep_a < r.rep_b
+
+
+def test_jpeg_codec_roundtrip_and_structure():
+    """The baseline JPEG codec: exact roundtrip on the fixture contract
+    (block-constant + planted AC decodes to the precomputed block sums),
+    byte stuffing exercised on real streams, general-decoder guards."""
+    import pytest
+
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        _jpeg_lut,
+        _jpg_block_params,
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    lut = {(ci, ai, par): s for ci, ai, par, s in _jpeg_lut()}
+    stuffed = 0
+    for doc_id in range(0, 120):
+        w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
+        data = make_jpeg(w, h, doc_id)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        if b"\xff\x00" in data[data.find(b"\xff\xda"):]:
+            stuffed += 1
+        w2, h2, px = decode_jpeg_pixels(data)
+        assert (w2, h2) == (w, h)
+        want = sum(
+            lut[(*_jpg_block_params(bx, by, doc_id)[:2], doc_id % 2)]
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        )
+        assert sum(px) == want
+    # the 0xFF-stuffing decode path runs on a majority of real streams
+    # (EOB carries the all-ones code so flush padding completes 0xFF)
+    assert stuffed > 40
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"\x00\x01")
+    # progressive (SOF2) must be rejected, not mis-decoded
+    prog = bytearray(make_jpeg(8, 8, 0))
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bytes(prog))
+
+
+def test_jpeg_decoder_handles_negative_and_run_ac():
+    """Odd doc_ids plant the AC at zigzag 5 via a run-4 symbol; even at
+    zigzag 1 run-0; both signs of the magnitude occur across blocks —
+    check a decoded image pixel-by-pixel against the IDCT replay."""
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        _ZIGZAG,
+        _idct_block,
+        _JPG_QAC,
+        _JPG_QDC,
+        _jpg_block_params,
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    for doc_id in (7, 16):  # odd: run-4 path; even: run-0 path
+        w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
+        _, _, px = decode_jpeg_pixels(make_jpeg(w, h, doc_id))
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                ci, ai, pos = _jpg_block_params(bx, by, doc_id)
+                zz = [0] * 64
+                zz[0] = (ci * 37) % 193 - 96
+                zz[pos] = ai - 2
+                coef = [0] * 64
+                for idx in range(64):
+                    coef[_ZIGZAG[idx]] = zz[idx] * (
+                        _JPG_QDC if idx == 0 else _JPG_QAC
+                    )
+                want = _idct_block(coef)
+                got = [
+                    px[(by * 8 + y) * w + bx * 8 + x]
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                assert got == want
