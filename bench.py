@@ -237,6 +237,10 @@ OPTIONAL = [
     # round 8
     "dedup_minhash_classes",
     "mm_decode_jpeg",
+    "source_reputation",
+    "curriculum_global_order",
+    "dedup_substring_windows",
+    "emb_kmeans_balanced",
 ]
 
 N_RUNS = 3

@@ -2548,3 +2548,223 @@ def privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dp_median_cents",
         F.lit(693).alias("epsilon_milli"),
     )
+
+
+# -- source reputation gate (host-level corpus filtering) --------------------
+
+# verdict thresholds, exact integer per-milles over source aggregates
+_REP_DUP_DROP = 300  # >30.0% exact-dup docs within the source -> drop
+_REP_SHORT_DROP = 400  # >40.0% short docs -> drop
+_REP_DUP_REVIEW = 100
+_REP_SHORT_REVIEW = 200
+_REP_SHORT_CHARS = 120  # doc under this many chars counts as short
+
+
+@query(
+    "source_reputation",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(LENGTH(text)) AS n_chars,
+               COUNT(DISTINCT MD5(text)) AS n_distinct,
+               SUM(CASE WHEN LENGTH(text) < {_REP_SHORT_CHARS}
+                        THEN 1 ELSE 0 END) AS n_short
+        FROM documents GROUP BY source)
+    SELECT source, n_docs, n_chars,
+           (n_docs - n_distinct) * 1000 // n_docs AS dup_permille,
+           n_short * 1000 // n_docs AS short_permille,
+           n_chars // n_docs AS mean_doc_chars,
+           CASE
+             WHEN (n_docs - n_distinct) * 1000 // n_docs > {_REP_DUP_DROP}
+                  OR n_short * 1000 // n_docs > {_REP_SHORT_DROP} THEN 'drop'
+             WHEN (n_docs - n_distinct) * 1000 // n_docs > {_REP_DUP_REVIEW}
+                  OR n_short * 1000 // n_docs > {_REP_SHORT_REVIEW}
+                  THEN 'review'
+             ELSE 'keep'
+           END AS verdict
+    FROM per_source
+    """,
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level (here: source-level) reputation gate — the web-corpus
+    curation step that drops WHOLE sites rather than single documents
+    (UT1-blocklist / RefinedWeb host filtering; document-level gates
+    miss template farms whose every page individually looks fine).
+    Per source: exact-dup rate (1 - distinct md5 / docs), short-doc
+    rate, mean length, and a keep/review/drop verdict from fixed
+    integer per-mille thresholds.
+
+    Scale shape: ONE two-level hash aggregate keyed on source — the
+    md5 collapses each doc to 32 bytes map-side before the exchange,
+    and COUNT(DISTINCT md5) rewrites to a (source, md5) partial agg
+    then a source regroup (both map-side combining). No join, no
+    window, no explode; output is O(sources). All verdict arithmetic
+    is integer per-milles — bit-identical in both engines. Parallels
+    the reference's per-directory job accounting
+    (JobHandler.java:579-606) lifted to content-derived statistics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.sum(
+            F.when(F.length("text") < _REP_SHORT_CHARS, 1).otherwise(0)
+        ).alias("n_short"),
+    )
+    dup_pm = F.expr("(n_docs - n_distinct) * 1000 div n_docs")
+    short_pm = F.expr("n_short * 1000 div n_docs")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        dup_pm.alias("dup_permille"),
+        short_pm.alias("short_permille"),
+        F.expr("n_chars div n_docs").alias("mean_doc_chars"),
+        F.when(
+            (dup_pm > _REP_DUP_DROP) | (short_pm > _REP_SHORT_DROP),
+            F.lit("drop"),
+        )
+        .when(
+            (dup_pm > _REP_DUP_REVIEW) | (short_pm > _REP_SHORT_REVIEW),
+            F.lit("review"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+# -- curriculum global order (scale-safe global permutation) -----------------
+
+_CURR_BUCKETS = 10  # difficulty deciles
+_CURR_SHARDS = 16  # md5-nibble shards per bucket (the scale knob)
+
+
+@query(
+    "curriculum_global_order",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               LENGTH(text) * 1000 // len(string_split(text, ' '))
+                   AS score_milli,
+               MD5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM scored),
+    by_score AS (
+        SELECT score_milli, COUNT(*) AS c FROM scored GROUP BY score_milli),
+    bucketed_vals AS (
+        SELECT score_milli,
+               COALESCE(SUM(c) OVER (ORDER BY score_milli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM by_score),
+    assign AS (
+        SELECT s.doc_id, s.h,
+               b.cum_before * {_CURR_BUCKETS} // t.n AS bucket,
+               CAST(('0x' || s.h[1]) AS BIGINT) % {_CURR_SHARDS} AS shard
+        FROM scored s
+        JOIN bucketed_vals b USING (score_milli) CROSS JOIN tot t),
+    rn AS (
+        SELECT doc_id, bucket, shard,
+               ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                  ORDER BY h, doc_id) AS r
+        FROM assign),
+    grp AS (
+        SELECT bucket, shard, COUNT(*) AS c FROM rn GROUP BY bucket, shard),
+    offs AS (
+        SELECT bucket, shard,
+               COALESCE(SUM(c) OVER (ORDER BY bucket, shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM grp),
+    pos AS (
+        SELECT r.doc_id, r.bucket, o.off + r.r AS global_pos
+        FROM rn r JOIN offs o USING (bucket, shard))
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(global_pos) AS min_pos, MAX(global_pos) AS max_pos,
+           SUM(global_pos * (doc_id % 1000003)) AS pos_checksum
+    FROM pos GROUP BY bucket
+    """,
+)
+def curriculum_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL training-order permutation —
+    difficulty deciles first (easy->hard curriculum), deterministic
+    hash-shuffle within each decile — built WITHOUT a global sort or a
+    single-partition window. The permutation is assembled from local
+    ranks plus broadcast offsets:
+
+    1. difficulty = chars-per-word in exact milli units (scan-local);
+    2. decile boundaries from the VALUE-DOMAIN histogram (distinct
+       score values + counts — bounded rows — one tiny cumulative
+       window), so bucketing never ranks individual docs;
+    3. within (bucket, md5-nibble shard): row_number ordered by
+       (md5(doc_id), doc_id) — {_CURR_BUCKETS}x{_CURR_SHARDS} window
+       groups, each ~N/160 rows; the shard count is the scale knob (a
+       1000-executor run uses 10k+ shards so every window group fits
+       one task);
+    4. global_pos = broadcast per-(bucket, shard) offset + local rank —
+       {_CURR_BUCKETS * _CURR_SHARDS} offset rows, computed exactly.
+
+    Output is the per-decile census with an exact BIGINT position
+    checksum (sum(pos * (doc_id mod 1000003))), so the strict compare
+    pins the ENTIRE permutation, not just bucket sizes. Everything is
+    integer arithmetic; md5 ordering is byte-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "length(text) * 1000 div size(split(text, ' '))"
+        ).alias("score_milli"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    by_score = scored.groupBy("score_milli").agg(F.count(F.lit(1)).alias("c"))
+    w_val = (
+        Window.orderBy("score_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy("score_milli").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bucketed_vals = by_score.select(
+        "score_milli",
+        F.coalesce(F.sum("c").over(w_val), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(w_all).alias("n_total"),
+    )
+    assign = (
+        scored.join(F.broadcast(bucketed_vals), "score_milli")
+        .select(
+            "doc_id",
+            "h",
+            F.expr(f"cum_before * {_CURR_BUCKETS} div n_total").alias(
+                "bucket"
+            ),
+            (F.conv(F.substring("h", 1, 1), 16, 10).cast("bigint")
+             % _CURR_SHARDS).alias("shard"),
+        )
+    )
+    w_rn = Window.partitionBy("bucket", "shard").orderBy("h", "doc_id")
+    rn = assign.select(
+        "doc_id", "bucket", "shard", F.row_number().over(w_rn).alias("r")
+    )
+    grp = rn.groupBy("bucket", "shard").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("bucket", "shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = grp.select(
+        "bucket",
+        "shard",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+    )
+    pos = rn.join(F.broadcast(offs), ["bucket", "shard"]).select(
+        "doc_id", "bucket", (F.col("off") + F.col("r")).alias("global_pos")
+    )
+    return pos.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("global_pos").alias("min_pos"),
+        F.max("global_pos").alias("max_pos"),
+        F.sum(F.col("global_pos") * (F.col("doc_id") % 1000003)).alias(
+            "pos_checksum"
+        ),
+    )

@@ -2345,3 +2345,102 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_jac_permille",
         )
     )
+
+
+# -- exact-substring duplication census (sliding word windows) ---------------
+
+_SUB_W = 8  # window width in words (Lee et al. use 50 BPE tokens)
+_SUB_FLAG_PPM = 500_000  # doc flagged when >50% of its windows repeat
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+        SELECT doc_id, source,
+               MD5(array_to_string(w[i.g : i.g + {_SUB_W} - 1], ' ')) AS wh
+        FROM toks, LATERAL (
+            SELECT UNNEST(GENERATE_SERIES(1, len(w) - {_SUB_W} + 1)) AS g) i
+        WHERE len(w) >= {_SUB_W}),
+    freq AS (
+        SELECT wh, COUNT(DISTINCT doc_id) AS n_docs_w
+        FROM wins GROUP BY wh),
+    per_doc AS (
+        SELECT v.doc_id, v.source, COUNT(*) AS n_windows,
+               SUM(CASE WHEN f.n_docs_w >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM wins v JOIN freq f USING (wh)
+        GROUP BY v.doc_id, v.source)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_windows) AS n_windows,
+           SUM(n_dup) AS n_dup_windows,
+           SUM(CASE WHEN n_dup * 1000000 // n_windows >= {_SUB_FLAG_PPM}
+                    THEN 1 ELSE 0 END) AS n_docs_flagged,
+           SUM(n_dup) * 1000000 // SUM(n_windows) AS dup_window_ppm
+    FROM per_doc GROUP BY source
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census — the sliding-window pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every {_SUB_W}-word window is hashed; a window occurring
+    in >= 2 DISTINCT docs anywhere in the corpus (cross-source, unlike
+    text_boilerplate's per-source block segments) marks a duplicated
+    span. Reports, per source, the duplicated-window load and how many
+    docs are majority-duplicated — the metric that decides whether a
+    corpus needs span-level (not doc-level) dedup.
+
+    Scale shape: the window explode is LINEAR (one row per word, the
+    same cardinality a tokenizer pass already pays); windows collapse
+    to md5 BEFORE the exchange so the shuffle rows are 32 bytes + ids.
+    Two hash aggregates keyed on the uniform md5 (skew-immune) and ONE
+    co-partitioned self-join on wh (both sides arrive hashed on the
+    join key — AQE plans a shuffle join with no extra exchange). No
+    pair dump: output is O(sources), duplication-factor-proof — a
+    window shared by 10k docs contributes one freq row, never 10k^2
+    pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    wins = (
+        d.select(
+            "doc_id",
+            "source",
+            F.split("text", " ").alias("w"),
+        )
+        .where(F.size("w") >= _SUB_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SUB_W} + 1),"
+                    f" g -> md5(array_join(slice(w, g, {_SUB_W}), ' ')))"
+                )
+            ).alias("wh"),
+        )
+    )
+    freq = wins.groupBy("wh").agg(F.countDistinct("doc_id").alias("n_docs_w"))
+    per_doc = (
+        wins.join(freq, "wh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("n_docs_w") >= 2, 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("n_dup").alias("n_dup_windows"),
+        F.sum(
+            F.when(
+                F.expr(f"n_dup * 1000000 div n_windows") >= _SUB_FLAG_PPM, 1
+            ).otherwise(0)
+        ).alias("n_docs_flagged"),
+        F.expr("sum(n_dup) * 1000000 div sum(n_windows)").alias(
+            "dup_window_ppm"
+        ),
+    )

@@ -1421,3 +1421,122 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- balanced k-means assignment (capacity-capped IVF build) -----------------
+
+_BAL_SLACK_PCT = 125  # cap = ceil(n / k * 1.25)
+
+
+@query(
+    "emb_kmeans_balanced",
+    oracle=f"""
+    WITH {_O_BASE},
+    {_O_CENT},
+    tot AS (
+        SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM cent) AS k FROM base),
+    cap AS (
+        SELECT CAST(CEIL(n * {_BAL_SLACK_PCT} / (k * 100.0)) AS BIGINT)
+            AS cap FROM tot),
+    ranked AS (
+        SELECT b.vec_id, c.label AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY {_o_d2('b.e', 'c.ce')} ASC, c.label) AS rk,
+               {_o_d2('b.e', 'c.ce')} AS d2
+        FROM base b CROSS JOIN cent c),
+    primary_a AS (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY d2 ASC, vec_id) AS fill
+        FROM ranked WHERE rk = 1),
+    kept AS (
+        SELECT p.vec_id, p.cluster FROM primary_a p CROSS JOIN cap
+        WHERE p.fill <= cap.cap),
+    spilled AS (
+        SELECT r.vec_id, r.cluster
+        FROM ranked r
+        JOIN primary_a p ON p.vec_id = r.vec_id CROSS JOIN cap
+        WHERE p.fill > cap.cap AND r.rk = 2),
+    final AS (
+        SELECT vec_id, cluster, 0 AS is_spill FROM kept
+        UNION ALL SELECT vec_id, cluster, 1 AS is_spill FROM spilled)
+    SELECT f.cluster,
+           SUM(CASE WHEN is_spill = 0 THEN 1 ELSE 0 END) AS n_primary,
+           SUM(is_spill) AS n_spill_in,
+           COUNT(*) AS n_total,
+           COUNT(*) * 1000 // MAX(cap.cap) AS fill_permille
+    FROM final f CROSS JOIN cap GROUP BY f.cluster
+    """,
+)
+def emb_kmeans_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-capped nearest-centroid assignment — the balanced IVF
+    build (faiss-style two-choice balancing): each vector goes to its
+    nearest per-label centroid, every cluster keeps only its closest
+    cap = ceil(1.25 * n/k) members, overflow re-lands on the vector's
+    SECOND-nearest centroid. Balanced cells keep ANN probe latency
+    uniform — an unbalanced IVF list is the query-time skew the build
+    pays to avoid. Reports per-cluster primary/spill/fill census.
+
+    Scale shape: centroids are k broadcast rows; nearest + runner-up
+    assignment is a map-side cross with a per-vec_id window over k rows
+    (vec_id partitions — perfectly uniform). The capacity rank is ONE
+    window per cluster ordered by distance: k groups of ~n/k rows — the
+    balance the operator itself enforces is what bounds its own window
+    groups. Distances are rounded squared-L2 (one IEEE chain, identical
+    in both engines); every census column is exact integer arithmetic.
+    """
+    base = _base(spark, sf_dir)
+    cent = _centroids(base)
+    w_near = Window.partitionBy("vec_id").orderBy(
+        _d2("e", "ce").asc(), F.col("label").asc()
+    )
+    ranked = (
+        base.select("vec_id", "e")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.col("label").alias("cluster"),
+            F.row_number().over(w_near).alias("rk"),
+            _d2("e", "ce").alias("d2"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(cent.agg(F.count(F.lit(1)).alias("k")))
+    )
+    cap = tot.select(
+        F.expr(
+            f"cast(ceil(n * {_BAL_SLACK_PCT} / (k * 100.0)) as bigint)"
+        ).alias("cap")
+    )
+    w_fill = Window.partitionBy("cluster").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    primary = (
+        ranked.filter(F.col("rk") == 1)
+        .withColumn("fill", F.row_number().over(w_fill))
+        .crossJoin(F.broadcast(cap))
+    )
+    kept = primary.filter(F.col("fill") <= F.col("cap")).select(
+        "vec_id", "cluster", F.lit(0).alias("is_spill")
+    )
+    spilled = (
+        primary.filter(F.col("fill") > F.col("cap"))
+        .select("vec_id")
+        .join(ranked.filter(F.col("rk") == 2), "vec_id")
+        .select("vec_id", "cluster", F.lit(1).alias("is_spill"))
+    )
+    return (
+        kept.unionAll(spilled)
+        .crossJoin(F.broadcast(cap))
+        .groupBy("cluster")
+        .agg(
+            F.sum(F.when(F.col("is_spill") == 0, 1).otherwise(0)).alias(
+                "n_primary"
+            ),
+            F.sum("is_spill").alias("n_spill_in"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.expr("count(1) * 1000 div max(cap)").alias("fill_permille"),
+        )
+    )

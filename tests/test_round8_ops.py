@@ -187,3 +187,119 @@ def test_jpeg_decoder_handles_negative_and_run_ac():
                     for x in range(8)
                 ]
                 assert got == want
+
+
+def test_source_reputation_verdicts(spark, tmp_path):
+    """Planted sources hit each verdict arm with exact per-milles."""
+    import pyspark.sql.functions as F
+
+    from curatorhadoopinterface_spark.operators.curation import (
+        source_reputation,
+    )
+
+    long = "x" * 200
+    rows = []
+    # dupfarm: 10 docs, only 4 distinct texts -> dup_permille 600 -> drop
+    for i in range(10):
+        rows.append((100 + i, f"{long} v{i % 4}", "en", "dupfarm"))
+    # shortish: 10 distinct docs, 3 short -> short_permille 300 -> review
+    for i in range(10):
+        t = ("s" * 50 if i < 3 else long) + f" u{i}"
+        rows.append((200 + i, t, "en", "shortish"))
+    # clean: 10 long distinct docs -> keep
+    for i in range(10):
+        rows.append((300 + i, f"{long} clean{i}", "en", "clean"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {r.source: r for r in source_reputation(spark, sf).collect()}
+    assert got["dupfarm"].dup_permille == 600
+    assert got["dupfarm"].verdict == "drop"
+    assert got["shortish"].short_permille == 300
+    assert got["shortish"].verdict == "review"
+    assert got["clean"].verdict == "keep"
+    assert got["clean"].dup_permille == 0
+    for r in got.values():
+        assert r.n_docs == 10 and r.mean_doc_chars > 0
+
+
+def test_curriculum_global_order_is_a_permutation(spark):
+    """Bucket position ranges tile 1..N with no gap or overlap, and
+    bucket sizes are within one decile rounding step of N/10."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        curriculum_global_order,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    n = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    rows = sorted(
+        curriculum_global_order(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_docs for r in rows) == n
+    assert rows[0].min_pos == 1 and rows[-1].max_pos == n
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.min_pos == prev.max_pos + 1
+    for r in rows:
+        assert r.max_pos - r.min_pos + 1 == r.n_docs
+        assert r.pos_checksum > 0
+
+
+def test_dedup_substring_windows_planted_overlap(spark, tmp_path):
+    """Two docs sharing a 9-word run produce exactly 2 duplicated
+    8-windows each; sub-8-word docs never enter the census."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_substring_windows,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 words
+    rows = [
+        (1, shared + " uniqueone tail1 tail2", "en", "web"),
+        (2, "head1 head2 " + shared + " uniquetwo", "en", "web"),
+        (3, "totally different words " + " ".join(f"w{i}" for i in range(8)), "en", "web"),
+        (4, "too short doc", "en", "web"),  # 3 words -> no windows
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {r.source: r for r in dedup_substring_windows(spark, sf).collect()}
+    web = got["web"]
+    # doc1: 12 words -> 5 windows; doc2: 12 -> 5; doc3: 11 -> 4; doc4: none
+    assert web.n_docs == 3
+    assert web.n_windows == 14
+    # the 9-word shared run yields exactly its two 8-word sub-windows
+    # in each doc -> 4 duplicated window occurrences corpus-wide
+    assert web.n_dup_windows == 4
+    assert web.n_docs_flagged == 0
+    assert web.dup_window_ppm == 4 * 1_000_000 // 14
+
+
+def test_emb_kmeans_balanced_respects_cap(spark):
+    """No cluster keeps more than cap primaries; totals tile the corpus;
+    fill per-mille is the exact integer ratio."""
+    import math
+
+    from curatorhadoopinterface_spark.operators.mlops import (
+        emb_kmeans_balanced,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    k = emb.select("label").distinct().count()
+    cap = math.ceil(n * 125 / (k * 100.0))
+    rows = emb_kmeans_balanced(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_total for r in rows) == n
+    for r in rows:
+        assert r.n_primary <= cap
+        assert r.n_total == r.n_primary + r.n_spill_in
+        assert r.fill_permille == r.n_total * 1000 // cap
+    # spill only exists if some cluster actually overflowed
+    if any(r.n_spill_in for r in rows):
+        assert any(r.n_primary == cap for r in rows)

@@ -1005,6 +1005,10 @@ AUDITS: dict[str, dict] = {
     "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
                       "require": [r"MapInPandas"]},
+    # JPEG encode->baseline-decode roundtrip: same linear shape
+    "mm_decode_jpeg": {"partial": False, "prune": ["text", "lang", "source"],
+                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
+                       "require": [r"MapInPandas"]},
     # depth-2 tree: pass 1 histogram + 1-row root broadcast onto pass
     # 2's (side, discount) histogram; per-side windows over the domain
     "ml_tree_split2": {"partial": True, "no_bnlj": False,
@@ -1069,6 +1073,30 @@ for _n in _BLANKET:
 # scale plan for the same semantics, audited strictly above)
 for _n in ("join_range", "join_interval", "span_interval_join"):
     AUDITS.setdefault(_n, {"no_bnlj": False})
+
+# round-8 operators
+# one two-level hash agg keyed on source; md5 collapses docs map-side
+AUDITS["source_reputation"] = {
+    "partial": True,
+    "prune": ["doc_id", "lang", "n_chars"],
+}
+# global permutation from local ranks + broadcast offsets: the
+# bucket-boundary and offset relations are bounded rows and broadcast
+AUDITS["curriculum_global_order"] = {
+    "broadcast": True,
+    "prune": ["lang", "source", "n_chars"],
+    "forbid": [r"CartesianProduct"],
+}
+# linear window explode -> md5-keyed partial aggs + one co-partitioned
+# self-join on wh; never a pair dump
+AUDITS["dedup_substring_windows"] = {
+    "partial": True,
+    "prune": ["lang", "n_chars"],
+    "forbid": [r"CartesianProduct"],
+}
+# k-row centroid/cap relations cross via broadcast BNLJ (deliberate);
+# the corpus never shuffles for assignment, only for the fill window
+AUDITS["emb_kmeans_balanced"] = {"no_bnlj": False, "partial": True}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
