@@ -9,7 +9,9 @@ graph_degree_distribution lesson: compare like with like).
 
 Usage: python -u tools/growth_ratio.py <sf10_dir> <sf30_dir> \
            [n_runs] [query ...]
-Writes growth_ratio.json {query: {sf10: s, sf30: s, ratio: r}}.
+Writes growth_ratio.json {query: {sf10: s, sf30: s, ratio: r}}; an
+existing artifact's rows are kept (same-name rows overwritten), so
+subset runs at different n_runs merge into one table.
 """
 
 from __future__ import annotations
@@ -56,6 +58,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = m.queries()
     out: dict[str, dict] = {}
+    try:  # merge-resume: keep prior rows, overwrite re-run names
+        with open("growth_ratio.json") as fh:
+            prior = json.load(fh)
+        out.update(
+            {k: v for k, v in prior.get("times", {}).items() if k in qs}
+        )
+    except (OSError, ValueError):
+        pass
     warm_dir = "/root/testdata/sf0.1"
     for name in names:
         row: dict = {}
@@ -85,6 +95,7 @@ def main() -> None:
                 row[key] = min(samples)
         if "sf10" in row and "sf30" in row:
             row["ratio"] = round(row["sf30"] / max(row["sf10"], 0.1), 2)
+        row["n_runs"] = n_runs
         out[name] = row
         print(f"{name}: {row}", flush=True)
         with open("growth_ratio.json", "w") as fh:
