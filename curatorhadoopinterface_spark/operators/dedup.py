@@ -2392,26 +2392,35 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are majority-duplicated — the metric that decides whether a
     corpus needs span-level (not doc-level) dedup.
 
-    Scale shape: the window explode is LINEAR (one row per word, the
-    same cardinality a tokenizer pass already pays); windows collapse
-    to md5 BEFORE the exchange so the shuffle rows are 32 bytes + ids.
-    Two hash aggregates keyed on the uniform md5 (skew-immune) and ONE
-    co-partitioned self-join on wh (both sides arrive hashed on the
-    join key — AQE plans a shuffle join with no extra exchange). No
-    pair dump: output is O(sources), duplication-factor-proof — a
-    window shared by 10k docs contributes one freq row, never 10k^2
+    Scale shape — CLASS FORM (the sim_knn_classes law applied at birth
+    was missed; the first pair-per-doc plan measured 417 s at sf10 and
+    died at sf30 under the planted 100x duplication): docs collapse to
+    (md5(text), source) classes FIRST, the window explode runs over
+    class REPRESENTATIVES only (|distinct content|, immune to the
+    duplication factor), and every census column expands back by class
+    arithmetic — identical texts have identical windows, so per-doc
+    occurrence counts, dup flags, and the distinct-doc count per window
+    (sum of n_mem over classes containing it, deduped per class) are
+    exact for every member. Window hashes collapse to md5 BEFORE the
+    exchanges; the one self-join is co-partitioned on wh. No pair
+    dump: a window shared by 10k docs is one freq row, never 10k^2
     pairs."""
     d = load_table(spark, sf_dir, "documents")
+    classes = d.groupBy(F.md5("text").alias("ck"), "source").agg(
+        F.count(F.lit(1)).alias("n_mem"),
+        # all texts in a class are byte-identical (md5 key): first() is
+        # value-deterministic here
+        F.first("text").alias("text"),
+    )
     wins = (
-        d.select(
-            "doc_id",
-            "source",
-            F.split("text", " ").alias("w"),
+        classes.select(
+            "ck", "source", "n_mem", F.split("text", " ").alias("w")
         )
         .where(F.size("w") >= _SUB_W)
         .select(
-            "doc_id",
+            "ck",
             "source",
+            "n_mem",
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(w) - {_SUB_W} + 1),"
@@ -2420,27 +2429,35 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wh"),
         )
     )
-    freq = wins.groupBy("wh").agg(F.countDistinct("doc_id").alias("n_docs_w"))
-    per_doc = (
+    # distinct docs containing a window = sum of member counts over the
+    # DISTINCT classes whose representative contains it
+    freq = (
+        wins.select("ck", "n_mem", "wh")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.sum("n_mem").alias("n_docs_w"))
+    )
+    per_cls = (
         wins.join(freq, "wh")
-        .groupBy("doc_id", "source")
+        .groupBy("ck", "source", "n_mem")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.lit(1)).alias("nw_rep"),
             F.sum(
                 F.when(F.col("n_docs_w") >= 2, 1).otherwise(0)
-            ).alias("n_dup"),
+            ).alias("nd_rep"),
         )
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_windows").alias("n_windows"),
-        F.sum("n_dup").alias("n_dup_windows"),
+    return per_cls.groupBy("source").agg(
+        F.sum("n_mem").alias("n_docs"),
+        F.sum(F.col("nw_rep") * F.col("n_mem")).alias("n_windows"),
+        F.sum(F.col("nd_rep") * F.col("n_mem")).alias("n_dup_windows"),
         F.sum(
             F.when(
-                F.expr(f"n_dup * 1000000 div n_windows") >= _SUB_FLAG_PPM, 1
+                F.expr("nd_rep * 1000000 div nw_rep") >= _SUB_FLAG_PPM,
+                F.col("n_mem"),
             ).otherwise(0)
         ).alias("n_docs_flagged"),
-        F.expr("sum(n_dup) * 1000000 div sum(n_windows)").alias(
-            "dup_window_ppm"
-        ),
+        F.expr(
+            "sum(nd_rep * n_mem) * 1000000 div sum(nw_rep * n_mem)"
+        ).alias("dup_window_ppm"),
     )
