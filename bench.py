@@ -241,6 +241,12 @@ OPTIONAL = [
     "curriculum_global_order",
     "dedup_substring_windows",
     "emb_kmeans_balanced",
+    "qa_kendall_tau",
+    "qa_kappa_agreement",
+    "filter_rule_ablation",
+    "dup_inflation_curve",
+    "basket_apriori_triples",
+    "qa_blocklist_leet",
 ]
 
 N_RUNS = 3

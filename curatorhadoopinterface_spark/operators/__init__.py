@@ -40,6 +40,7 @@ _MODULES = (
     "curatorhadoopinterface_spark.operators.mlops",
     "curatorhadoopinterface_spark.operators.retrieval",
     "curatorhadoopinterface_spark.operators.stats",
+    "curatorhadoopinterface_spark.operators.quality",
     "curatorhadoopinterface_spark.streaming.ops",
 )
 

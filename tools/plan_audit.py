@@ -1097,6 +1097,43 @@ AUDITS["dedup_substring_windows"] = {
 # k-row centroid/cap relations cross via broadcast BNLJ (deliberate);
 # the corpus never shuffles for assignment, only for the fill window
 AUDITS["emb_kmeans_balanced"] = {"no_bnlj": False, "partial": True}
+# corpus collapses to a fixed 16x16 grid; the grid self-join is a
+# broadcast non-equi join over <=256 rows (deliberate BNLJ)
+AUDITS["qa_kendall_tau"] = {
+    "partial": True,
+    "no_bnlj": False,
+    "prune": ["doc_id", "source"],
+}
+# one corpus scan -> 1-row confusion matrix; zero joins
+AUDITS["qa_kappa_agreement"] = {
+    "partial": True,
+    "prune": ["doc_id", "source", "lang"],
+    "forbid": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+}
+# one corpus scan -> 1-row flag sums -> constant stack()
+AUDITS["filter_rule_ablation"] = {
+    "partial": True,
+    "prune": ["doc_id", "source", "lang"],
+    "forbid": [r"CartesianProduct", r"Join"],
+}
+# md5 class collapse -> bucket census; totals broadcast back (1 row)
+AUDITS["dup_inflation_curve"] = {
+    "partial": True,
+    "no_bnlj": False,  # 1-row totals cross is a broadcast BNLJ
+    "prune": ["doc_id", "source", "lang"],
+}
+# frequent-pair table broadcasts into every Apriori prune
+AUDITS["basket_apriori_triples"] = {
+    "partial": True,
+    "broadcast": True,
+    "forbid": [r"CartesianProduct"],
+}
+# fold+match is per-row column algebra; one census agg, zero joins
+AUDITS["qa_blocklist_leet"] = {
+    "partial": True,
+    "prune": ["doc_id", "lang", "n_chars"],
+    "forbid": [r"CartesianProduct", r"Join"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
