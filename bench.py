@@ -247,6 +247,9 @@ OPTIONAL = [
     "dup_inflation_curve",
     "basket_apriori_triples",
     "qa_blocklist_leet",
+    "mm_exif_audit",
+    "privacy_dp_topk",
+    "attribution_position",
 ]
 
 N_RUNS = 3

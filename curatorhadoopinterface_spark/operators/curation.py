@@ -2768,3 +2768,98 @@ def curriculum_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_checksum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# privacy_dp_topk: stability-thresholded DP heavy-hitters release
+# --------------------------------------------------------------------------
+# Per-word noise seeds ride the same 2^28 md5 lattice as privacy_dp_count.
+_DPT_U_SPARK = (
+    "cast(conv(substring(md5(concat(word, '%{tag}')), 1, 7),"
+    " 16, 10) as bigint)"
+)
+_DPT_U_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(word, '%{tag}')), 1, 7))"
+    " AS BIGINT)"
+)
+# Stability threshold for (eps = ln 2, delta = 1e-6):
+# T = 1 + ceil(ln(1/(2*delta)) / eps) = 1 + ceil(13.1224/0.6931) = 20.
+_DPT_THRESHOLD = 20
+_DPT_K = 10
+
+
+def _dpt_noise(dialect: str) -> str:
+    u = _DPT_U_SPARK if dialect == "spark" else _DPT_U_DUCK
+    return (
+        _dp_geom(u.format(tag="a"), dialect)
+        + " - "
+        + _dp_geom(u.format(tag="b"), dialect)
+    )
+
+
+@query(
+    "privacy_dp_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    g AS (
+        SELECT word, COUNT(*) AS true_count FROM w
+        WHERE word <> '' GROUP BY word),
+    n AS (
+        SELECT word, true_count,
+               true_count + ({_dpt_noise('duck')}) AS noisy_count
+        FROM g)
+    SELECT word, noisy_count, {_DPT_THRESHOLD} AS threshold,
+           693 AS epsilon_milli
+    FROM n
+    WHERE noisy_count > {_DPT_THRESHOLD}
+    ORDER BY noisy_count DESC, word
+    LIMIT {_DPT_K}
+    """,
+)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private heavy-hitters release — the fifth rung of
+    the privacy ladder: the corpus vocabulary's top-{_DPT_K} words by
+    NOISY count, released only above a STABILITY threshold (Korolova
+    et al.'s thresholded release: a word whose noisy count fails to
+    clear T = 1 + ceil(ln(1/(2*delta))/eps) stays unpublished, which is
+    what turns "top-k over an unbounded candidate domain" into an
+    (eps, delta)-DP mechanism — rare words, the ones that identify a
+    document, can't ride a lucky noise draw into the release). The
+    TRUE counts never appear in the output.
+
+    Exactness: the same two-sided-geometric power-of-two lattice as
+    privacy_dp_count (alpha = 1/2, 2^28 md5 uniforms seeded per word)
+    — pure integer comparisons, no ln/exp, identical noise in both
+    engines; threshold and k are inlined literals.
+
+    Scale shape: the split/explode is linear in corpus tokens and
+    collapses immediately to the vocabulary-DOMAIN-bounded count
+    relation (one partial-agged groupBy); noise + threshold are
+    per-group scalar expressions over that bounded relation and the
+    release is TakeOrdered — the DP layer costs nothing extra at
+    100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    noisy = g.select(
+        "word",
+        (F.col("true_count") + F.expr(_dpt_noise("spark"))).alias(
+            "noisy_count"
+        ),
+    )
+    return (
+        noisy.where(F.col("noisy_count") > _DPT_THRESHOLD)
+        .select(
+            "word",
+            "noisy_count",
+            F.lit(_DPT_THRESHOLD).alias("threshold"),
+            F.lit(693).alias("epsilon_milli"),
+        )
+        .orderBy(F.desc("noisy_count"), "word")
+        .limit(_DPT_K)
+    )

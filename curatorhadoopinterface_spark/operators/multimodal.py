@@ -1586,3 +1586,186 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+# --------------------------------------------------------------------------
+# EXIF/TIFF metadata audit: a real IFD byte-walk, both endiannesses
+# --------------------------------------------------------------------------
+# TIFF 6.0 field types used (public spec): 2 = ASCII, 3 = SHORT, 4 = LONG
+_TIFF_TAG_WIDTH = 256
+_TIFF_TAG_LENGTH = 257
+_TIFF_TAG_MAKE = 271
+_TIFF_TAG_ORIENTATION = 274
+_TIFF_TAG_DATETIME = 306
+_TIFF_TAG_GPS = 34853
+
+
+def make_tiff(doc_id: int) -> bytes:
+    """Minimal valid TIFF for ``doc_id``: little-endian ('II') for even
+    ids, big-endian ('MM') for odd — so the parser's byte-order branch
+    runs on half the corpus. SHORT values are stored INLINE in the
+    4-byte value field (endian-sensitive: first 2 bytes), ASCII values
+    live at offsets past the IFD; a GPSInfo pointer tag is planted on
+    every sixth document (the PII the audit exists to find)."""
+    import struct
+
+    le = doc_id % 2 == 0
+    e = "<" if le else ">"
+    width = 4 + doc_id % 12
+    height = 3 + doc_id % 9
+    orient = 1 + doc_id % 8
+    make = f"cam{doc_id % 5}".encode() + b"\x00"
+    day = 1 + doc_id % 28
+    dt = f"2026:01:{day:02d} 12:00:00".encode() + b"\x00"  # count 20
+    has_gps = doc_id % 6 == 0
+
+    entries = [
+        (_TIFF_TAG_WIDTH, 3, 1, width),
+        (_TIFF_TAG_LENGTH, 3, 1, height),
+        (_TIFF_TAG_MAKE, 2, len(make), None),  # offset patched below
+        (_TIFF_TAG_ORIENTATION, 3, 1, orient),
+        (_TIFF_TAG_DATETIME, 2, len(dt), None),
+    ]
+    if has_gps:
+        entries.append((_TIFF_TAG_GPS, 4, 1, 0))  # dummy sub-IFD offset
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4  # after count + entries + next-IFD
+    make_off = data_off
+    dt_off = make_off + len(make)
+    if has_gps:
+        # point the GPS sub-IFD at a minimal empty IFD after the strings
+        gps_off = dt_off + len(dt)
+        entries[-1] = (_TIFF_TAG_GPS, 4, 1, gps_off)
+
+    out = struct.pack(f"{e}2sHI", b"II" if le else b"MM", 42, ifd_off)
+    out += struct.pack(f"{e}H", n)
+    for tag, typ, cnt, val in entries:
+        if typ == 2:  # ASCII at offset
+            off = make_off if tag == _TIFF_TAG_MAKE else dt_off
+            out += struct.pack(f"{e}HHII", tag, typ, cnt, off)
+        elif typ == 3:  # SHORT inline: 2 value bytes then 2 pad bytes
+            out += struct.pack(f"{e}HHIH2x", tag, typ, cnt, val)
+        else:  # LONG inline
+            out += struct.pack(f"{e}HHII", tag, typ, cnt, val)
+    out += struct.pack(f"{e}I", 0)  # next-IFD = none
+    out += make + dt
+    if has_gps:
+        out += struct.pack(f"{e}H I", 0, 0)  # empty GPS IFD: 0 entries
+    return out
+
+
+def parse_tiff_ifd(payload: bytes) -> dict:
+    """GENERAL TIFF IFD-0 walk (not fixture-shaped): byte-order probe,
+    magic check, entry iteration with tag/type/count decode, inline
+    SHORT/LONG extraction (endian-correct first-2-bytes rule) and
+    ASCII-at-offset reads. Rejects non-TIFF input loudly."""
+    import struct
+
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (n,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    tags: dict[int, object] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", payload, base)
+        if typ == 3 and cnt == 1:  # SHORT inline
+            (val,) = struct.unpack_from(f"{e}H", payload, base + 8)
+            tags[tag] = val
+        elif typ == 4 and cnt == 1:  # LONG inline
+            (val,) = struct.unpack_from(f"{e}I", payload, base + 8)
+            tags[tag] = val
+        elif typ == 2:  # ASCII: count bytes at offset (or inline if <=4)
+            (off,) = struct.unpack_from(f"{e}I", payload, base + 8)
+            start = off if cnt > 4 else base + 8
+            raw = payload[start : start + cnt]
+            tags[tag] = raw.rstrip(b"\x00").decode("ascii")
+        else:
+            tags[tag] = None  # type not needed by the audit; keep the slot
+    return tags
+
+
+@query(
+    "mm_exif_audit",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(4 + doc_id % 12 AS BIGINT) AS width,
+           CAST(3 + doc_id % 9 AS BIGINT) AS height,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           CAST(1 + doc_id % 28 AS BIGINT) AS dt_day,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS has_gps,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 6 ELSE 5 END AS BIGINT)
+               AS n_tags
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF metadata audit, end-to-end and value-checked: for
+    every 'image' document the engine ENCODES a minimal TIFF
+    (make_tiff — little-endian for even ids, big-endian for odd, SHORT
+    values inline in the endian-sensitive first two value bytes, ASCII
+    strings at offsets, a GPSInfo pointer planted on every sixth doc)
+    and PARSES it back through a GENERAL IFD byte-walk
+    (parse_tiff_ifd: byte-order probe, magic check, tag/type/count
+    decode). The audit emits per-image orientation, camera make, the
+    capture day parsed out of the DateTime string, and the GPS-presence
+    flag — the PII screen an image-dataset governance pass runs before
+    training (GPS EXIF is location data). The oracle never sees a
+    TIFF: it recomputes every field arithmetically from doc_id, so the
+    hash matches only if BOTH endian branches, the inline-SHORT rule,
+    and the string-at-offset reads reconstruct exact values.
+
+    Plan shape: mapInPandas over the pruned (doc_id) column — encode +
+    parse are per-row Python work in Arrow batches, zero shuffle
+    (the mm_decode_png cost model: linear in image count; real
+    payloads would arrive as the binary column, same plumbing)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, byte_order string, width bigint, height bigint,"
+        " orientation bigint, make string, dt_day bigint, has_gps bigint,"
+        " n_tags bigint"
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = make_tiff(int(doc_id))
+                tags = parse_tiff_ifd(payload)
+                dt = str(tags[_TIFF_TAG_DATETIME])
+                rows.append(
+                    (
+                        int(doc_id),
+                        payload[:2].decode("ascii"),
+                        int(tags[_TIFF_TAG_WIDTH]),
+                        int(tags[_TIFF_TAG_LENGTH]),
+                        int(tags[_TIFF_TAG_ORIENTATION]),
+                        str(tags[_TIFF_TAG_MAKE]),
+                        int(dt[8:10]),
+                        int(_TIFF_TAG_GPS in tags),
+                        len(tags),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "width", "height",
+                    "orientation", "make", "dt_day", "has_gps", "n_tags",
+                ],
+            )
+
+    return docs.mapInPandas(audit, out_schema)

@@ -772,3 +772,141 @@ def score_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_cents"), F.asc("o_custkey"))
         .limit(_DECAY_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# attribution_position: U-shaped (40/20/40) multi-touch attribution
+# --------------------------------------------------------------------------
+@query(
+    "attribution_position",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+    j AS (
+        SELECT *, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS journey
+        FROM base),
+    t AS (
+        SELECT user_id, journey, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+        FROM j WHERE event_type <> 'purchase'),
+    p AS (
+        SELECT user_id, journey, cents FROM j
+        WHERE event_type = 'purchase'),
+    credit AS (
+        SELECT t.event_type AS touch_type,
+               CASE WHEN t.n = 1 THEN 1000
+                    WHEN t.n = 2 THEN 500
+                    WHEN t.rn = 1 THEN 400
+                    WHEN t.rn = t.n THEN 400 + 200 % (t.n - 2)
+                    ELSE 200 // (t.n - 2) END AS permille,
+               p.cents
+        FROM t JOIN p ON t.user_id = p.user_id AND t.journey = p.journey),
+    org AS (
+        SELECT 'organic' AS touch_type, 1000 AS permille, p.cents
+        FROM p LEFT JOIN (SELECT DISTINCT user_id, journey FROM t) tt
+          ON p.user_id = tt.user_id AND p.journey = tt.journey
+        WHERE tt.user_id IS NULL)
+    SELECT touch_type, COUNT(*) AS n_credits,
+           SUM(cents * permille // 1000) AS credited_cents
+    FROM (SELECT * FROM credit UNION ALL SELECT * FROM org)
+    GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the rung
+    above attribution_last_touch: each purchase's credit splits 40%
+    to the journey's FIRST touch, 40% to the LAST, and 20% shared
+    equally across the middle (1 touch -> 100%, 2 -> 50/50). A
+    'journey' is the run of touch events since the user's previous
+    purchase (the standard conversion-journey reset), so every touch
+    is credited at most once and unconverted trailing journeys earn
+    nothing; touchless purchases report as 'organic'.
+
+    Exactness: credits are integer per-mille with the middle-share
+    remainder (200 mod (n-2)) pinned to the LAST touch — fully
+    deterministic in both engines, no float splits; money is integer
+    cents, credited as cents*permille div 1000 per touch.
+
+    Scale shape: ONE (user_id) exchange feeds the journey-numbering
+    window, the per-journey position window, and the touches-to-
+    purchase equi-join (all co-partitioned on the user key); the
+    census is a |touch types|-row partial-agged rollup. No
+    purchases-x-touches cross product at any activity level."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    base = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = base.withColumn(
+        "journey",
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        ).over(wj),
+    )
+    wt = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "journey")
+    t = (
+        j.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "journey",
+            "event_type",
+            F.row_number().over(wt).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    p = j.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "cents"
+    )
+    credit = (
+        t.join(p, ["user_id", "journey"])
+        .select(
+            F.col("event_type").alias("touch_type"),
+            F.expr(
+                "case when n = 1 then 1000"
+                " when n = 2 then 500"
+                " when rn = 1 then 400"
+                " when rn = n then 400 + 200 % (n - 2)"
+                " else 200 div (n - 2) end"
+            ).alias("permille"),
+            "cents",
+        )
+    )
+    org = (
+        p.join(t.select("user_id", "journey").distinct(),
+               ["user_id", "journey"], "left_anti")
+        .select(
+            F.lit("organic").alias("touch_type"),
+            F.lit(1000).alias("permille"),
+            "cents",
+        )
+    )
+    return (
+        credit.unionByName(org)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.expr("cents * permille div 1000")).alias(
+                "credited_cents"
+            ),
+        )
+        .orderBy("touch_type")
+    )

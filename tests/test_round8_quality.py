@@ -206,3 +206,103 @@ def test_blocklist_leet_folding_counts_obfuscations(spark, tmp_path):
     assert out["s1"].total_hits == 5
     assert out["s1"].hit_permille == 750
     assert out["s2"].n_docs_hit == 0 and out["s2"].total_hits == 0
+
+
+def test_tiff_codec_both_endians_and_gps():
+    """make_tiff/parse_tiff_ifd roundtrip: both byte orders, inline
+    SHORT extraction, ASCII-at-offset reads, GPS planting cadence,
+    and loud rejection of non-TIFF bytes."""
+    import pytest
+
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        _TIFF_TAG_GPS,
+        _TIFF_TAG_MAKE,
+        _TIFF_TAG_ORIENTATION,
+        _TIFF_TAG_WIDTH,
+        make_tiff,
+        parse_tiff_ifd,
+    )
+
+    for doc_id in range(0, 36, 3):
+        payload = make_tiff(doc_id)
+        assert payload[:2] == (b"II" if doc_id % 2 == 0 else b"MM")
+        tags = parse_tiff_ifd(payload)
+        assert tags[_TIFF_TAG_WIDTH] == 4 + doc_id % 12
+        assert tags[_TIFF_TAG_ORIENTATION] == 1 + doc_id % 8
+        assert tags[_TIFF_TAG_MAKE] == f"cam{doc_id % 5}"
+        assert (_TIFF_TAG_GPS in tags) == (doc_id % 6 == 0)
+    with pytest.raises(ValueError):
+        parse_tiff_ifd(b"PK\x03\x04 not a tiff")
+    with pytest.raises(ValueError):
+        parse_tiff_ifd(b"II\x00\x00\x08\x00\x00\x00")  # bad magic
+
+
+def test_dp_topk_threshold_suppresses_rare_words(spark, tmp_path):
+    """A word below the stability threshold never appears in the
+    release even with the max favorable noise draw; heavy hitters
+    survive; true counts are absent from the output schema."""
+    from curatorhadoopinterface_spark.operators.curation import (
+        _DPT_THRESHOLD,
+        privacy_dp_topk,
+    )
+
+    # 'common' appears 60x (clears T=20 under any |noise|<=28 draw);
+    # 'rare' appears once (noise can never lift 1 past 20+ threshold
+    # since two-sided geometric at alpha=1/2 is < 28 whp and the
+    # planted seed draw is deterministic anyway)
+    rows = [(i, "common word here", "en", "s") for i in range(60)]
+    rows.append((60, "rare unicorn", "en", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = privacy_dp_topk(spark, sf).collect()
+    words = {r.word for r in out}
+    assert "common" in words and "rare" not in words and "unicorn" not in words
+    assert "true_count" not in out[0].asDict()
+    assert all(r.noisy_count > _DPT_THRESHOLD for r in out)
+
+
+def test_attribution_position_credit_split(spark, tmp_path):
+    """A 3-touch journey splits 400/200/400; a 1-touch journey gets
+    1000; a touchless purchase is organic; per-mille credits conserve
+    the purchase cents up to the documented div-1000 truncation."""
+    import datetime as dt
+
+    from curatorhadoopinterface_spark.operators.windows import (
+        attribution_position,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, uid, typ, minute, value=0.0):
+        return (eid, t0 + dt.timedelta(minutes=minute), uid, typ, value, "{}")
+
+    rows = [
+        # user 1: click, view, signup -> purchase 10.00
+        ev(1, 1, "click", 0),
+        ev(2, 1, "view", 1),
+        ev(3, 1, "signup", 2),
+        ev(4, 1, "purchase", 3, 10.0),
+        # user 2: single view -> purchase 5.00
+        ev(5, 2, "view", 0),
+        ev(6, 2, "purchase", 1, 5.0),
+        # user 3: touchless purchase 7.00
+        ev(7, 3, "purchase", 0, 7.0),
+        # user 1 second journey: trailing click, never converts
+        ev(8, 1, "click", 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r.touch_type: r for r in attribution_position(spark, sf).collect()}
+    # user1: click first (400 of 1000 cents = 400c), signup last (400c),
+    # view middle (200c); user2: view sole touch -> 500c full
+    assert out["click"].credited_cents == 400
+    assert out["signup"].credited_cents == 400
+    assert out["view"].credited_cents == 200 + 500
+    assert out["organic"].credited_cents == 700
+    assert out["view"].n_credits == 2
+    # trailing unconverted click earned nothing extra
+    assert out["click"].n_credits == 1

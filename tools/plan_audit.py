@@ -1134,6 +1134,25 @@ AUDITS["qa_blocklist_leet"] = {
     "prune": ["doc_id", "lang", "n_chars"],
     "forbid": [r"CartesianProduct", r"Join"],
 }
+# encode+parse in one Arrow stage over the pruned doc_id column
+AUDITS["mm_exif_audit"] = {
+    "prune": ["text", "lang", "source", "n_chars"],
+    "forbid": [r"Exchange", r"Join"],
+}
+# token explode collapses to the vocab-bounded count relation; noise
+# and threshold are per-group scalars; TakeOrdered release
+AUDITS["privacy_dp_topk"] = {
+    "partial": True,
+    "prune": ["doc_id", "lang", "source", "n_chars"],
+    "forbid": [r"CartesianProduct", r"Join"],
+}
+# one user_id exchange feeds journey window, position window, and the
+# co-partitioned touches-to-purchase join
+AUDITS["attribution_position"] = {
+    "partial": True,
+    "pushed": True,
+    "forbid": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
