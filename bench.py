@@ -250,6 +250,7 @@ OPTIONAL = [
     "mm_exif_audit",
     "privacy_dp_topk",
     "attribution_position",
+    "score_quantile_norm",
 ]
 
 N_RUNS = 3

@@ -1380,3 +1380,89 @@ def ml_tree_split2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+
+# --------------------------------------------------------------------------
+# score_quantile_norm: cross-source quantile normalization (CDF matching)
+# --------------------------------------------------------------------------
+@query(
+    "score_quantile_norm",
+    oracle="""
+    WITH h AS (
+        SELECT source, n_chars AS v, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+    st AS (
+        SELECT source, v, n,
+               SUM(n) OVER (PARTITION BY source ORDER BY v) * 1000000
+                   // SUM(n) OVER (PARTITION BY source) AS scdf_ppm
+        FROM h),
+    g AS (
+        SELECT v, SUM(n) AS n FROM h GROUP BY v),
+    gt AS (
+        SELECT v, SUM(n) OVER (ORDER BY v) * 1000000
+                   // SUM(n) OVER () AS gcdf_ppm
+        FROM g)
+    SELECT s.source, s.v, s.scdf_ppm,
+           MIN(t.v) AS v_norm
+    FROM st s JOIN gt t ON t.gcdf_ppm >= s.scdf_ppm
+    GROUP BY s.source, s.v, s.scdf_ppm
+    ORDER BY s.source, s.v
+    """,
+)
+def score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (CDF matching): every
+    source's document-length distribution is mapped onto the GLOBAL
+    distribution — source value v normalizes to the smallest global
+    value whose global CDF reaches v's within-source CDF. The
+    calibration step a pipeline runs before comparing quality scores
+    across heterogeneous sources (one crawl's '300 chars' is another
+    archive's median): after mapping, every source's normalized
+    distribution is the global one by construction.
+
+    Spark-first shape: the corpus collapses FIRST to per-(source,
+    value) histograms (one partial-agged groupBy — the stats.py law);
+    both CDFs are windows over the value-DOMAIN-bounded histogram, and
+    the mapping is a broadcast non-equi join of two domain-bounded
+    relations (|sources|x|values| by |values|) resolved by a MIN — the
+    corpus itself never joins anything. Output is the mapping TABLE
+    (bounded by domain, not corpus), which a consumer broadcasts back
+    onto the raw scan.
+
+    Exactness: CDFs are integer ppm (cum*1e6 div total) and the
+    mapped value is an integer MIN under an exact >= compare — no
+    interpolation, no floats, identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ws_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws_all = Window.partitionBy("source")
+    st = h.select(
+        "source",
+        "v",
+        F.expr("sum(n)").over(ws_cum).alias("cum"),
+        F.expr("sum(n)").over(ws_all).alias("tot"),
+    ).select(
+        "source", "v", F.expr("cum * 1000000 div tot").alias("scdf_ppm")
+    )
+    g = h.groupBy("v").agg(F.sum("n").alias("n"))
+    wg_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wg_all = Window.partitionBy()
+    gt = g.select(
+        "v",
+        F.expr("sum(n)").over(wg_cum).alias("cum"),
+        F.expr("sum(n)").over(wg_all).alias("tot"),
+    ).select(
+        F.col("v").alias("gv"),
+        F.expr("cum * 1000000 div tot").alias("gcdf_ppm"),
+    )
+    return (
+        st.join(F.broadcast(gt), F.col("gcdf_ppm") >= F.col("scdf_ppm"))
+        .groupBy("source", "v", "scdf_ppm")
+        .agg(F.min("gv").alias("v_norm"))
+        .orderBy("source", "v")
+    )

@@ -306,3 +306,40 @@ def test_attribution_position_credit_split(spark, tmp_path):
     assert out["view"].n_credits == 2
     # trailing unconverted click earned nothing extra
     assert out["click"].n_credits == 1
+
+
+def test_quantile_norm_maps_onto_global_distribution(spark, tmp_path):
+    """A source whose lengths are uniformly shorter than the corpus
+    maps its values UP onto global equivalents; the global-median
+    source maps ~identically; mapped values are monotone in v and the
+    top of every source maps to the global max."""
+    from curatorhadoopinterface_spark.operators.quality import (  # noqa: F401
+        qa_kendall_tau,
+    )
+    from curatorhadoopinterface_spark.operators.stats import (
+        score_quantile_norm,
+    )
+
+    rows = []
+    i = 0
+    # source 'short': lengths 10,20,30,40; source 'long': 110..140
+    for src, base in (("short", 10), ("long", 110)):
+        for k in range(4):
+            text = "x" * (base + 10 * k)
+            rows.append((i, text, "en", src))
+            i += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {(r.source, r.v): r for r in score_quantile_norm(spark, sf).collect()}
+    # within-source CDF ppm grid is the same for both sources
+    # (4 values, equal counts) so source k-th value maps to the k-th
+    # value of the pooled distribution reaching that CDF
+    # global cdf (8 pooled values, 1/8 each): 10->125k, 20->250k, ...
+    assert out[("short", 10)].v_norm == 20   # scdf 250k -> first gcdf >= 250k
+    assert out[("short", 40)].v_norm == 140  # scdf 1e6 -> global max
+    assert out[("long", 110)].v_norm == 20   # scdf 250k, same grid as short
+    assert out[("long", 140)].v_norm == 140  # global max maps to itself
+    # monotone mapping per source
+    for src in ("short", "long"):
+        vs = sorted(v for s, v in out if s == src)
+        norms = [out[(src, v)].v_norm for v in vs]
+        assert norms == sorted(norms)

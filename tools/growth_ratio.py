@@ -8,10 +8,18 @@ is the signal, not the absolute seconds (the round-6
 graph_degree_distribution lesson: compare like with like).
 
 Usage: python -u tools/growth_ratio.py <sf10_dir> <sf30_dir> \
-           [n_runs] [query ...]
+           [n_runs] [--fork] [query ...]
 Writes growth_ratio.json {query: {sf10: s, sf30: s, ratio: r}}; an
 existing artifact's rows are kept (same-name rows overwritten), so
 subset runs at different n_runs merge into one table.
+
+--fork runs EACH query in its own subprocess (one fresh Spark session
+per query, both rungs inside it so the contention pairing holds).
+Round-8 lesson: a single long session accumulates shuffle files and
+localCheckpoint blocks in its blockmgr dir ACROSS queries — the r8
+first run piled 62 GB of dead blocks from graph_triangles/kcore sf30
+and ENOSPC'd the disk, producing fake rung deaths. Per-query processes
+free the blockmgr at exit, bounding scratch to one query's worth.
 """
 
 from __future__ import annotations
@@ -46,10 +54,24 @@ DEFAULT = [
 
 
 def main() -> None:
-    sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_seed42"
-    sf30 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf30_seed42"
-    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    names = sys.argv[4:] or DEFAULT
+    argv = list(sys.argv[1:])
+    fork = "--fork" in argv
+    if fork:
+        argv.remove("--fork")
+    sf10 = argv[0] if len(argv) > 0 else "/tmp/sf10_seed42"
+    sf30 = argv[1] if len(argv) > 1 else "/tmp/sf30_seed42"
+    n_runs = int(argv[2]) if len(argv) > 2 else 1
+    names = argv[3:] or DEFAULT
+
+    if fork:  # one subprocess (= one Spark session + blockmgr) per query
+        import subprocess
+
+        for name in names:
+            subprocess.run(
+                [sys.executable, "-u", __file__, sf10, sf30, str(n_runs), name],
+                cwd="/root/repo",
+            )
+        return
 
     import __spark_entry__ as m
     from curatorhadoopinterface_spark.session import get_spark

@@ -1153,6 +1153,14 @@ AUDITS["attribution_position"] = {
     "pushed": True,
     "forbid": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
+# corpus collapses to per-(source,value) histograms; the CDF-matching
+# non-equi join runs over domain-bounded relations (broadcast BNLJ is
+# the intended strategy there)
+AUDITS["score_quantile_norm"] = {
+    "partial": True,
+    "no_bnlj": False,
+    "prune": ["doc_id", "text", "lang"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
