@@ -251,6 +251,7 @@ OPTIONAL = [
     "privacy_dp_topk",
     "attribution_position",
     "score_quantile_norm",
+    "dedup_span_removal",
 ]
 
 N_RUNS = 3

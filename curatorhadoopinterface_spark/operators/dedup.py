@@ -2430,9 +2430,13 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # distinct docs containing a window = sum of member counts over the
-    # DISTINCT classes whose representative contains it
+    # DISTINCT class rows whose representative contains it. Class rows
+    # are keyed (ck, source): the SAME content under two sources is two
+    # rows, so source must stay in the dedup key — dropping it collapsed
+    # equal-n_mem rows and undercounted docs (r8 fix; the planted
+    # fixtures never produced that shape, the cross-source pytest does)
     freq = (
-        wins.select("ck", "n_mem", "wh")
+        wins.select("ck", "source", "n_mem", "wh")
         .distinct()
         .groupBy("wh")
         .agg(F.sum("n_mem").alias("n_docs_w"))
@@ -2460,4 +2464,164 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "sum(nd_rep * n_mem) * 1000000 div sum(nw_rep * n_mem)"
         ).alias("dup_window_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_span_removal: the actionable span-level dedup plan (Lee et al.)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+        SELECT doc_id, g.g,
+               MD5(array_to_string(w[g.g : g.g + {_SUB_W} - 1], ' ')) AS wh
+        FROM toks, LATERAL (
+            SELECT UNNEST(GENERATE_SERIES(1, len(w) - {_SUB_W} + 1)) AS g) g
+        WHERE len(w) >= {_SUB_W}),
+    dupwh AS (
+        SELECT wh FROM wins GROUP BY wh
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+    dupst AS (
+        SELECT DISTINCT v.doc_id, v.g FROM wins v
+        JOIN dupwh USING (wh)),
+    wp AS (
+        SELECT t.doc_id, t.source, p.p, LENGTH(t.w[p.p]) AS wlen
+        FROM toks t, LATERAL (
+            SELECT UNNEST(GENERATE_SERIES(1, len(t.w))) AS p) p),
+    cov AS (
+        SELECT wp.doc_id, wp.source, wp.wlen,
+               COALESCE(MAX(CASE WHEN d.g IS NOT NULL THEN 1 END)
+                   OVER (PARTITION BY wp.doc_id ORDER BY wp.p
+                         RANGE BETWEEN {_SUB_W - 1} PRECEDING
+                               AND CURRENT ROW), 0) AS covered
+        FROM wp LEFT JOIN dupst d
+          ON d.doc_id = wp.doc_id AND d.g = wp.p),
+    per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS n_words,
+               SUM(covered) AS n_cut,
+               SUM((wlen + 1) * covered) AS chars_cut,
+               MAX(covered) AS affected
+        FROM cov GROUP BY doc_id, source)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(affected) AS n_docs_affected,
+           SUM(n_words) AS words_total,
+           SUM(n_cut) AS words_cut,
+           SUM(chars_cut) AS chars_cut,
+           SUM(n_cut) * 1000000 // SUM(n_words) AS cut_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of exact-substring dedup (Lee et al. 2022):
+    where dedup_substring_windows reports the duplication load, this
+    computes the removal PLAN — for every document, which words fall
+    inside some cross-doc-duplicated {_SUB_W}-word window (the spans
+    the dedup pass would cut) — and the per-source bill: documents
+    touched, words cut, characters reclaimed, cut rate in ppm.
+
+    Coverage without a per-span join: a word at position p is covered
+    iff SOME duplicated window STARTS in [p-{_SUB_W - 1}, p]; that is
+    ONE range-frame window (MAX over the start flags) per document —
+    group size bounded by document length, never by corpus size — so
+    overlapping duplicated windows merge into maximal spans for free,
+    with no interval-merge loop and no explode of window membership.
+
+    Scale shape — class form (the dedup_substring_windows law): docs
+    collapse to (md5(text), source) content classes FIRST; the window
+    explode, dup-start flags, and the coverage window all run over
+    class REPRESENTATIVES (|distinct content|, immune to the planted
+    100x duplication); every census column expands back by class
+    arithmetic. The only corpus-width work is the class groupBy. The
+    duplicated-window set stays hash-keyed (16-byte md5) through its
+    one co-partitioned equi-join; no pair relation anywhere.
+
+    Exactness: all counts integer; cut rate is integer ppm; the
+    chars_cut accounting charges each cut word its length + one
+    separator (documented over-count of one separator per span edge,
+    identical in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    classes = d.groupBy(F.md5("text").alias("ck"), "source").agg(
+        F.count(F.lit(1)).alias("n_mem"),
+        F.first("text").alias("text"),
+    )
+    toks = classes.select(
+        "ck", "source", "n_mem", F.split("text", " ").alias("w")
+    )
+    wins = toks.where(F.size("w") >= _SUB_W).select(
+        "ck",
+        "source",
+        "n_mem",
+        F.expr(
+            f"explode(transform(sequence(1, size(w) - {_SUB_W} + 1),"
+            f" g -> struct(g as g, md5(array_join(slice(w, g, {_SUB_W}), ' ')) as wh)))"
+        ).alias("e"),
+    ).select("ck", "source", "n_mem", "e.g", "e.wh")
+    # distinct docs per window hash: dedupe within each (ck, source)
+    # class row, then expand by member count (source stays in the key —
+    # the r8 substring-windows fix)
+    dupwh = (
+        wins.select("ck", "source", "n_mem", "wh")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.sum("n_mem").alias("n_docs_w"))
+        .where(F.col("n_docs_w") >= 2)
+        .select("wh")
+    )
+    dupst = (
+        wins.join(dupwh, "wh")
+        .select("ck", "source", "g")
+        .distinct()
+        .withColumn("dupf", F.lit(1))
+    )
+    wp = toks.select(
+        "ck",
+        "source",
+        "n_mem",
+        F.posexplode("w").alias("p0", "wrd"),
+    ).select(
+        "ck",
+        "source",
+        "n_mem",
+        (F.col("p0") + 1).alias("p"),
+        F.length("wrd").alias("wlen"),
+    )
+    wcov = (
+        Window.partitionBy("ck", "source")
+        .orderBy("p")
+        .rangeBetween(-(_SUB_W - 1), 0)
+    )
+    cov = (
+        wp.join(
+            dupst,
+            (wp.ck == dupst.ck)
+            & (wp.source == dupst.source)
+            & (wp.p == dupst.g),
+            "left",
+        )
+        .select(wp.ck, wp.source, wp.n_mem, wp.p, wp.wlen, dupst.dupf)
+        .withColumn("covered", F.coalesce(F.max("dupf").over(wcov), F.lit(0)))
+    )
+    per_cls = cov.groupBy("ck", "source", "n_mem").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("covered").alias("n_cut"),
+        F.sum(F.expr("(wlen + 1) * covered")).alias("chars_cut"),
+        F.max("covered").alias("affected"),
+    )
+    return (
+        per_cls.groupBy("source")
+        .agg(
+            F.sum("n_mem").alias("n_docs"),
+            F.sum(F.expr("affected * n_mem")).alias("n_docs_affected"),
+            F.sum(F.expr("n_words * n_mem")).alias("words_total"),
+            F.sum(F.expr("n_cut * n_mem")).alias("words_cut"),
+            F.sum(F.expr("chars_cut * n_mem")).alias("chars_cut"),
+            F.expr(
+                "sum(n_cut * n_mem) * 1000000 div sum(n_words * n_mem)"
+            ).alias("cut_ppm"),
+        )
+        .orderBy("source")
     )

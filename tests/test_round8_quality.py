@@ -343,3 +343,57 @@ def test_quantile_norm_maps_onto_global_distribution(spark, tmp_path):
         vs = sorted(v for s, v in out if s == src)
         norms = [out[(src, v)].v_norm for v in vs]
         assert norms == sorted(norms)
+
+
+def test_substring_windows_cross_source_single_copies(spark, tmp_path):
+    """One copy of the same text under TWO sources is a cross-doc
+    duplicate: the window-frequency dedup key must keep `source`
+    (dropping it collapsed equal-n_mem class rows and undercounted
+    doc counts to 1 -> zero dup windows; r8 fix)."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_substring_windows,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, shared, "en", "srcA"),
+        (1, shared, "en", "srcB"),
+        (2, "unique words that repeat nowhere else at all okay", "en", "srcA"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in dedup_substring_windows(spark, sf).collect()}
+    # every window of the shared text is in 2 docs (one per source)
+    assert out["srcA"].n_dup_windows == 2  # 9-word text -> 2 windows
+    assert out["srcB"].n_dup_windows == 2
+    assert out["srcB"].n_docs_flagged == 1
+
+
+def test_span_removal_cut_accounting(spark, tmp_path):
+    """Shared 8-word phrase in different contexts: exactly the phrase
+    words are cut in both docs; overlapping dup windows (9-word share)
+    merge into one 9-word span; unique docs cut nothing; chars_cut
+    charges len+1 per cut word."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_span_removal,
+    )
+
+    share8 = "alpha beta gamma delta epsilon zeta eta theta"
+    share9 = "one two three four five six seven eight nine"
+    rows = [
+        (0, "pre1 pre2 pre3 " + share8 + " post1 post2", "en", "s"),
+        (1, share8 + " tailx taily tailz", "en", "s"),
+        (2, share9 + " enda", "en", "s"),
+        (3, "lead " + share9, "en", "s"),
+        (4, "totally unique filler words go here okay fine done", "en", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = dedup_span_removal(spark, sf).collect()[0]
+    assert r.n_docs == 5 and r.n_docs_affected == 4
+    # doc0+doc1 cut the 8 shared words each; doc2+doc3 cut the merged
+    # 9-word span each (two overlapping windows -> one span)
+    assert r.words_cut == 8 + 8 + 9 + 9
+    cut8 = sum(len(w) + 1 for w in share8.split())
+    cut9 = sum(len(w) + 1 for w in share9.split())
+    assert r.chars_cut == 2 * cut8 + 2 * cut9
+    assert r.words_total == 13 + 11 + 10 + 10 + 9
+    assert r.cut_ppm == (8 + 8 + 9 + 9) * 1_000_000 // r.words_total

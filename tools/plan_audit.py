@@ -1161,6 +1161,13 @@ AUDITS["score_quantile_norm"] = {
     "no_bnlj": False,
     "prune": ["doc_id", "text", "lang"],
 }
+# class collapse first; dup-window set stays md5-keyed through its
+# equi-joins; coverage is one per-class range window, never a pair dump
+AUDITS["dedup_span_removal"] = {
+    "partial": True,
+    "prune": ["doc_id", "lang", "n_chars"],
+    "forbid": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
