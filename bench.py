@@ -252,6 +252,7 @@ OPTIONAL = [
     "attribution_position",
     "score_quantile_norm",
     "dedup_span_removal",
+    "scan_xml",
 ]
 
 N_RUNS = 3

@@ -636,3 +636,47 @@ def write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.lit(size["zstd"] <= size["snappy"]).alias("zstd_not_larger"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           SUM(LEN(text)) AS sum_text_len
+    FROM documents GROUP BY source
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (Spark 4 native XML, rowTag mode): write
+    the documents table out as XML row elements, read it back with an
+    EXPLICIT schema (inference would be a second full parse at 100 TB),
+    and aggregate the re-read rows — text survives XML escaping
+    (&amp;/&lt; round-trip, embedded newlines legal inside elements,
+    unlike CSV). rowTag splitting keeps large files scan-parallel by
+    element boundaries; the census proves every row and every text
+    byte survived the encode/parse cycle.
+
+    The feed-format rationale mirrors A2/A14 (RecordReader + serialized
+    -vs-raw detection, CuratorHadoopInterface's input layer): one more
+    wire format a drop-in ingest must accept."""
+    out = proc_scratch("scan_xml")
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "source", "n_chars").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, source string, n_chars bigint"
+        )
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )

@@ -397,3 +397,17 @@ def test_span_removal_cut_accounting(spark, tmp_path):
     assert r.chars_cut == 2 * cut8 + 2 * cut9
     assert r.words_total == 13 + 11 + 10 + 10 + 9
     assert r.cut_ppm == (8 + 8 + 9 + 9) * 1_000_000 // r.words_total
+
+
+def test_scan_xml_roundtrip_escaping(spark, tmp_path):
+    """XML round-trip survives markup-hostile text (&, <, >, quotes,
+    embedded newline) byte-for-byte in the census sums."""
+    from curatorhadoopinterface_spark.operators.sources import scan_xml
+
+    hostile = "a & b < c > d \"quoted\" 'apos'\nsecond line"
+    rows = [(0, hostile, "en", "s1"), (1, "plain text", "en", "s2")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in scan_xml(spark, sf).collect()}
+    assert out["s1"].n_docs == 1
+    assert out["s1"].sum_text_len == len(hostile)
+    assert out["s2"].sum_text_len == len("plain text")

@@ -1058,7 +1058,7 @@ case_when date_funcs hash_funcs incremental_provide_run
 incremental_staleness join_anti join_outer join_outer_full join_semi
 json_funcs map_funcs math_funcs mm_audio_stats mm_frame_sample
 mm_manifest mm_resize pivot_table project_rename_cast sample_n
-scan_binary_records scan_csv scan_json scan_jsonl_corrupt scan_orc
+scan_binary_records scan_csv scan_json scan_jsonl_corrupt scan_orc scan_xml
 scan_parquet scan_schema_evolution scan_text_corpus scan_thrift_records
 set_except set_intersect set_union sort_limit span_substring
 store_compaction str_funcs text_chunk text_clean text_fingerprint
