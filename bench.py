@@ -253,6 +253,7 @@ OPTIONAL = [
     "score_quantile_norm",
     "dedup_span_removal",
     "scan_xml",
+    "dedup_clusters_classes",
 ]
 
 N_RUNS = 3

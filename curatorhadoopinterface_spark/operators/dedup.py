@@ -261,46 +261,7 @@ def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf30 (SCALE.md r7). Joins: band self-join and verify pinned
     shuffle_hash (array-carrying relations mis-sized by the planner —
     the _minhash_core trap); class-size joins rep-keyed shuffled."""
-    docs = load_table(spark, sf_dir, "documents")
-    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
-    )
-    reps = docs.join(
-        classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
-        "doc_id",
-    ).select("doc_id", "text")
-    doc_agg = _minhash_doc_agg_over(
-        shingle_explode(ensure_min_partitions(reps))
-    )
-    bands = _band_explode(doc_agg)
-    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
-        )
-        .distinct()
-    )
-    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
-    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
-    uni = F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
-    ver = (
-        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
-        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
-        .select(
-            "rep_a",
-            "rep_b",
-            (inter * 1000).alias("i1000"),
-            uni.alias("u"),
-        )
-        .select("rep_a", "rep_b", F.expr("i1000 div u").alias("jac_permille"))
-        .where(F.col("jac_permille") >= VERIFY_J_PERMILLE)
-    )
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
     mem = classes.select("rep", "n_mem")
     cross = (
         ver.join(
@@ -343,6 +304,58 @@ def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+def _minhash_class_core(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared class-form MinHash pipeline: exact-dup classes collapse
+    first, signatures/bands/exact-Jaccard verify run over class
+    representatives only. Returns ``(classes(ck, rep, n_mem),
+    doc_agg(doc_id, sig…, s), ver(rep_a, rep_b, jac_permille))`` —
+    consumed by dedup_minhash_classes (pair expansion) and
+    dedup_clusters_classes (component resolution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
+    )
+    reps = docs.join(
+        classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
+        "doc_id",
+    ).select("doc_id", "text")
+    doc_agg = _minhash_doc_agg_over(
+        shingle_explode(ensure_min_partitions(reps))
+    )
+    bands = _band_explode(doc_agg)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+        .distinct()
+    )
+    sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    uni = F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
+    ver = (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            (inter * 1000).alias("i1000"),
+            uni.alias("u"),
+        )
+        .select("rep_a", "rep_b", F.expr("i1000 div u").alias("jac_permille"))
+        .where(F.col("jac_permille") >= VERIFY_J_PERMILLE)
+    )
+    return classes, doc_agg, ver
 
 
 def _minhash_doc_agg_over(sh: DataFrame) -> DataFrame:
@@ -2624,4 +2637,135 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters_classes: connected components in class form
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters_classes",
+    oracle=f"""
+    WITH RECURSIVE classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY ck),
+    reps AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON d.doc_id = c.rep),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    shingles AS MATERIALIZED (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words WHERE LEN(w) >= 3),
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    ver AS (
+        SELECT c.rep_a, c.rep_b
+        FROM cands c JOIN sets sa ON sa.doc_id = c.rep_a
+                     JOIN sets sb ON sb.doc_id = c.rep_b
+        WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1000
+                  // LEN(LIST_DISTINCT(sa.s || sb.s))
+              >= {VERIFY_J_PERMILLE}),
+    selfnodes AS (
+        -- shingled classes with >= 2 members: their within-class pairs
+        -- exist in the pair form, so the class is a component even with
+        -- no cross-class edge (gram-free classes emit nothing, matching
+        -- the pair form exactly)
+        SELECT c.rep FROM classes c JOIN sets s ON s.doc_id = c.rep
+        WHERE c.n_mem >= 2),
+    edges AS MATERIALIZED (
+        SELECT rep_a AS src, rep_b AS dst FROM ver
+        UNION ALL SELECT rep_b, rep_a FROM ver
+        UNION ALL SELECT rep, rep FROM selfnodes),
+    reach AS (
+        SELECT src AS rep, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS rep, r.comp
+        FROM reach r JOIN edges e ON e.src = r.rep),
+    comps AS (
+        SELECT rep, MIN(comp) AS cluster_id FROM reach GROUP BY rep),
+    cstat AS (
+        SELECT p.cluster_id, SUM(c.n_mem) AS cluster_size
+        FROM comps p JOIN classes c ON c.rep = p.rep
+        GROUP BY p.cluster_id)
+    SELECT d.doc_id, p.cluster_id, s.cluster_size,
+           d.doc_id = p.cluster_id AS is_canonical
+    FROM documents d
+    JOIN classes c ON MD5(d.text) = c.ck
+    JOIN comps p ON p.rep = c.rep
+    JOIN cstat s ON s.cluster_id = p.cluster_id
+    """,
+)
+def dedup_clusters_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution in CLASS form — the production
+    default at high duplication (the same re-plan law as
+    dedup_minhash_classes/sim_knn_classes, applied to connected
+    components): exact-dup classes collapse FIRST, hash-to-min label
+    propagation runs over class REPRESENTATIVES (edges = verified rep
+    pairs + a self-loop per multi-member shingled class), and the
+    per-document rows expand back through the doc->class->component
+    joins. Output is row-for-row IDENTICAL to dedup_clusters (pytest
+    pins it): component ids are min reachable doc ids because every
+    class representative IS its class's min doc id, and identical
+    texts always land in the same component via their class.
+
+    Why: the r8 growth table caught dedup_clusters' pair
+    materialization ENOSPC-ing at sf30 (the planted 300x duplication
+    makes the pair dump quadratic in class size — 66 GB of shuffle
+    before the first propagation round). Here the propagation graph is
+    linear in DISTINCT near-dup content: a 300-member class is ONE
+    node with a self-loop, and the only corpus-width work is the class
+    groupBy and the final expansion joins (both linear, both keyed).
+
+    Bonus at the 100x evidence rung: the DuckDB oracle's recursive CTE
+    now walks the REP graph (tiny), so the class form is strict-
+    verifiable at sf10 where the pair form needed a tier-3 invariant
+    check (oracle-side >90 GB)."""
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
+    selfnodes = (
+        classes.where(F.col("n_mem") >= 2)
+        .join(
+            doc_agg.select(F.col("doc_id").alias("rep")).hint("shuffle_hash"),
+            "rep",
+            "left_semi",
+        )
+        .select(F.col("rep").alias("src"), F.col("rep").alias("dst"))
+    )
+    edges = ver.select(
+        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
+    ).unionByName(selfnodes)
+    labels = connected_components(edges)
+    cstat = (
+        labels.join(classes, labels.node == classes.rep)
+        .groupBy("comp")
+        .agg(F.sum("n_mem").alias("cluster_size"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("ck"))
+        .join(classes.select("ck", "rep").hint("shuffle_hash"), "ck")
+        .join(labels, F.col("rep") == labels.node)
+        .join(cstat, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+        )
     )

@@ -411,3 +411,36 @@ def test_scan_xml_roundtrip_escaping(spark, tmp_path):
     assert out["s1"].n_docs == 1
     assert out["s1"].sum_text_len == len(hostile)
     assert out["s2"].sum_text_len == len("plain text")
+
+
+def test_clusters_class_form_equals_pair_form(spark, tmp_path):
+    """dedup_clusters_classes is row-for-row identical to the pair-form
+    dedup_clusters on a 3x-duplicated corpus — components, sizes, and
+    canonical flags all survive the class collapse + expansion."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_classes,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    tripled = docs
+    for k in (1, 2):
+        tripled = tripled.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000 * k))
+        )
+    sf = str(tmp_path)
+    tripled.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    pair = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in dedup_clusters(spark, sf).collect()
+    }
+    cls = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in dedup_clusters_classes(spark, sf).collect()
+    }
+    assert pair == cls and len(pair) > 0
+    # the 3x duplication puts every doc of a shingled class in a cluster
+    # of size >= 3
+    assert all(size >= 3 for _, _, size, _ in cls)

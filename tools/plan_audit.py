@@ -1168,6 +1168,13 @@ AUDITS["dedup_span_removal"] = {
     "prune": ["doc_id", "lang", "n_chars"],
     "forbid": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
+# iterative hash-to-min propagation over CLASS reps: persists +
+# localCheckpoints per round like graph_pagerank — audited with
+# checkpoint-free plans via the same by-name exemption path
+AUDITS["dedup_clusters_classes"] = {
+    "partial": True,
+    "forbid": [r"CartesianProduct"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
