@@ -254,6 +254,7 @@ OPTIONAL = [
     "dedup_span_removal",
     "scan_xml",
     "dedup_clusters_classes",
+    "ts_anomaly_residual",
 ]
 
 N_RUNS = 3

@@ -3005,3 +3005,127 @@ def graph_community_lpa(
     for c in rounds[1:]:
         out = out.unionAll(c)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly_residual: seasonal-residual anomaly days via exact MAD
+# --------------------------------------------------------------------------
+# flag when |residual - median| > 3 * 1.4826 * MAD; 4448/1000 is the
+# integer form of 3 * 1.4826 (identical literal in both engines)
+_TSA_K_MILLI = 4448
+
+
+@query(
+    "ts_anomaly_residual",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM orders GROUP BY day),
+    dowm AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', day) % 7 AS dow,
+               SUM(cents) // COUNT(*) AS mean_cents
+        FROM daily GROUP BY 1),
+    resid AS (
+        SELECT d.day, m.dow, d.cents - m.mean_cents AS r
+        FROM daily d JOIN dowm m
+          ON DATE_DIFF('day', DATE '1970-01-01', d.day) % 7 = m.dow),
+    med AS (
+        SELECT r AS median_r FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM resid) WHERE rn = (n + 1) // 2),
+    dev AS (
+        SELECT resid.*, ABS(r - med.median_r) AS adev, med.median_r
+        FROM resid CROSS JOIN med),
+    mad AS (
+        SELECT adev AS mad_v FROM (
+            SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dev) WHERE rn = (n + 1) // 2)
+    SELECT d.day, d.dow, d.r AS residual_cents, d.adev AS dev_cents,
+           m.mad_v AS mad_cents
+    FROM dev d CROSS JOIN mad m
+    WHERE d.adev * 1000 > {_TSA_K_MILLI} * m.mad_v
+    ORDER BY d.day
+    """,
+)
+def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly days: daily revenue minus its
+    day-of-week mean leaves a residual; days whose |residual - median|
+    exceeds 3 x 1.4826 x MAD (the robust z-score gate — MAD is immune
+    to the very outliers it hunts, unlike a stddev gate that an
+    anomaly inflates to hide itself) are flagged. The monitoring alarm
+    a revenue pipeline runs nightly, with weekday seasonality removed
+    so a strong Monday never masks a broken Saturday.
+
+    Exactness: money in integer cents end-to-end; the medians are
+    EXACT order statistics (row_number = (n+1) div 2 under a total
+    (value, day) order — lower median on even n, identical in both
+    engines); the gate is an integer cross-multiplication
+    (adev * 1000 > {_TSA_K_MILLI} * mad), no float z anywhere.
+
+    Scale shape: the corpus collapses to the day rollup FIRST (one
+    partial-agged groupBy — the ts-shelf law); everything after runs
+    over the calendar-bounded daily relation (~2.4k rows at any
+    corpus size): dow means are a 7-row aggregate, the two median
+    passes are windows over the bounded relation, and the 1-row
+    median/MAD relations broadcast back via cross joins."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("dow", F.expr("datediff(day, date'1970-01-01') % 7"))
+    )
+    dowm = daily.groupBy("dow").agg(
+        F.expr("sum(cents) div count(1)").alias("mean_cents")
+    )
+    resid = daily.join(F.broadcast(dowm), "dow").select(
+        "day", "dow", (F.col("cents") - F.col("mean_cents")).alias("r")
+    )
+    w_r = Window.orderBy("r", "day")
+    w_all = Window.partitionBy()
+    med = (
+        resid.select(
+            "r",
+            F.row_number().over(w_r).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("r").alias("median_r"))
+    )
+    dev = resid.crossJoin(F.broadcast(med)).select(
+        "day",
+        "dow",
+        "r",
+        F.abs(F.col("r") - F.col("median_r")).alias("adev"),
+    )
+    w_a = Window.orderBy("adev", "day")
+    mad = (
+        dev.select(
+            "adev",
+            F.row_number().over(w_a).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("adev").alias("mad_v"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.expr(f"adev * 1000 > {_TSA_K_MILLI} * mad_v"))
+        .select(
+            "day",
+            "dow",
+            F.col("r").alias("residual_cents"),
+            F.col("adev").alias("dev_cents"),
+            F.col("mad_v").alias("mad_cents"),
+        )
+        .orderBy("day")
+    )

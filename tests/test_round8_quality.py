@@ -444,3 +444,42 @@ def test_clusters_class_form_equals_pair_form(spark, tmp_path):
     # the 3x duplication puts every doc of a shingled class in a cluster
     # of size >= 3
     assert all(size >= 3 for _, _, size, _ in cls)
+
+
+def test_ts_anomaly_residual_flags_planted_spike(spark, tmp_path):
+    """A flat weekly pattern with one planted spike day: only the
+    spike is flagged; a day matching its dow mean never is."""
+    import datetime as dt
+
+    from curatorhadoopinterface_spark.operators.analytics import (
+        ts_anomaly_residual,
+    )
+
+    rows = []
+    oid = 0
+    t0 = dt.datetime(2026, 1, 5)  # Monday
+    for d in range(28):  # 4 flat weeks, value = 100 + dow
+        day = t0 + dt.timedelta(days=d)
+        val = 100.0 + (d % 7) + (0.01 * (d // 7))  # tiny jitter
+        rows.append((oid, 1, "O", val, day, "1-URGENT"))
+        oid += 1
+    # planted spike on day 29
+    rows.append((oid, 1, "O", 5000.0, t0 + dt.timedelta(days=28), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    out = ts_anomaly_residual(spark, sf).collect()
+    # the spike is flagged with the largest deviation; the mean it
+    # contaminates drags its dow-siblings over the gate too (dow means
+    # are plain means by design — the MAD gate is the robust part), but
+    # no other weekday is touched
+    assert out, "spike not flagged"
+    spike = max(out, key=lambda r: r.dev_cents)
+    assert spike.day == dt.date(2026, 2, 2)
+    assert spike.residual_cents > 300_000
+    assert {r.dow for r in out} == {spike.dow}

@@ -1175,6 +1175,13 @@ AUDITS["dedup_clusters_classes"] = {
     "partial": True,
     "forbid": [r"CartesianProduct"],
 }
+# day-rollup first; medians/gates over the calendar-bounded relation;
+# 1-row median/MAD relations cross back via broadcast BNLJ (intended)
+AUDITS["ts_anomaly_residual"] = {
+    "partial": True,
+    "no_bnlj": False,
+    "prune": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+}
 
 # Explicit exemptions: queries whose registered callable executes a
 # Structured Streaming pipeline to completion (availableNow trigger) and
