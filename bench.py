@@ -255,6 +255,7 @@ OPTIONAL = [
     "scan_xml",
     "dedup_clusters_classes",
     "ts_anomaly_residual",
+    "mm_mp4_probe",
 ]
 
 N_RUNS = 3

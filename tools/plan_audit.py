@@ -1139,6 +1139,11 @@ AUDITS["mm_exif_audit"] = {
     "prune": ["text", "lang", "source", "n_chars"],
     "forbid": [r"Exchange", r"Join"],
 }
+# build+probe in one Arrow stage over the pruned doc_id column
+AUDITS["mm_mp4_probe"] = {
+    "prune": ["text", "lang", "source", "n_chars"],
+    "forbid": [r"Exchange", r"Join"],
+}
 # token explode collapses to the vocab-bounded count relation; noise
 # and threshold are per-group scalars; TakeOrdered release
 AUDITS["privacy_dp_topk"] = {
