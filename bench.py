@@ -256,6 +256,7 @@ OPTIONAL = [
     "dedup_clusters_classes",
     "ts_anomaly_residual",
     "mm_mp4_probe",
+    "dedup_keep_best_classes",
 ]
 
 N_RUNS = 3

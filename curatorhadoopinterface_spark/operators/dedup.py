@@ -2738,19 +2738,7 @@ def dedup_clusters_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable at sf10 where the pair form needed a tier-3 invariant
     check (oracle-side >90 GB)."""
     classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
-    selfnodes = (
-        classes.where(F.col("n_mem") >= 2)
-        .join(
-            doc_agg.select(F.col("doc_id").alias("rep")).hint("shuffle_hash"),
-            "rep",
-            "left_semi",
-        )
-        .select(F.col("rep").alias("src"), F.col("rep").alias("dst"))
-    )
-    edges = ver.select(
-        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
-    ).unionByName(selfnodes)
-    labels = connected_components(edges)
+    labels = _class_components(classes, doc_agg, ver)
     cstat = (
         labels.join(classes, labels.node == classes.rep)
         .groupBy("comp")
@@ -2767,5 +2755,160 @@ def dedup_clusters_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("cluster_id"),
             "cluster_size",
             (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+
+
+def _class_components(
+    classes: DataFrame, doc_agg: DataFrame, ver: DataFrame
+) -> DataFrame:
+    """Connected components over class REPRESENTATIVES: edges are the
+    verified rep pairs plus one self-loop per multi-member shingled
+    class (whose within-class pairs exist in the pair form). Returns
+    (node=rep, comp=min reachable rep). Shared by
+    dedup_clusters_classes and dedup_keep_best_classes."""
+    selfnodes = (
+        classes.where(F.col("n_mem") >= 2)
+        .join(
+            doc_agg.select(F.col("doc_id").alias("rep")).hint("shuffle_hash"),
+            "rep",
+            "left_semi",
+        )
+        .select(F.col("rep").alias("src"), F.col("rep").alias("dst"))
+    )
+    edges = ver.select(
+        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
+    ).unionByName(selfnodes)
+    return connected_components(edges)
+
+
+@query(
+    "dedup_keep_best_classes",
+    oracle=f"""
+    WITH RECURSIVE classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY ck),
+    reps AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON d.doc_id = c.rep),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    shingles AS MATERIALIZED (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words WHERE LEN(w) >= 3),
+    sigs AS (
+        SELECT doc_id,
+{_MINHASH_AGG_ORACLE}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id,
+               UNNEST([{_BANDS_ORACLE}]) AS band_key,
+               UNNEST(GENERATE_SERIES(0, {N_HASHES // BAND_SIZE - 1})) AS band_id
+        FROM sigs),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    ver AS (
+        SELECT c.rep_a, c.rep_b
+        FROM cands c JOIN sets sa ON sa.doc_id = c.rep_a
+                     JOIN sets sb ON sb.doc_id = c.rep_b
+        WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1000
+                  // LEN(LIST_DISTINCT(sa.s || sb.s))
+              >= {VERIFY_J_PERMILLE}),
+    selfnodes AS (
+        SELECT c.rep FROM classes c JOIN sets s ON s.doc_id = c.rep
+        WHERE c.n_mem >= 2),
+    edges AS MATERIALIZED (
+        SELECT rep_a AS src, rep_b AS dst FROM ver
+        UNION ALL SELECT rep_b, rep_a FROM ver
+        UNION ALL SELECT rep, rep FROM selfnodes),
+    reach AS (
+        SELECT src AS rep, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS rep, r.comp
+        FROM reach r JOIN edges e ON e.src = r.rep),
+    comps AS (
+        SELECT rep, MIN(comp) AS cluster_id FROM reach GROUP BY rep),
+    scored AS (
+        SELECT r.doc_id AS rep,
+               LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(r.text, ' '),
+                   w -> CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 7)) AS BIGINT)
+                        % 1024 % 7 - 3)) AS score
+        FROM reps r),
+    ranked AS (
+        SELECT p.cluster_id, p.rep, s.score, c.n_mem,
+               ROW_NUMBER() OVER (PARTITION BY p.cluster_id
+                                  ORDER BY s.score DESC, p.rep) AS rk
+        FROM comps p JOIN scored s ON s.rep = p.rep
+                     JOIN classes c ON c.rep = p.rep)
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN rep END) AS keeper_doc_id,
+           MAX(CASE WHEN rk = 1 THEN score END) AS keeper_score,
+           SUM(n_mem) AS n_docs,
+           SUM(n_mem) - 1 AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection in CLASS form — dedup_keep_best
+    re-planned collapse-first: components run over class
+    representatives (_class_components), the quality score is computed
+    once per DISTINCT text (identical texts score identically, so the
+    class's best member is its min doc id = the rep), and the
+    per-cluster census expands by class arithmetic (n_docs = sum of
+    member counts). Row-for-row identical to dedup_keep_best (pytest
+    pins it on a 3x-duplicated corpus): the keeper is the rep of the
+    best-scoring class, with the (score DESC, doc_id ASC) tie-break
+    preserved because every class's lowest-id member IS its rep.
+
+    Scale: same story as dedup_clusters_classes — the propagation
+    graph and the scoring scan are linear in DISTINCT content, immune
+    to the duplication factor that makes the pair form quadratic; and
+    the oracle's recursive CTE walks the rep graph, so this form is
+    strict-verifiable at sf10 where dedup_keep_best needed a tier-3
+    invariant."""
+    from curatorhadoopinterface_spark.operators.textstats import _FEAT_W_SPARK
+
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
+    labels = _class_components(classes, doc_agg, ver)
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.join(
+        classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
+        "doc_id",
+    ).select(F.col("doc_id").alias("rep"), "text")
+    scored = reps.select(
+        "rep",
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            f" w -> cast({_FEAT_W_SPARK} as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    ranked = (
+        labels.join(scored, labels.node == scored.rep)
+        .join(classes.select("rep", "n_mem"), "rep")
+        .select(F.col("comp").alias("cluster_id"), "rep", "score", "n_mem")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("rep"))
+    )
+    return (
+        ranked.withColumn("rk", rk)
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("rep"))).alias(
+                "keeper_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias(
+                "keeper_score"
+            ),
+            F.sum("n_mem").alias("n_docs"),
+            (F.sum("n_mem") - 1).alias("n_dropped"),
         )
     )

@@ -521,3 +521,33 @@ def test_mp4_probe_box_walk_and_guards():
         probe_mp4(b"RIFF....WAVE")
     with pytest.raises(ValueError):
         probe_mp4(make_mp4(2)[:-5])  # truncated final box
+
+
+def test_keep_best_class_form_equals_pair_form(spark, tmp_path):
+    """dedup_keep_best_classes is row-for-row identical to the
+    pair-form dedup_keep_best on a 3x-duplicated corpus: keeper,
+    score, and member counts all survive the class collapse."""
+    from curatorhadoopinterface_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_best_classes,
+    )
+    from curatorhadoopinterface_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    tripled = docs
+    for k in (1, 2):
+        tripled = tripled.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000 * k))
+        )
+    sf = str(tmp_path)
+    tripled.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    pair = {
+        (r.cluster_id, r.keeper_doc_id, r.keeper_score, r.n_docs, r.n_dropped)
+        for r in dedup_keep_best(spark, sf).collect()
+    }
+    cls = {
+        (r.cluster_id, r.keeper_doc_id, r.keeper_score, r.n_docs, r.n_dropped)
+        for r in dedup_keep_best_classes(spark, sf).collect()
+    }
+    assert pair == cls and len(pair) > 0

@@ -1180,6 +1180,10 @@ AUDITS["dedup_clusters_classes"] = {
     "partial": True,
     "forbid": [r"CartesianProduct"],
 }
+AUDITS["dedup_keep_best_classes"] = {
+    "partial": True,
+    "forbid": [r"CartesianProduct"],
+}
 # day-rollup first; medians/gates over the calendar-bounded relation;
 # 1-row median/MAD relations cross back via broadcast BNLJ (intended)
 AUDITS["ts_anomaly_residual"] = {
