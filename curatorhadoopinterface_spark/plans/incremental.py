@@ -161,27 +161,68 @@ class RecordStore:
             _BUCKET_COL
         )
         old = old.withColumn("__n_old", view_count_col(stored))
-        merged = old.alias("o").join(new.alias("n"), "identifier", "full_outer")
-        take_new = F.col("n.__n_new").isNotNull() & (
-            F.lit(force)
-            | F.col("o.__n_old").isNull()
-            | (F.col("n.__n_new") > F.col("o.__n_old"))
+        # decide winners on a NARROW (identifier, count) relation, then
+        # move the WIDE records once via semi-joins. The previous plan
+        # full-outer-joined the wide records themselves, holding BOTH
+        # copies of every annotation-view payload in the join buffers —
+        # at sf10 (500k wide records x 32 concurrent tasks in one 8g
+        # JVM) that exhausted execution memory (UNABLE_TO_ACQUIRE_MEMORY)
+        # mid-overwrite; at 100 TB it is also just the wrong shape: the
+        # decision needs 16 bytes per record, not the record.
+        dec = (
+            old.select("identifier", "__n_old")
+            .join(new.select("identifier", "__n_new"), "identifier", "full_outer")
+            .select(
+                "identifier",
+                (
+                    F.col("__n_new").isNotNull()
+                    & (
+                        F.lit(force)
+                        | F.col("__n_old").isNull()
+                        | (F.col("__n_new") > F.col("__n_old"))
+                    )
+                ).alias("__take_new"),
+            )
         )
-        cols = [c for c in records.columns if c != "identifier"]
-        picked = merged.select(
-            "identifier",
-            *[
-                F.when(take_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
-            for c in cols
-            ],
+        win_new = dec.where("__take_new").select("identifier")
+        win_old = dec.where("not __take_new").select("identifier")
+        picked = (
+            new.drop("__n_new")
+            .join(win_new, "identifier", "left_semi")
+            .unionByName(old.drop("__n_old").join(win_old, "identifier", "left_semi"))
         )
         # the merge plan READS the store files this write deletes:
-        # materialize + cut lineage first (read-before-overwrite). At
-        # cluster scale use a reliable checkpoint dir / staging swap.
-        picked = picked.localCheckpoint(eager=True)
-        self._bucketed(picked).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
-            self.path
-        )
+        # materialize to a STAGING dir and cut lineage by reading it
+        # back (read-before-overwrite). This replaced an eager
+        # localCheckpoint in r8: checkpoint blocks pin the full wide
+        # store in JVM block memory and OOM'd the 8g driver at sf10
+        # (500k annotation-view records); the staging parquet streams
+        # through the writers instead — the reliable-checkpoint/staging
+        # swap a real cluster would use, at any scale.
+        import shutil as _shutil
+
+        # Scoped heap guard for the merge's actions: annotated Records
+        # are WIDE (every token a span struct), and the default
+        # 4096-row vectorized reader batch x 32 concurrent local tasks
+        # intermittently heap-OOMs an 8g JVM at sf10 (500k records).
+        # 512-row batches bound the in-flight columnar buffers ~8x;
+        # restored after the merge so narrow scans elsewhere keep the
+        # default. On a real cluster each executor holds a slice and
+        # the default is fine — this is the local[32] single-JVM knob.
+        _bs_key = "spark.sql.parquet.columnarReaderBatchSize"
+        _bs_old = self.spark.conf.get(_bs_key, "4096")
+        self.spark.conf.set(_bs_key, "512")
+        try:
+            staging = self.path.rstrip("/") + "_staging"
+            _shutil.rmtree(staging, ignore_errors=True)
+            picked.write.parquet(staging)
+            picked = self.spark.read.parquet(staging)
+            self._bucketed(picked).write.mode("overwrite").partitionBy(
+                _BUCKET_COL
+            ).parquet(self.path)
+            _shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            self.spark.conf.set(_bs_key, _bs_old)
 
     def provide_incremental(
         self,
