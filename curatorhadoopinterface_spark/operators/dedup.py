@@ -143,13 +143,44 @@ _PAIRS_CTES = f"""{_SHINGLES_ORACLE},
 @query(
     "dedup_minhash",
     oracle=f"""
-    WITH {_PAIRS_CTES}
-    SELECT doc_a, doc_b, jaccard FROM pairs
+    WITH {_PAIRS_CTES},
+    dupf AS (SELECT COUNT(*) * 1000 // COUNT(DISTINCT MD5(text))
+                 AS dup_factor_permille
+             FROM documents)
+    SELECT doc_a, doc_b, jaccard, dup_factor_permille
+    FROM pairs CROSS JOIN dupf
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs with exact-Jaccard verify."""
-    return _minhash_pairs(spark, sf_dir)
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verify —
+    the DIAGNOSTIC pair tier; the PRODUCTION default is
+    dedup_minhash_classes (below). The pair dump is QUADRATIC in the
+    duplication factor by construction (every band bucket of an
+    n-duplicated class emits ~n^2/2 candidate pairs): GROWTH_RATIO_r8
+    measured this form DEAD at sf30/300x planted duplication (band-join
+    shuffle) while the class form stayed flat (0.84x at 3x data). Like
+    sim_knn_graph, the output self-announces the trap: every row
+    carries ``dup_factor_permille`` (corpus rows * 1000 / distinct
+    exact-text classes, 1000 = fully deduplicated) — above ~2000,
+    switch to dedup_minhash_classes, which collapses exact classes
+    FIRST, runs LSH on one representative per class, and reports
+    cross-class + within-class pair counts without materializing them.
+
+    The dup-factor side is a broadcast 1-row aggregate crossed into the
+    pair relation — no added exchange on the pair side."""
+    dupf = _dup_factor(spark, sf_dir)
+    return _minhash_pairs(spark, sf_dir).crossJoin(F.broadcast(dupf))
+
+
+def _dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row ``dup_factor_permille`` relation: corpus rows * 1000 //
+    distinct exact-text classes (integer division on both engines —
+    bit-exact vs the oracle's ``//``). 1000 = fully deduplicated."""
+    return load_table(spark, sf_dir, "documents").agg(
+        F.expr(
+            "count(1) * 1000L div count(distinct md5(text))"
+        ).alias("dup_factor_permille")
+    )
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,16 +865,35 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         SELECT e.dst AS doc_id, r.comp
         FROM reach r JOIN edges e ON e.src = r.doc_id),
     comps AS (
-        SELECT doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY doc_id),
+    dupf AS (SELECT COUNT(*) * 1000 // COUNT(DISTINCT MD5(text))
+                 AS dup_factor_permille
+             FROM documents)
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-           doc_id = cluster_id AS is_canonical
-    FROM comps
+           doc_id = cluster_id AS is_canonical,
+           dup_factor_permille
+    FROM comps CROSS JOIN dupf
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve verified MinHash near-dup PAIRS into duplicate CLUSTERS
-    (connected components), the step that turns pairwise detection into
+    (connected components) — the DIAGNOSTIC pair tier; the PRODUCTION
+    default is dedup_clusters_classes (this file, below), which
+    collapses exact-text classes first and propagates over class
+    representatives. This pair form materializes the verified-pair
+    relation, which is QUADRATIC in the duplication factor:
+    GROWTH_RATIO_r8 measured it DEAD at sf30/300x planted duplication
+    (>60 GB of band-join shuffle before the first propagation round,
+    ENOSPC in its own process) while the class form stayed flat (1.10x
+    at 3x data) and 17x faster absolute at sf10 — row-for-row identical
+    output (pytest-pinned, test_round8_quality.py). Like sim_knn_graph,
+    the output self-announces the trap: every row carries
+    ``dup_factor_permille`` (corpus rows * 1000 / distinct exact-text
+    classes, 1000 = fully deduplicated) — above ~2000, switch to
+    dedup_clusters_classes.
+
+    Cluster resolution is the step that turns pairwise detection into
     an actionable keep/drop decision: keep `is_canonical` (min doc id
     per component), drop the rest. Pair detection alone under-deletes —
     A~B and B~C must collapse to ONE cluster even when A~C was never a
@@ -861,7 +911,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("comp"))
         .alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
-    )
+    ).crossJoin(F.broadcast(_dup_factor(spark, sf_dir)))
 
 
 # ---- LSH band tuning report ------------------------------------------------

@@ -673,6 +673,10 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .format("xml")
         .option("rowTag", "doc")
+        # pin round-trip fidelity: the reader's default trims leading/
+        # trailing whitespace inside elements, which would silently break
+        # byte parity for texts with boundary whitespace (r8 ADVICE)
+        .option("ignoreSurroundingSpaces", "false")
         .load(out)
     )
     return back.groupBy("source").agg(

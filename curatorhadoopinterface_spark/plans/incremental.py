@@ -212,16 +212,18 @@ class RecordStore:
         _bs_key = "spark.sql.parquet.columnarReaderBatchSize"
         _bs_old = self.spark.conf.get(_bs_key, "4096")
         self.spark.conf.set(_bs_key, "512")
+        staging = self.path.rstrip("/") + "_staging"
         try:
-            staging = self.path.rstrip("/") + "_staging"
             _shutil.rmtree(staging, ignore_errors=True)
             picked.write.parquet(staging)
             picked = self.spark.read.parquet(staging)
             self._bucketed(picked).write.mode("overwrite").partitionBy(
                 _BUCKET_COL
             ).parquet(self.path)
-            _shutil.rmtree(staging, ignore_errors=True)
         finally:
+            # remove staging on failure too — a failed final overwrite
+            # must not leak a full wide copy of the store (r8 ADVICE)
+            _shutil.rmtree(staging, ignore_errors=True)
             self.spark.conf.set(_bs_key, _bs_old)
 
     def provide_incremental(

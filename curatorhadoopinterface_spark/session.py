@@ -52,6 +52,18 @@ def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None =
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Initial exchange width, AQE coalesces down. MEASURED r9 (clean
+        # idle-machine A/B on graph_copurchase_topk, the suite's widest
+        # pair agg): 256-wide initial partitions made BOTH rungs slower
+        # absolute (sf10 46.6->56.2s, sf30 118->137s) — at local[32] the
+        # 32-wide default wins and the r8 "linear-plus" reading was
+        # machine contention (2.53x at 3x data when idle), not agg-hash
+        # pressure. On a real 1000-executor cluster set this env to
+        # ~2-3x total cores; locally it stays at the shuffle width.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "32"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime row-level bloom pruning: a selective dim-side filter
         # becomes a bloom filter applied at the fact-side SCAN before the

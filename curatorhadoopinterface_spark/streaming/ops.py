@@ -40,6 +40,7 @@ state store; watermarking bounds state growth for append mode and
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 
 import pyspark.sql.functions as F
@@ -52,6 +53,36 @@ _SINK_IDS = itertools.count()
 
 GAP = "30 minutes"
 DELAY = "1 hour"
+
+
+@contextlib.contextmanager
+def stream_width(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down to the streaming
+    state width for the duration of a query start+drain.
+
+    Stateful streaming operators keep ONE state store instance per
+    shuffle partition, and every micro-batch commits every instance
+    (delta file + snapshot bookkeeping) even when it holds a handful of
+    keys — at bench scale the 32-wide default spends more wall time on
+    state-store commit IO than on the operator (stream_outer_join: 4
+    store instances x 32 partitions x 2 batches). State width is also
+    UNCHANGEABLE after the first checkpoint, so real deployments pin it
+    explicitly per stream rather than inheriting the batch shuffle
+    width. ``SPARK_GRAFT_STREAM_PARTITIONS`` (default 8) is that pin:
+    raise it at production scale (state then spreads across executors);
+    batch queries in the same session are untouched — the conf is
+    restored once the drain returns."""
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 # Per-process log of completed availableNow drains: one entry per
 # micro-batch, from StreamingQueryProgress. Wall time of a drain is
@@ -114,14 +145,15 @@ def run_to_sink(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
     append mode before the query stops.
     """
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
+    with stream_width(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
     if q.exception() is not None:
         raise q.exception()
     if not finished:
@@ -511,15 +543,16 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream(spark, sf_dir).filter(F.col("value") > 5).select(
         "event_id", "event_type", "value"
     )
-    q = (
-        src.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_query(q)
+    with stream_width(spark):
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
@@ -597,13 +630,14 @@ def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         ).write.mode("append").parquet(store)
 
-    q = (
-        src.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_query(q)
+    with stream_width(spark):
+        q = (
+            src.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
 
     deltas = spark.read.parquet(store)
     w = Window.partitionBy("user_id").orderBy(
@@ -677,15 +711,16 @@ def stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.length(F.regexp_replace("text", "[^.!?]", "")).alias("n_sentence_marks"),
     )
-    q = (
-        annotated.writeStream.format("parquet")
-        .option("path", store)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_query(q)
+    with stream_width(spark):
+        q = (
+            annotated.writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
     back = spark.read.parquet(store)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -915,16 +950,17 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arriving = shingle_explode(src.filter(F.col("doc_id") % 10 != 0), "lang")
     hits = arriving.join(eval_sh, "shingle")
-    q = (
-        hits.select("doc_id", "lang", "shingle")
-        .writeStream.format("parquet")
-        .option("path", store)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_query(q)
+    with stream_width(spark):
+        q = (
+            hits.select("doc_id", "lang", "shingle")
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
     back = spark.read.parquet(store)
     return back.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_contaminated_docs"),

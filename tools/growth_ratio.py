@@ -64,13 +64,26 @@ def main() -> None:
     names = argv[3:] or DEFAULT
 
     if fork:  # one subprocess (= one Spark session + blockmgr) per query
+        import os
         import subprocess
 
+        # artifact lives at the repo root wherever the checkout is, and
+        # a crashed per-query run must be attributable (r8 ADVICE: a
+        # silent nonzero exit left no row, indistinguishable from
+        # never-ran)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        crashed: dict[str, int] = {}
         for name in names:
-            subprocess.run(
+            r = subprocess.run(
                 [sys.executable, "-u", __file__, sf10, sf30, str(n_runs), name],
-                cwd="/root/repo",
+                cwd=repo_root,
             )
+            if r.returncode != 0:
+                crashed[name] = r.returncode
+                print(f"[growth] {name}: subprocess exited {r.returncode} "
+                      f"(no row written for this run)", flush=True)
+        if crashed:
+            print(f"[growth] crashed queries: {crashed}", flush=True)
         return
 
     import __spark_entry__ as m

@@ -41,7 +41,10 @@ AUDITS: dict[str, dict] = {
     # before the band exchange; post-explode band/set sides are PINNED
     # shuffled (broadcast of them built a corpus-sized driver relation
     # at 30x — maxResultSize; the join_salted_skew lesson)
-    "dedup_minhash": {"partial": True,
+    # the 1-row dup_factor_permille census crosses in as an intended
+    # BroadcastNestedLoopJoin (r9: the pair tier self-announces its
+    # duplication-quadratic trap, like sim_knn_graph)
+    "dedup_minhash": {"partial": True, "no_bnlj": False,
                       "require": [r"ShuffledHashJoin"],
                       "prune": ["lang", "source", "n_chars"],
                       "forbid": [r"CartesianProduct",
@@ -421,7 +424,11 @@ AUDITS: dict[str, dict] = {
     # iterative label propagation converges BEFORE this final plan (the
     # loop body localCheckpoints); the returned labeling pass is one
     # exchange + window over the converged component table
-    "dedup_clusters": {"max_exchange": 2, "require": [r"Window"]},
+    # exchange budget: 1 window over the converged labels + 2 inside the
+    # global count-distinct of the 1-row dup-factor census (broadcast
+    # side, constant-width); the census crosses in as an intended BNLJ
+    "dedup_clusters": {"max_exchange": 4, "no_bnlj": False,
+                       "require": [r"Window"]},
     # embedding near-dup: candidate pairs come from an EQUI join on the
     # sign-bucket key (broadcast-hash here; the cosine bound is the
     # residual condition), never all-pairs

@@ -160,6 +160,18 @@ def _flush(
     merged.update(per_query)
     if registry is not None:
         merged = {k: v for k, v in merged.items() if k in registry}
+        # r8 verdict (What's wrong #1): a sweep must not stamp itself
+        # complete while any registry name is silently absent — tally
+        # size == registry size or the artifact stays complete: false.
+        if complete:
+            missing = sorted(registry - set(merged))
+            if missing:
+                print(
+                    f"[sweep] REFUSING complete: {len(missing)} registry "
+                    f"names have no row: {missing}",
+                    flush=True,
+                )
+                complete = False
     statuses = [v["status"] for v in merged.values()]
     tally = {
         "n_queries": len(merged),
@@ -185,7 +197,17 @@ def _flush(
 
 def _run(cmd: list[str]) -> str:
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
-    return (r.stdout + r.stderr).replace("\r", "\n")
+    text = (r.stdout + r.stderr).replace("\r", "\n")
+    # drop progress-bar/log noise so FAIL `detail` tails carry the actual
+    # error, not 300 bytes of spinner (r8 verdict, What's wrong #1)
+    lines = [
+        ln
+        for ln in text.splitlines()
+        if ln.strip()
+        and "[Stage " not in ln
+        and not ln.lstrip().startswith(("WARNING:", "Using Spark", "Setting default log level", "To adjust logging"))
+    ]
+    return "\n".join(lines)
 
 
 def main() -> int:
@@ -340,21 +362,36 @@ def main() -> int:
     _flush(out_path, sf_dir, t0, per_query, registry=reg)
 
     # ---- tier 3: in-engine invariant blocks ----
+    # the `semantic` block's operator contract ends at ~10x (fixed-k
+    # fixture); its invariants run at the sf1 contract boundary, the
+    # other blocks at the sweep's own sf_dir (r9: previously the sweep
+    # would have run semantic at sf10, contradicting its own reason)
+    import os as _os
+
+    semantic_dir = _os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_seed42")
     blocks = sorted({b for b, _ in ec_names.values()})
-    text = (
-        _run(
-            [sys.executable, "-u", "tools/engine_check_sf10.py",
-             sf_dir, *blocks]
-        )
-        if blocks
-        else ""
-    )
+    text = ""
+    tally_ok = True
     block_ok = {}
-    for b in blocks:
-        # a block is green iff its section ran and the final tally has
-        # zero failures; engine_check prints per-assert [ok]/[FAIL]
-        block_ok[b] = f"... {b} block took" in text
-    tally_ok = bool(re.search(r"engine-check: \d+ pass, 0 fail", text))
+    for run_dir, run_blocks in (
+        (sf_dir, [b for b in blocks if b != "semantic"]),
+        (semantic_dir, [b for b in blocks if b == "semantic"]),
+    ):
+        if not run_blocks:
+            continue
+        t = _run(
+            [sys.executable, "-u", "tools/engine_check_sf10.py",
+             run_dir, *run_blocks]
+        )
+        text += t
+        for b in run_blocks:
+            # a block is green iff its section ran and the final tally
+            # has zero failures; engine_check prints per-assert
+            # [ok]/[FAIL]
+            block_ok[b] = f"... {b} block took" in t
+        tally_ok = tally_ok and bool(
+            re.search(r"engine-check: \d+ pass, 0 fail", t)
+        )
     for name, (block, reason) in ec_names.items():
         ok = tally_ok and block_ok.get(block, False)
         per_query[name] = {
