@@ -127,9 +127,9 @@ _PAIRS_CTES = f"""{_SHINGLES_ORACLE},
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id),
-    sets AS (
+    sets AS MATERIALIZED (
         SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b,
                LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
                      LEN(LIST_DISTINCT(sa.s || sb.s)) AS jaccard
@@ -138,6 +138,12 @@ _PAIRS_CTES = f"""{_SHINGLES_ORACLE},
         JOIN sets sb ON sb.doc_id = c.doc_b
         WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
               LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J})"""
+# ^ sets/pairs are MATERIALIZED (r9): DuckDB re-inlines a CTE per
+# reference — sets is read twice per verify join and pairs twice by
+# dedup_clusters' recursive oracle; without the marker the sf10 oracle
+# recomputes the whole LSH pipeline per reference (the r5c
+# graph_triangles lesson; dedup_containment_census was OOM-killed at
+# 120 GB RSS in r8 for exactly this shape)
 
 
 @query(
@@ -1747,14 +1753,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_census",
     oracle=f"""
     WITH {_PAIRS_CTES},
-    scored AS (
+    scored AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b,
                LEN(LIST_INTERSECT(sa.s, sb.s)) AS n_common,
                LEN(sa.s) AS n_a, LEN(sb.s) AS n_b
         FROM cands c
         JOIN sets sa ON sa.doc_id = c.doc_a
         JOIN sets sb ON sb.doc_id = c.doc_b),
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT *, CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END
                AS contained_doc
         FROM scored

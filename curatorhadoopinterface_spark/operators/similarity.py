@@ -378,7 +378,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embed_cosine_census",
     oracle=f"""
     WITH {_O_BASE},
-    bucketed AS (
+    bucketed AS MATERIALIZED (
         SELECT b.*, {_O_BUCKET} AS bucket
         FROM base b JOIN embeddings USING (vec_id)),
     pairs AS (

@@ -125,6 +125,13 @@ def main() -> int:
 
     spark = get_spark("verify-local")
     con = duckdb.connect()
+    # Bound the oracle, don't let it take the machine down: r8's sweep
+    # chunk kills were DuckDB at 107-120 GB RSS (machine OOM) and its
+    # cwd-relative temp files filling the repo disk. A memory cap makes
+    # heavy oracles spill to an explicit /tmp dir instead of OOM-killing
+    # the whole chunk (12 queries lose their verdicts per kill).
+    con.execute("SET memory_limit='80GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
