@@ -946,7 +946,19 @@ _O_TUNE_BANDS = " UNION ALL ".join(_o_band_cfg(b, r) for b, r in TUNE_CONFIGS)
 @query(
     "dedup_minhash_tuning",
     oracle=f"""
-    WITH {_SHINGLES_ORACLE},
+    WITH classes AS MATERIALIZED (
+        SELECT MD5(text) AS ck, MIN(doc_id) AS rep, COUNT(*) AS n_mem
+        FROM documents GROUP BY ck),
+    reps AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN classes c ON d.doc_id = c.rep),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM reps),
+    shingles AS MATERIALIZED (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM words WHERE LEN(w) >= 3),
     sigs AS (
         SELECT doc_id,
 {_MINHASH_AGG_ORACLE}
@@ -954,24 +966,39 @@ _O_TUNE_BANDS = " UNION ALL ".join(_o_band_cfg(b, r) for b, r in TUNE_CONFIGS)
     allbands AS ({_O_TUNE_BANDS}),
     cands AS (
         SELECT DISTINCT a.bands, a.rows_per_band,
-               a.doc_id AS doc_a, b.doc_id AS doc_b
+               a.doc_id AS rep_a, b.doc_id AS rep_b
         FROM allbands a JOIN allbands b
           ON a.bands = b.bands AND a.band_id = b.band_id
          AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
-    verified AS (
-        SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
-               LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
-                     LEN(LIST_DISTINCT(sa.s || sb.s)) AS j
+    sets AS MATERIALIZED (
+        SELECT doc_id, LIST(shingle) AS s FROM shingles GROUP BY doc_id),
+    cross_counts AS (
+        SELECT c.bands, c.rows_per_band,
+               SUM(ca.n_mem * cb.n_mem) AS n_c,
+               SUM(CASE WHEN LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0 /
+                             LEN(LIST_DISTINCT(sa.s || sb.s)) >= {VERIFY_J}
+                        THEN ca.n_mem * cb.n_mem ELSE 0 END) AS n_v
         FROM cands c
-        JOIN sets sa ON sa.doc_id = c.doc_a
-        JOIN sets sb ON sb.doc_id = c.doc_b)
-    SELECT bands, rows_per_band,
-           COUNT(*) AS n_candidates,
-           SUM(CASE WHEN j >= {VERIFY_J} THEN 1 ELSE 0 END) AS n_verified,
-           ROUND(SUM(CASE WHEN j >= {VERIFY_J} THEN 1 ELSE 0 END) * 1.0
-                 / NULLIF(COUNT(*), 0), 4) AS precision
-    FROM verified GROUP BY bands, rows_per_band
+        JOIN sets sa ON sa.doc_id = c.rep_a
+        JOIN sets sb ON sb.doc_id = c.rep_b
+        JOIN classes ca ON ca.rep = c.rep_a
+        JOIN classes cb ON cb.rep = c.rep_b
+        GROUP BY c.bands, c.rows_per_band),
+    within AS (
+        SELECT COALESCE(SUM(c.n_mem * (c.n_mem - 1) // 2), 0) AS n_w
+        FROM classes c JOIN sets s ON s.doc_id = c.rep
+        WHERE c.n_mem >= 2),
+    configs AS (SELECT DISTINCT bands, rows_per_band FROM allbands)
+    SELECT cf.bands, cf.rows_per_band,
+           COALESCE(cc.n_c, 0) + w.n_w AS n_candidates,
+           COALESCE(cc.n_v, 0) + w.n_w AS n_verified,
+           ROUND((COALESCE(cc.n_v, 0) + w.n_w) * 1.0
+                 / NULLIF(COALESCE(cc.n_c, 0) + w.n_w, 0), 4) AS precision
+    FROM configs cf
+    LEFT JOIN cross_counts cc
+           ON cc.bands = cf.bands AND cc.rows_per_band = cf.rows_per_band
+    CROSS JOIN within w
+    WHERE COALESCE(cc.n_c, 0) + w.n_w > 0
     """,
 )
 def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,28 +1010,46 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(candidate) = 1-(1-J^r)^b). Measured from the live pipeline, not
     the formula.
 
-    Plan: ONE signature aggregation (scan + doc_id shuffle) serves all
-    three configurations — the band explode is array-local per config
-    and each LSH self-join shuffles only its (band_id, band_key)
-    collisions; the verify stage re-reads the same shingle-set exchange
-    (ReusedExchange) three times. At 100 TB you run exactly this on a
-    sample to pick b/r before committing the full corpus pass.
+    CLASS-FORM from r9 (same values, duplication-immune): the previous
+    doc-pair plan generated candidates over ALL docs and ENOSPC'd the
+    r9 sf10 sweep — 3 configs x dup-squared pre-distinct band-join rows
+    on the 100x-duplicated stress corpus (the same disease the growth
+    table caught in dedup_clusters/sim_knn_graph). Exact-duplicate
+    classes (md5(text)) collapse first, banding/verify run over class
+    REPRESENTATIVES, and the report's doc-pair counts come from class
+    arithmetic: candidate rep pair (A,B) contributes n_a*n_b doc pairs
+    (identical texts band identically, so every member pair is a
+    candidate iff the rep pair is); every shingled class with n>=2
+    contributes its n*(n-1)/2 within-class pairs in EVERY config (dup
+    docs share all band keys). Values are row-identical to the doc-pair
+    form on any corpus (pytest-pinned, test_round9_ops.py).
+
+    Plan: ONE class collapse (the only full-corpus exchange), one
+    signature aggregation over reps serving all three configurations;
+    each LSH self-join shuffles only rep-level (band_id, band_key)
+    collisions — candidate volume bounded by DISTINCT content at any
+    duplication factor. At 100 TB you run exactly this to pick b/r
+    before committing the full corpus pass.
     """
-    sh = _shingles(spark, sf_dir).withColumn(
-        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
-    )
-    doc_agg = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i])) % MINHASH_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-        F.collect_list("shingle").alias("s"),
-    )
+    classes, doc_agg, _ver = _minhash_class_core(spark, sf_dir)
     sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
+    )
+    mem = classes.select("rep", "n_mem")
+    # config-independent within-class pair count (shingled classes only)
+    within = (
+        classes.where(F.col("n_mem") >= 2)
+        .join(
+            doc_agg.select(F.col("doc_id").alias("rep")).hint("shuffle_hash"),
+            "rep",
+            "left_semi",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("n_mem * (n_mem - 1) div 2")), F.lit(0)
+            ).alias("n_w")
+        )
     )
     out = None
     for n_bands, r in TUNE_CONFIGS:
@@ -1027,35 +1072,58 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.doc_id").alias("rep_a"),
+                F.col("b.doc_id").alias("rep_b"),
             )
             .distinct()
         )
-        summary = (
-            cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-            .select(F.when(jac >= VERIFY_J, 1).otherwise(0).alias("ok"))
+        cross = (
+            cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+            .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+            .select(
+                "rep_a",
+                "rep_b",
+                F.when(jac >= VERIFY_J, 1).otherwise(0).alias("ok"),
+            )
+            .join(
+                mem.select(
+                    F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
+                ).hint("shuffle_hash"),
+                "rep_a",
+            )
+            .join(
+                mem.select(
+                    F.col("rep").alias("rep_b"), F.col("n_mem").alias("n_b")
+                ).hint("shuffle_hash"),
+                "rep_b",
+            )
             .agg(
+                F.coalesce(F.sum(F.expr("n_a * n_b")), F.lit(0)).alias("n_c"),
+                F.coalesce(
+                    F.sum(F.expr("case when ok = 1 then n_a * n_b else 0 end")),
+                    F.lit(0),
+                ).alias("n_v"),
+            )
+        )
+        summary = (
+            cross.crossJoin(F.broadcast(within))
+            .select(
                 F.lit(n_bands).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.sum("ok").alias("n_verified"),
+                (F.col("n_c") + F.col("n_w")).alias("n_candidates"),
+                (F.col("n_v") + F.col("n_w")).alias("n_verified"),
                 F.round(
-                    F.sum("ok") * 1.0
-                    / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                    (F.col("n_v") + F.col("n_w"))
+                    * 1.0
+                    / F.nullif(F.col("n_c") + F.col("n_w"), F.lit(0)),
                     4,
                 ).alias("precision"),
             )
-            .select(
-                "bands", "rows_per_band", "n_candidates", "n_verified", "precision"
-            )
         )
         out = summary if out is None else out.unionByName(summary)
-    # A config with zero LSH collisions yields no oracle GROUP BY row at
-    # all; the global .agg() above always emits one (n_candidates=0,
-    # NULLs) — drop those so Spark and oracle agree on any corpus,
-    # including ones where a selective banding (e.g. 2x6) collides nothing.
+    # A config with zero candidates (no collisions AND no duplicated
+    # shingled classes) has no oracle row; drop the all-zero agg row so
+    # Spark and oracle agree on any corpus.
     return out.filter(F.col("n_candidates") > 0)
 
 

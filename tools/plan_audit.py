@@ -294,7 +294,9 @@ AUDITS: dict[str, dict] = {
     "sim_pq_recall": {"no_bnlj": False, "broadcast": True, "partial": True},
     # one signature aggregation serves all three band configs; each LSH
     # self-join is equi on (band_id, band_key)
-    "dedup_minhash_tuning": {"partial": True,
+    # r9 class form: the 1-row within-class count crosses into each
+    # config row as an intended broadcast BNLJ (graph_triangles pattern)
+    "dedup_minhash_tuning": {"partial": True, "no_bnlj": False,
                              "prune": ["lang", "source", "n_chars"]},
     # Q15: quarter predicate pushes; revenue partials; max joins back
     # as a broadcast filter
