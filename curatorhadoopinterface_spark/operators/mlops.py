@@ -31,6 +31,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from curatorhadoopinterface_spark.functions.vec import (
+    dot_bigint,
+    dot_double,
+    sqdist_bigint,
+    sqdist_double,
+)
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.operators.similarity import (
     N_QUERIES,
@@ -45,15 +51,10 @@ QBITS_MAX = 255  # int8-range code book (0..255)
 
 # ---- shared Spark/oracle fragments ----------------------------------------
 
-_SPARK_D2 = (
-    "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-    " cast(0 as double), (acc, v) -> acc + v), 6)"
-)
-
-
 def _d2(a: str, b: str):
-    """Rounded squared-L2 distance between two double arrays."""
-    return F.expr(_SPARK_D2.format(a=a, b=b))
+    """Rounded squared-L2 distance between two double arrays (r9:
+    unrolled codegen form, value-identical to the sequential fold)."""
+    return F.expr(f"round({sqdist_double(a, b, DIM)}, 6)")
 
 
 def _o_d2(a: str, b: str) -> str:
@@ -312,13 +313,7 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _base(spark, sf_dir)
     cent = _centroids(base)
-    qdot = F.round(
-        F.expr(
-            "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as double),"
-            " (acc, v) -> acc + v)"
-        ),
-        6,
-    )
+    qdot = F.round(F.expr(dot_double("e", "ce", DIM)), 6)
     q = base.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e", "norm")
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("qc"), F.asc("label"))
     probed = (
@@ -329,10 +324,7 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", "norm", "label")
     )
     cos = F.round(
-        F.expr(
-            "aggregate(zip_with(p.e, c.e, (x, y) -> x * y), cast(0 as double),"
-            " (acc, v) -> acc + v)"
-        )
+        F.expr(dot_double("p.e", "c.e", DIM))
         / (F.col("p.norm") * F.col("c.norm")),
         6,
     )
@@ -464,8 +456,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def d2i(a: str, b: str):
         return F.expr(
-            f"cast(floor(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-            " cast(0 as double), (acc, v) -> acc + v) * 1000000"
+            f"cast(floor({sqdist_double(a, b, SUBDIM)} * 1000000"
             " + cast(0.5 as double)) as bigint)"
         )
 
@@ -585,13 +576,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qfull = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    d2 = F.round(
-        F.expr(
-            "aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        ),
-        6,
-    )
+    d2 = F.round(F.expr(sqdist_double("qe", "e", DIM)), 6)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     exact_top = (
         F.broadcast(qfull)
@@ -679,27 +664,28 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     batch = (F.col("vec_id") % 2).alias("batch")
 
-    def qv(i: int):
-        return F.floor(
-            F.element_at("embedding", i).cast("double") * _DRIFT_SCALE
-        ).cast("long")
+    # identical expression tree to the previous per-column builder, but
+    # assembled as SQL strings: 130 F.sum(F.when(...)) column objects
+    # cost ~2.5 s of py4j round trips PER CALL at build time (measured
+    # r9); two F.expr parses hand the same tree to Catalyst in two calls
+    def qv(i: int) -> str:
+        return (
+            f"cast(floor(cast(element_at(embedding, {i}) as double)"
+            f" * {_DRIFT_SCALE}) as bigint)"
+        )
 
     aggs = []
     for i in range(1, _EMB_DIM + 1):
         aggs.append(
-            F.sum(F.when(F.col("batch") == 0, qv(i)).otherwise(0)).alias(
-                f"sa{i}"
-            )
+            f"sum(case when batch = 0 then {qv(i)} else 0L end) as sa{i}"
         )
         aggs.append(
-            F.sum(F.when(F.col("batch") == 1, qv(i)).otherwise(0)).alias(
-                f"sb{i}"
-            )
+            f"sum(case when batch = 1 then {qv(i)} else 0L end) as sb{i}"
         )
     counted = e.select(batch, "embedding").agg(
-        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0)).alias("n_b"),
-        *aggs,
+        F.expr("sum(case when batch = 0 then 1 else 0 end) as n_a"),
+        F.expr("sum(case when batch = 1 then 1 else 0 end) as n_b"),
+        *[F.expr(a) for a in aggs],
     )
     # 64-row unpivot of the single aggregate row (driver-free: stack())
     stacked = counted.select(
@@ -811,10 +797,7 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cent), "label"
     ).select(
         "label",
-        F.expr(
-            "aggregate(zip_with(qv_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("dist2"),
+        F.expr(sqdist_bigint("qv_arr", "c_arr", DIM)).alias("dist2"),
     )
     return (
         per_vec.groupBy("label")
@@ -914,8 +897,7 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.expr(
-                "aggregate(zip_with(qv_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x) div 1000"
+                f"{sqdist_bigint('qv_arr', 'c_arr', DIM)} div 1000"
             ).alias("dist2m"),
         )
     )
@@ -932,10 +914,7 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "other_label",
-            F.expr(
-                "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
-                " 0L, (acc, v) -> acc + v)"
-            ).alias("d2"),
+            F.expr(sqdist_bigint("ca", "cb", DIM)).alias("d2"),
         )
     )
     nearest = (
@@ -1393,20 +1372,12 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = q.select(
         F.expr(
-            f"transform(array({mat}), mj ->"
-            f" aggregate(zip_with(qv, mj, (a, b) -> a * b),"
-            f" 0L, (acc, x) -> acc + x))"
+            f"transform(array({mat}), mj -> {dot_bigint('qv', 'mj', DIM)})"
         ).alias("proj"),
-        F.expr(
-            "aggregate(zip_with(qv, qv, (a, b) -> a * b),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("q2"),
+        F.expr(dot_bigint("qv", "qv", DIM)).alias("q2"),
     )
     r = pr.where(F.col("q2") > 0).select(
-        F.expr(
-            "aggregate(zip_with(proj, proj, (a, b) -> a * b),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("p2"),
+        F.expr(dot_bigint("proj", "proj", _RP_K)).alias("p2"),
         "q2",
     )
     ratio = F.expr(f"p2 * 1000 div ({_RP_K} * q2)")

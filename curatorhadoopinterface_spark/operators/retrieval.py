@@ -30,8 +30,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from curatorhadoopinterface_spark.functions.vec import dot_float_as_double
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
+
+_DIM = 64  # embeddings fixture dimension (FIXTURES.md)
 
 # BM25 constants (the canonical Robertson/Sparck-Jones parameterization).
 BM25_K1 = 1.2
@@ -212,22 +215,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     are both partial-aggregated on the same key, so the whole query is
     one cluster-keyed exchange plus a tiny summary join.
     """
-    base = load_table(spark, sf_dir, "embeddings").select(
+    base = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", "embedding",
         F.sqrt(
-            F.expr(
-                "aggregate(zip_with(embedding, embedding,"
-                " (x, y) -> cast(x as double) * cast(y as double)),"
-                " cast(0 as double), (acc, v) -> acc + v)"
-            )
+            F.expr(dot_float_as_double("embedding", "embedding", _DIM))
         ).alias("norm"),
     )
     cos = F.round(
-        F.expr(
-            "aggregate(zip_with(a.embedding, b.embedding,"
-            " (x, y) -> cast(x as double) * cast(y as double)),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        )
+        F.expr(dot_float_as_double("a.embedding", "b.embedding", _DIM))
         / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
@@ -322,16 +317,12 @@ def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column so the skew is measured, not assumed); production swaps the
     splitter for kmeans_lloyd assignment with the same k schedule.
     """
-    base = load_table(spark, sf_dir, "embeddings").select(
+    base = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         "embedding",
         F.sqrt(
-            F.expr(
-                "aggregate(zip_with(embedding, embedding,"
-                " (x, y) -> cast(x as double) * cast(y as double)),"
-                " cast(0 as double), (acc, v) -> acc + v)"
-            )
+            F.expr(dot_float_as_double("embedding", "embedding", _DIM))
         ).alias("norm"),
     )
     tgt = SEMDEDUP_TARGET * 10
@@ -361,11 +352,7 @@ def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "norm", "ck")
     )
     cos = F.round(
-        F.expr(
-            "aggregate(zip_with(a.embedding, b.embedding,"
-            " (x, y) -> cast(x as double) * cast(y as double)),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        )
+        F.expr(dot_float_as_double("a.embedding", "b.embedding", _DIM))
         / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
@@ -534,22 +521,14 @@ def query_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding"),
         F.sqrt(
-            F.expr(
-                "aggregate(zip_with(embedding, embedding,"
-                " (x, y) -> cast(x as double) * cast(y as double)),"
-                " cast(0 as double), (acc, v) -> acc + v)"
-            )
+            F.expr(dot_float_as_double("embedding", "embedding", _DIM))
         ).alias("norm"),
     )
     qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("embedding").alias("q_e"), F.col("norm").alias("q_norm")
     )
     cos = F.round(
-        F.expr(
-            "aggregate(zip_with(q_e, embedding,"
-            " (x, y) -> cast(x as double) * cast(y as double)),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        )
+        F.expr(dot_float_as_double("q_e", "embedding", _DIM))
         / (F.col("q_norm") * F.col("norm")),
         6,
     )

@@ -33,8 +33,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from curatorhadoopinterface_spark.functions.vec import (
+    dot_double,
+    dot_float_as_double,
+)
 from curatorhadoopinterface_spark.operators import query
 from curatorhadoopinterface_spark.session import load_table
+
+_DIM = 64  # embeddings fixture dimension (FIXTURES.md)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -43,11 +49,12 @@ NEARDUP_COS = 0.35  # calibrated to the synthetic fixture (real corpora: ~0.95+)
 
 
 def _dot(a: str, b: str):
-    """Sequential-fold dot product in double precision (deterministic)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
+    """Sequential-fold dot product in double precision (deterministic).
+
+    r9: unrolled left-associative form (functions/vec.py) — value-
+    identical to the aggregate(zip_with(...)) fold (same IEEE addition
+    sequence), but whole-stage-codegen'd instead of interpreted."""
+    return F.expr(dot_float_as_double(a, b, _DIM))
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -226,12 +233,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("transform(array_sort(collect_list(struct(i, s))), p -> round(p.s, 4))").alias("ce"))
     )
     q = base.filter(F.col("vec_id") < N_QUERIES)
-    qdot = F.round(
-        F.expr(
-            "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
-        ),
-        6,
-    )
+    qdot = F.round(F.expr(dot_double("e", "ce", _DIM)), 6)
     assign = (
         q.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e"), "norm")
         .crossJoin(F.broadcast(cent))
@@ -690,13 +692,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" x -> cast(x as double))"
             ).alias("ep"),
         ).withColumn(
-            "normp",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(ep, ep, (x, y) -> x * y),"
-                    " cast(0 as double), (acc, v) -> acc + v)"
-                )
-            ),
+            "normp", F.sqrt(F.expr(dot_double("ep", "ep", p)))
         )
         q = bp.filter(F.col("vec_id") < N_QUERIES)
         scored = (
@@ -712,10 +708,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 F.col("c.vec_id").alias("neighbor_id"),
                 F.round(
-                    F.expr(
-                        "aggregate(zip_with(qe, ep, (x, y) -> x * y),"
-                        " cast(0 as double), (acc, v) -> acc + v)"
-                    )
+                    F.expr(dot_double("qe", "ep", p))
                     / (F.col("qn") * F.col("normp")),
                     6,
                 ).alias("cosine"),

@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
 
 # --------------------------------------------------------------------------
 # shared fixed-point constants (identical literals reach both engines)
@@ -268,10 +268,18 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the replica explode is a constant 32x map-side
     multiply that partial-aggregates into exactly 32 groups before the
     exchange — the shuffle carries 32 rows regardless of corpus size;
-    the rank pass runs over 32 rows. One scan, constant exchange."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    the rank pass runs over 32 rows. One scan, constant exchange.
+    The scan is spread over the cores before the 32x explode
+    (ensure_min_partitions — plan-side, no-op at scale): the md5 chain
+    is the per-row cost and a single-split local scan serializes it
+    (r9 measured: 4.4 s single-task -> ~0.9 s)."""
+    o = ensure_min_partitions(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
     )
     rep = o.select(
         "o_orderkey",
@@ -816,7 +824,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts re-aggregate by first_doc (doc-sized), then a doc-sized
     equi join back to per-doc totals. The corpus text shuffles
     ONCE."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread the single-split documents scan before the shingle
+    # transform+explode (CPU-dense per-row work; plan-side no-op at scale)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", "source", F.split("text", " ").alias("w"))
     sh = words.where(F.size("w") >= _NOVEL_K).select(
         "doc_id",

@@ -52,6 +52,26 @@ def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None =
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets BYTES per partition; with CPU-dense,
+        # small-byte stages (shingle explodes, per-row md5 chains, window
+        # functions over narrow rows) the 64 MB default collapses the
+        # exchange to ONE partition and serializes the stage onto one
+        # core. MEASURED r9 (interleaved idle A/B at sf0.1/local[32]):
+        # 512 KB advisory + 64 KB floor → dedup_span_removal 3.78→1.53 s,
+        # dedup_substring_windows 3.15→1.40 s, winsorize_stats 3.79→2.05 s,
+        # iterative graph ops flat. Parameterised: at production scale the
+        # bytes-per-partition target should be 64-256 MB (guide §2.2 —
+        # fewer, larger reduce partitions; bytes are a good CPU proxy once
+        # rows carry real payloads), so deployments set
+        # SPARK_GRAFT_ADVISORY_PARTITION=256m / SPARK_GRAFT_MIN_PARTITION=1m.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "512k"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION", "64k"),
+        )
         # Initial exchange width, AQE coalesces down. MEASURED r9 (clean
         # idle-machine A/B on graph_copurchase_topk, the suite's widest
         # pair agg): 256-wide initial partitions made BOTH rungs slower
