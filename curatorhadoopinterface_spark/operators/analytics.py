@@ -2759,15 +2759,22 @@ def graph_kcore(
         )
         if checkpoint:
             new_edges = new_edges.localCheckpoint(eager=False)
+        # r9: n_kept and n_all come from ONE pass over deg (a count and
+        # a conditional count are the same aggregate), instead of two
+        # independent aggregate branches that each re-derived deg from
+        # the edge checkpoint — one fewer deg recompute + exchange per
+        # peel round, identical integers.
         census = (
-            kept.agg(F.count(F.lit(1)).alias("n_kept"))
+            deg.agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum(
+                    F.when(F.col("d") >= _KCORE_K, 1).otherwise(0)
+                ).alias("n_kept"),
+            )
             .crossJoin(
                 F.broadcast(
                     new_edges.agg(F.count(F.lit(1)).alias("n_edges"))
                 )
-            )
-            .crossJoin(
-                F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_all")))
             )
             .select(
                 F.lit(r).alias("round"),
@@ -3001,9 +3008,21 @@ def graph_community_lpa(
     )
     if checkpoint:
         edges = edges.localCheckpoint(eager=False)
-    und = edges.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    # r9: the undirected edge list is the operand EVERY round joins on
+    # dst — hash-partition it by dst ONCE and checkpoint that layout
+    # (Dataset.localCheckpoint preserves outputPartitioning), so each
+    # round's edge-side exchange disappears: profiled at sf0.1, the 3
+    # per-round und union+shuffle stages (64 tasks each, ~20 s summed
+    # executor time) collapse into the single checkpoint write.
+    und = (
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(
+            edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .repartition("dst")
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -3018,33 +3037,34 @@ def graph_community_lpa(
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        new_labels = (
-            cand.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("node").orderBy(
-                        F.desc("c"), F.asc("label")
-                    )
-                ),
-            )
-            .where(F.col("rk") == 1)
-            .select("node", "label")
+        # r9: per-node argmax via max_by instead of a rank window — the
+        # struct key (c, -label) is maximal exactly at (count DESC,
+        # label ASC), the window's injective order, so the adopted
+        # label is identical; the window's per-partition sort and its
+        # extra exchange-side row traffic go away (partial max_by
+        # aggregates map-side into one row per node).
+        new_labels = cand.groupBy("node").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
+        # r9: changed-count and community-count fused into ONE pass over
+        # the (new, previous) label join — a filtered count is a
+        # conditional sum, and the node-keyed join is 1:1 so the
+        # distinct-label census is unchanged. One aggregate branch per
+        # round instead of two (each re-read the round checkpoint).
+        rounds.append(
             new_labels.alias("j")
             .join(labels.alias("p"), "node")
-            .where(F.col("j.label") != F.col("p.label"))
-            .agg(F.count(F.lit(1)).alias("n_changed"))
-        )
-        comms = new_labels.agg(
-            F.countDistinct("label").alias("n_comms")
-        )
-        rounds.append(
-            changed.crossJoin(F.broadcast(comms)).select(
-                F.lit(r).alias("round"), "n_changed", "n_comms"
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("j.label") != F.col("p.label"), 1
+                    ).otherwise(0)
+                ).alias("n_changed"),
+                F.countDistinct("j.label").alias("n_comms"),
             )
+            .select(F.lit(r).alias("round"), "n_changed", "n_comms")
         )
         labels = new_labels
     out = rounds[0]

