@@ -1233,35 +1233,42 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(1, {d}), i -> cast(1000 as bigint))"
         ).alias("v"),
     )
-    matvec = (
-        f"transform(sequence(1, {d}), i -> aggregate(sequence(1, {d}),"
-        f" cast(0 as bigint),"
-        f" (acc, j) -> acc + c[(i - 1) * {d} + j - 1] * v[j - 1]))"
-    )
-    for _ in range(_PCA_ITERS):
-        state = (
-            state.select("c", F.expr(matvec).alias("u"))
-            .select(
-                "c",
-                "u",
-                F.expr("array_max(transform(u, x -> abs(x)))").alias("m"),
-            )
-            .select(
-                "c",
-                "u",
-                "m",
-                F.expr("transform(u, x -> x * 1000 div m)").alias("v"),
-            )
-            # barrier per round: without it ProjectCollapse inlines each
-            # round's v into the next (u appears twice per round), and
-            # the optimizer's expression tree grows 2^rounds — observed
-            # as a >300 s planning hang. One 1-row local checkpoint per
-            # round keeps planning linear; runtime cost is 8 micro-jobs.
-            .localCheckpoint(eager=False)
+    # r9: the 8 rounds run as ONE nested-lambda expression instead of 8
+    # per-round localCheckpoint barriers. The barrier existed because
+    # ProjectCollapse duplicated each round's u/v subtree into the next
+    # round (2^rounds planning blowup); binding each round's vector as
+    # a single-element-array LAMBDA VARIABLE (transform(array(expr),
+    # vk -> body)[0]) makes every reference a variable lookup, so the
+    # tree grows LINEARLY in rounds and the whole eigensolve is one
+    # 1-row single-task projection — the 8 sequential micro-jobs (one
+    # job submission + AQE compile each, ~1.5 s of the query's wall at
+    # sf0.1) disappear. Arithmetic per round is unchanged:
+    # u = C*v; m = max|u|; v' = u * 1000 div m.
+    def _mv(v: str) -> str:
+        return (
+            f"transform(sequence(1, {d}), i -> aggregate(sequence(1, {d}),"
+            f" cast(0 as bigint),"
+            f" (acc, j) -> acc + c[(i - 1) * {d} + j - 1] * {v}[j - 1]))"
         )
+
+    vexpr = "v"
+    for k in range(1, _PCA_ITERS):
+        vexpr = (
+            f"transform(array({vexpr}), v{k} ->"
+            f" transform(array({_mv(f'v{k}')}), u{k} ->"
+            f" transform(u{k}, x -> x * 1000"
+            f" div array_max(transform(u{k}, y -> abs(y)))))[0])[0]"
+        )
+    fin = (
+        f"transform(array({vexpr}), vf ->"
+        f" transform(array({_mv('vf')}), uf ->"
+        f" struct(transform(uf, x -> x * 1000"
+        f" div array_max(transform(uf, y -> abs(y)))) as v,"
+        f" array_max(transform(uf, y -> abs(y))) as m))[0])[0]"
+    )
     final = state.select(
-        "v",
-        "m",
+        F.expr(f"({fin}).v").alias("v"),
+        F.expr(f"({fin}).m").alias("m"),
         F.expr(
             f"aggregate(sequence(1, {d}), cast(0 as bigint),"
             f" (acc, i) -> acc + c[(i - 1) * {d + 1}])"
