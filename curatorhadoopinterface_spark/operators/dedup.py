@@ -823,11 +823,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     loses the whole job anyway).
     """
     sym = edges.toDF("src", "dst")
-    # r9: hash-partition the cached edge list by dst — the key EVERY
-    # round's neighbor join uses — so the cached side satisfies the
-    # join's distribution and only the (small) label relation shuffles
-    # per round. One extra exchange at build, one fewer per round.
-    sym = sym.union(sym.select("dst", "src")).distinct().repartition("dst")
+    # r9 measured-and-REVERTED: pre-partitioning the cached edge list by
+    # dst (repartition("dst").persist()) to spare the per-round edge
+    # exchange PINNED the cache at the static 32-partition width — AQE
+    # cannot re-coalesce a cached plan (canChangeCachedPlanOutputPartitioning
+    # default) — so every round ran 32-wide tiny tasks instead of the
+    # few AQE-coalesced ones, and the interleaved bench showed
+    # dedup_clusters 3.97 -> 4.88 s. Fresh per-round exchanges + AQE
+    # coalescing win at any scale where rounds are task-overhead-bound.
+    sym = sym.union(sym.select("dst", "src")).distinct()
     sym.persist()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")

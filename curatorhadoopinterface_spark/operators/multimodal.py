@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
 
 FRAME_SIZE = 256  # bytes per sampled "frame" of a fake video payload
 
@@ -434,7 +434,7 @@ def decode_features(mdf: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return mdf.mapInPandas(decode_batches, out_schema)
+    return ensure_min_partitions(mdf).mapInPandas(decode_batches, out_schema)
 
 
 @query(
@@ -477,7 +477,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     vids = manifest(spark, sf_dir).filter(F.col("modality") == "video")
-    return vids.mapInPandas(sample_frames, out_schema)
+    return ensure_min_partitions(vids).mapInPandas(sample_frames, out_schema)
 
 
 TARGET_W, TARGET_H = 224, 224
@@ -538,7 +538,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
 
     imgs = manifest(spark, sf_dir).filter(F.col("modality") == "image")
-    return imgs.mapInPandas(plan_resize, out_schema)
+    return ensure_min_partitions(imgs).mapInPandas(plan_resize, out_schema)
 
 
 @query(
@@ -605,7 +605,7 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_frames", "duration_ms", "mean_abs"]
             )
 
-    return d.mapInPandas(
+    return ensure_min_partitions(d).mapInPandas(
         extract,
         "doc_id bigint, n_frames bigint, duration_ms double, mean_abs double",
     )
@@ -731,7 +731,7 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "channels", "pixel_sum"]
             )
 
-    return docs.mapInPandas(roundtrip, out_schema)
+    return ensure_min_partitions(docs).mapInPandas(roundtrip, out_schema)
 
 
 # aHash (average hash) over an 8x8 block grid; 64 bits split into two
@@ -884,7 +884,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "hash_hi", "hash_lo"],
             )
 
-    bits = docs.mapInPandas(hash_batches, out_schema)
+    bits = ensure_min_partitions(docs).mapInPandas(hash_batches, out_schema)
     dh = bits.groupBy("width", "height", "hash_hi", "hash_lo").agg(
         F.count(F.lit(1)).alias("n_copies")
     )
@@ -1195,7 +1195,7 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "channels", "pixel_sum"],
             )
 
-    return docs.mapInPandas(roundtrip, out_schema)
+    return ensure_min_partitions(docs).mapInPandas(roundtrip, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1585,7 +1585,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "channels", "pixel_sum"],
             )
 
-    return docs.mapInPandas(roundtrip, out_schema)
+    return ensure_min_partitions(docs).mapInPandas(roundtrip, out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -1768,7 +1768,7 @@ def mm_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(audit, out_schema)
+    return ensure_min_partitions(docs).mapInPandas(audit, out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -1912,4 +1912,4 @@ def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(probe, out_schema)
+    return ensure_min_partitions(docs).mapInPandas(probe, out_schema)

@@ -664,7 +664,11 @@ def query_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(exp)
         .distinct()
     )
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # pass-2 corpus explode is the CPU-dense stage: spread the
+    # single-split local scan first (plan-side no-op at scale)
+    w = ensure_min_partitions(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tfq = (
         w.join(F.broadcast(terms), "term")
         .groupBy("doc_id", "term")

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from curatorhadoopinterface_spark.operators import query
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
 
 # shared oracle CTE: whitespace tokens with half-open char offsets
 _WS_TOKS_CTE = """
@@ -127,9 +127,9 @@ def wsprovide_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python. The whole query's only exchange is the final noop/collect."""
     from curatorhadoopinterface_spark.io import ws_records
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", "\\. ").alias("sentences")
-    )
+    d = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.split("text", "\\. ").alias("sentences"))
     rec = ws_records(d)
     sent_labels = F.col("label_views")["sentences"]["labels"]
     tok_labels = F.col("label_views")["tokens"]["labels"]
