@@ -2399,6 +2399,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # r9: cop is the root of FOUR consumer branches (adj -> deg, adj ->
+    # ctr, the existing-edge anti join, and through deg the du/dv
+    # lookups); unpersisted, Catalyst re-executed the full basket
+    # self-join + aggregate for each branch — the plan's dominant cost
+    # (isolated qtime 11.0 s / 101 MB shuffle read, mostly repeated
+    # pair-census exchanges). Persist the two small shared relations
+    # (cop: filtered co-purchase pairs, deg: one row per part) and
+    # materialize ONCE before the branches fan out (deg.count()
+    # populates both caches; without it, concurrently-built broadcast
+    # sides race to compute the unpopulated cache). The result is
+    # eagerly localCheckpoint-ed so both caches unpersist before return
+    # (the graph_pagerank discipline — no blocks leak into the shared
+    # session).
     cop = (
         basket.alias("a")
         .join(
@@ -2409,14 +2422,20 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("together"))
         .where(F.col("together") >= _LP_MIN_SUP)
         .select("p1", "p2")
+        .persist()
     )
     adj = cop.select(
         F.col("p1").alias("node"), F.col("p2").alias("nbr")
     ).unionAll(cop.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg.count()
     # deg-1 centers can't form a wedge, and ln(1) = 0 would divide by
     # zero under ANSI mode (surfaced at sf10 — sf0.01's graph is dense
     # enough that every node has deg >= 2): filter BEFORE the weight
+    # r9: ctr feeds BOTH sides of the wedge self-join on node; persist
+    # it hash-partitioned by node so the self-join's two exchanges of
+    # the same relation disappear (both InMemoryTableScan children
+    # already satisfy HashPartitioning(node)).
     ctr = (
         adj.join(deg, "node")
         .where((F.col("d") <= _LP_DEG_CAP) & (F.col("d") >= 2))
@@ -2425,6 +2444,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nbr",
             F.expr("cast(floor(1e9 / ln(d)) as bigint)").alias("aa_nano"),
         )
+        .repartition("node")
+        .persist()
     )
     wedge = (
         ctr.alias("a")
@@ -2446,7 +2467,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    return (
+    out = (
         cand.join(du, "u")
         .join(dv, "v")
         .select(
@@ -2461,6 +2482,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_sum_nano"), F.desc("common"), "u", "v")
         .limit(20)
     )
+    out = out.localCheckpoint(eager=True)
+    cop.unpersist()
+    deg.unpersist()
+    ctr.unpersist()
+    return out
 
 
 _EWMA_DEPTH = 8  # halving weights 2^7..2^0 over the last 8 days, sum 255

@@ -2410,17 +2410,33 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap); the report is 1-row aggregates crossed broadcast. Linear in
     distinct content at any duplication factor."""
     docs = load_table(spark, sf_dir, "documents")
+    # r9 re-plan (isolated qtime 15.5 s / 320 MB shuffle read before):
+    # the shingle relation used to cross FOUR exchanges (df agg, df
+    # join-back, doc window, sets collect) and every multi-consumer
+    # subtree (classes x3, cand x2, sets x2) re-executed per branch.
+    # Now: ONE shingle explode pass; df comes from a count window over
+    # the same exchange-by-shingle the old agg needed; `ranked` is
+    # persisted ALREADY HASH-PARTITIONED by doc_id (the doc-window's
+    # exchange), so `prefix` filters it in place and `sets` aggregates
+    # it partition-locally — the collected arrays NEVER cross another
+    # exchange, and both verify joins keep the cached sets side in
+    # place (only the small cand pair relation shuffles). classes and
+    # cand persist for their two/three consumers. Everything unpersists
+    # after the eager checkpoint of the 1-row report (pagerank
+    # discipline). Values are untouched: the window count per shingle
+    # IS the old df, ranks/sizes/verify arithmetic are identical.
     classes = docs.groupBy(F.md5("text").alias("ck")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
-    )
+    ).persist()
     reps = docs.join(
         classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
         "doc_id",
     ).select("doc_id", "text")
     sh = shingle_explode(ensure_min_partitions(reps))
-    dft = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        sh.join(dft, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -2430,6 +2446,7 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
+        .persist()
     )
     prefix = ranked.where(
         F.expr("rn <= sz - (sz + 1) div 2 + 1")
@@ -2452,9 +2469,17 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sz").alias("sz_b"),
         )
         .distinct()
+        .persist()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s")).hint(
-        "shuffle_hash"
+    # NOTE measured-and-rejected: an explicit cand.count() to serialize
+    # cache materialization before the report's broadcast branches fan
+    # out timed SLOWER (7.8 vs 6.0 s min) — the concurrently-built
+    # branches back-fill idle cores (guide 2.6) and BlockManager
+    # dedupes the racing cache partitions cheaply.
+    sets = (
+        ranked.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("s"))
+        .hint("shuffle_hash")
     )
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     ver = (
@@ -2500,7 +2525,7 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_mem").alias("n_docs"),
     )
     cc = cand.agg(F.count(F.lit(1)).alias("n_rep_candidates"))
-    return (
+    out = (
         wth.crossJoin(F.broadcast(cc))
         .crossJoin(F.broadcast(agg))
         .select(
@@ -2517,6 +2542,12 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_jac_permille",
         )
     )
+    out = out.localCheckpoint(eager=True)
+    classes.unpersist()
+    ranked.unpersist()
+    cand.unpersist()
+    sets.unpersist()
+    return out
 
 
 # -- exact-substring duplication census (sliding word windows) ---------------
