@@ -2777,6 +2777,14 @@ def graph_kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        if checkpoint:
+            # r9: deg roots THREE consumer branches per round (the p1
+            # semi-join, the p2 semi-join, the n_all/n_kept census);
+            # uncheckpointed, each branch re-ran the degree
+            # union+exchange against the round's edge blocks — 3 degree
+            # censuses per peel round. Checkpointing the (node, d)
+            # relation (one row per surviving node) computes it once.
+            deg = deg.localCheckpoint(eager=False)
         kept = deg.where(F.col("d") >= _KCORE_K).select("node")
         new_edges = (
             edges.join(kept.withColumnRenamed("node", "p1"), "p1")

@@ -831,30 +831,65 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # few AQE-coalesced ones, and the interleaved bench showed
     # dedup_clusters 3.97 -> 4.88 s. Fresh per-round exchanges + AQE
     # coalescing win at any scale where rounds are task-overhead-bound.
-    sym = sym.union(sym.select("dst", "src")).distinct()
+    # r9: the .distinct() that used to follow the symmetrizing union is
+    # gone — every caller feeds distinct (a < b) pairs, whose two
+    # orientations cannot collide, and the min-aggregate rounds are
+    # duplicate-immune anyway — one full exchange of the edge list
+    # saved before the first round.
+    sym = sym.union(sym.select("dst", "src"))
     sym.persist()
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    # r9 round re-plan, part 1: round 0 needs NO join — every initial
+    # label is the node's own id, so min over neighbors∪self is
+    # least(src, min(dst)) straight off the symmetric edge list. ONE
+    # aggregate replaces the old init (node-list distinct exchange)
+    # PLUS the old first join+propagate round; the chg flag
+    # (min nbr id < own id) matches the generic round's exactly.
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            "node",
+            F.least("node", "mn").alias("comp"),
+            (F.col("mn") < F.col("node")).alias("chg"),
+        )
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
+    labels = labels.localCheckpoint(eager=True)
+    changed = labels.filter("chg").limit(1).count()
+    labels = labels.drop("chg")
+    # r9 round re-plan, part 2: the old generic round was TWO keyed
+    # joins (sym⋈labels -> per-src min, then labels⋈nbr_min to apply
+    # least() and derive the changed flag) — 4 exchange sides per
+    # round. The same fixpoint step is ONE join + ONE aggregate: union
+    # the propagated neighbor labels with a marker-tagged self row per
+    # node and take min(comp) plus max(own comp) in a single groupBy —
+    # min(nbrs ∪ self) IS least(comp, min nbr), and comp < old_comp IS
+    # the old chg flag (nodes with no neighbors only carry their self
+    # row: comp = old, chg = false, exactly the old left-join null
+    # path). Values are untouched; only the exchange count drops.
+    for _ in range(max_iter - 1):
+        if changed == 0:
+            break
+        prop = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "comp", F.lit(0).alias("own")
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            prop.unionByName(
+                labels.select("node", "comp", F.lit(1).alias("own"))
+            )
+            .groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(F.when(F.col("own") == 1, F.col("comp"))).alias(
+                    "old_comp"
+                ),
+            )
             .select(
-                "node",
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("chg"),
+                "node", "comp", (F.col("comp") < F.col("old_comp")).alias("chg")
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")
-        if changed == 0:
-            break
     sym.unpersist()
     return labels
 
