@@ -835,8 +835,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # gone — every caller feeds distinct (a < b) pairs, whose two
     # orientations cannot collide, and the min-aggregate rounds are
     # duplicate-immune anyway — one full exchange of the edge list
-    # saved before the first round.
-    sym = sym.union(sym.select("dst", "src"))
+    # saved before the first round. The symmetrize itself is an inline
+    # EXPLODE of both orientations, not a self-union: the union's two
+    # branches each embedded the caller's full pair pipeline and only
+    # partially de-duplicated via exchange reuse (interleaved A/B on
+    # the minhash pairs: 2.01 s union vs 1.54 s explode, min-of-3).
+    sym = sym.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym.persist()
     # r9 round re-plan, part 1: round 0 needs NO join — every initial
     # label is the node's own id, so min over neighbors∪self is

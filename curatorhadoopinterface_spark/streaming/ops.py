@@ -937,11 +937,25 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(4).write.mode("overwrite").parquet(staged)
-    eval_sh = F.broadcast(
+    # r9: a stream-static join RE-EVALUATES the static side every
+    # micro-batch, so each of the 4 batches re-ran the benchmark
+    # shingle explode + distinct before rebuilding its broadcast.
+    # The benchmark set is fixed for the whole drain (that's the
+    # operator's premise), so persist it once — per-batch broadcasts
+    # now rebuild from the cached relation; unpersisted after the
+    # drain. Interleaved A/B at sf0.1 is NEUTRAL (3.73 uncached vs
+    # 3.77 cached, min-of-3 — the sf0.1 benchmark slice shingles in
+    # milliseconds); kept for the scale shape: at 100 TB the per-batch
+    # re-shingle of the held-out slice is a full corpus-fraction scan
+    # per trigger, the cached set is benchmark-sized. Values untouched.
+    eval_rel = (
         shingle_explode(docs.filter(F.col("doc_id") % 10 == 0))
         .select("shingle")
         .distinct()
+        .persist()
     )
+    eval_rel.count()
+    eval_sh = F.broadcast(eval_rel)
     schema = spark.read.parquet(staged).schema
     src = (
         spark.readStream.schema(schema)
@@ -961,6 +975,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         drain_query(q)
+    eval_rel.unpersist()
     back = spark.read.parquet(store)
     return back.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_contaminated_docs"),
