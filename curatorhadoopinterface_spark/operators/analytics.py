@@ -1207,12 +1207,24 @@ def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     it) is gone — every consumer reads the checkpoint. Out-degree is
     bounded ~sqrt(|E|) by the orientation, so adjacency arrays stay
     small even on power-law graphs (the Schank-Wagner guarantee)."""
+    # r9: edges roots THREE consumer subtrees before the orientation
+    # checkpoint (both halves of the old degree self-union + the
+    # orientation join's base); checkpoint it so the upstream pair
+    # census runs ONCE, and build the degree census as one explode
+    # pass instead of the two-branch self-union (the
+    # graph_degree_distribution fix — that plan showed zero
+    # ReusedExchange between the union's branches). deg itself feeds
+    # both orientation lookups, so it checkpoints too (the graph_kcore
+    # discipline). Same rows everywhere; only re-executions go away.
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     deg = (
-        edges.select(F.col("p1").alias("node"))
-        .unionAll(edges.select(F.col("p2").alias("node")))
+        edges.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
     e = (
         edges.join(deg.alias("da"), F.col("p1") == F.col("da.node"))
         .join(deg.alias("db"), F.col("p2") == F.col("db.node"))
@@ -3056,11 +3068,23 @@ def graph_community_lpa(
     # round's edge-side exchange disappears: profiled at sf0.1, the 3
     # per-round und union+shuffle stages (64 tasks each, ~20 s summed
     # executor time) collapse into the single checkpoint write.
+    # r9: both orientations via one inline explode pass over the edge
+    # checkpoint instead of a two-branch self-union (one scan, not two
+    # — the graph_degree_distribution fix; same rows).
     und = (
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(
-            edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("p1").alias("src"), F.col("p2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("p2").alias("src"), F.col("p1").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .repartition("dst")
     )
     if checkpoint:
