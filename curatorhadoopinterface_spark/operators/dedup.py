@@ -1717,7 +1717,9 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m, e, b
     """,
 )
-def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_method_agreement(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Surface-vs-semantic dedup agreement census: the pair-set overlap
     between MinHash+LSH verified near-dups (text 3-shingles) and
     embedding-space near-dups (sign-LSH + cosine) over the SAME corpus
@@ -1755,8 +1757,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
         )
     )
+    # r9: pm and pe each feed TWO consumers (their own count + the
+    # intersection join) — unpersisted, the minhash verify pipeline and
+    # the embedding bucket self-join re-executed per branch
+    # (interleaved A/B: 4.17 s lazy vs 3.38 s persisted, min-of-3).
+    # Persist both candidate-bounded pair sets, eagerly checkpoint the
+    # 1-row report, unpersist before return (the batch-5 pattern).
+    # checkpoint=False returns the fully lazy plan for plan audits.
+    if checkpoint:
+        pm = pm.persist()
+        pe = pe.persist()
     both = pm.join(pe, ["doc_a", "doc_b"])
-    return (
+    out = (
         pm.agg(F.count(F.lit(1)).alias("n_minhash_pairs"))
         .crossJoin(pe.agg(F.count(F.lit(1)).alias("n_embed_pairs")))
         .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
@@ -1771,6 +1783,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement_permille"),
         )
     )
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
+    pm.unpersist()
+    pe.unpersist()
+    return out
 
 
 # -- asymmetric containment (quote / excerpt detection) ------------------------
@@ -1954,31 +1972,32 @@ def dedup_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_b.alias("n_b"),
         )
     )
-    kept = scored.filter(
-        F.col("n_common") * CONTAIN_T_DEN
-        >= CONTAIN_T_NUM * F.least("n_a", "n_b")
-    ).withColumn(
-        "contained_doc",
-        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
-            F.col("doc_b")
-        ),
+    # r9: ONE aggregate pass instead of two branches crossed — the old
+    # scored.agg x kept.agg crossJoin re-executed the whole
+    # minhash-core + verify-join subtree once per branch (no exchange
+    # reuse across the differently-shaped aggregates). The kept-pair
+    # filter becomes a conditional inside each aggregate: count/
+    # distinct/sum over `when(kept, ...)` rows is exactly the old
+    # filtered aggregate (nulls are skipped), and n_candidates is the
+    # unconditional count of the same pass. Identical integers, half
+    # the executions.
+    kept_c = F.col("n_common") * CONTAIN_T_DEN >= CONTAIN_T_NUM * F.least(
+        "n_a", "n_b"
     )
-    return (
-        scored.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(
-            kept.agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.countDistinct("contained_doc").alias("n_docs_contained"),
-                F.count(
-                    F.when(
-                        F.col("n_common") * 2
-                        < F.col("n_a") + F.col("n_b") - F.col("n_common"),
-                        1,
-                    )
-                ).alias("n_jaccard_blind_pairs"),
-                F.coalesce(F.sum("n_common"), F.lit(0)).alias("sum_common"),
-            )
-        )
+    contained = F.when(
+        F.col("n_a") <= F.col("n_b"), F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    blind = (
+        F.col("n_common") * 2 < F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(kept_c, 1)).alias("n_pairs"),
+        F.countDistinct(F.when(kept_c, contained)).alias("n_docs_contained"),
+        F.count(F.when(kept_c & blind, 1)).alias("n_jaccard_blind_pairs"),
+        F.coalesce(
+            F.sum(F.when(kept_c, F.col("n_common"))), F.lit(0)
+        ).alias("sum_common"),
     )
 
 
@@ -2457,34 +2476,28 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry arrays and stay pinned shuffle_hash (the _minhash_core
     trap); the report is 1-row aggregates crossed broadcast. Linear in
     distinct content at any duplication factor."""
+    # r9 measured-and-REVERTED: a restructure that fused the df agg
+    # into a count window and persisted the ranked shingle relation for
+    # its two consumers won ISOLATED (15.5 -> 8.1 s qtime in a fresh
+    # session) but LOST interleaved, which is how the driver measures:
+    # same-session alternating A/B gave 5.64 s (this form) vs 7.88 s
+    # (persisted form), and the interleaved bench showed 5.74 -> 9.71 s
+    # — caching the corpus-wide ranked relation (~300 MB of shingle
+    # rows) competes with the window/join execution memory of a
+    # long-lived session. The lazy form recomputes the shingle subtree
+    # per consumer and still wins; kept.
     docs = load_table(spark, sf_dir, "documents")
-    # r9 re-plan (isolated qtime 15.5 s / 320 MB shuffle read before):
-    # the shingle relation used to cross FOUR exchanges (df agg, df
-    # join-back, doc window, sets collect) and every multi-consumer
-    # subtree (classes x3, cand x2, sets x2) re-executed per branch.
-    # Now: ONE shingle explode pass; df comes from a count window over
-    # the same exchange-by-shingle the old agg needed; `ranked` is
-    # persisted ALREADY HASH-PARTITIONED by doc_id (the doc-window's
-    # exchange), so `prefix` filters it in place and `sets` aggregates
-    # it partition-locally — the collected arrays NEVER cross another
-    # exchange, and both verify joins keep the cached sets side in
-    # place (only the small cand pair relation shuffles). classes and
-    # cand persist for their two/three consumers. Everything unpersists
-    # after the eager checkpoint of the 1-row report (pagerank
-    # discipline). Values are untouched: the window count per shingle
-    # IS the old df, ranks/sizes/verify arithmetic are identical.
     classes = docs.groupBy(F.md5("text").alias("ck")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
-    ).persist()
+    )
     reps = docs.join(
         classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
         "doc_id",
     ).select("doc_id", "text")
     sh = shingle_explode(ensure_min_partitions(reps))
+    dft = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        sh.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+        sh.join(dft, "shingle")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -2494,7 +2507,6 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
-        .persist()
     )
     prefix = ranked.where(
         F.expr("rn <= sz - (sz + 1) div 2 + 1")
@@ -2517,17 +2529,9 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sz").alias("sz_b"),
         )
         .distinct()
-        .persist()
     )
-    # NOTE measured-and-rejected: an explicit cand.count() to serialize
-    # cache materialization before the report's broadcast branches fan
-    # out timed SLOWER (7.8 vs 6.0 s min) — the concurrently-built
-    # branches back-fill idle cores (guide 2.6) and BlockManager
-    # dedupes the racing cache partitions cheaply.
-    sets = (
-        ranked.groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("s"))
-        .hint("shuffle_hash")
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s")).hint(
+        "shuffle_hash"
     )
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     ver = (
@@ -2573,7 +2577,7 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_mem").alias("n_docs"),
     )
     cc = cand.agg(F.count(F.lit(1)).alias("n_rep_candidates"))
-    out = (
+    return (
         wth.crossJoin(F.broadcast(cc))
         .crossJoin(F.broadcast(agg))
         .select(
@@ -2590,12 +2594,6 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_jac_permille",
         )
     )
-    out = out.localCheckpoint(eager=True)
-    classes.unpersist()
-    ranked.unpersist()
-    cand.unpersist()
-    sets.unpersist()
-    return out
 
 
 # -- exact-substring duplication census (sliding word windows) ---------------

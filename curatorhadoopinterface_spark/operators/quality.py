@@ -476,24 +476,18 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
-    # r9: basket feeds FIVE consumer branches (both sides of the pair
-    # self-join, both instance joins, the third-item extension) and fp
-    # THREE (the instance broadcast plus both prune semi-join
-    # broadcasts); unpersisted, every branch re-ran the lineitem⋈part
-    # + distinct (and each fp broadcast re-ran the whole pair census) —
-    # isolated qtime 5.8 s / 25.6 MB shuffle read, dominated by the
-    # repeats. Persist both small relations, materialize ONCE before
-    # the branches fan out (fp.count() populates both caches; without
-    # it the three concurrently-built broadcast sides race to compute
-    # them), and eagerly checkpoint the 20-row result so the caches
-    # unpersist before return (graph_pagerank discipline).
+    # r9 measured-and-REVERTED: persisting basket/fp (repartition("o")
+    # + persist + count barriers + eager checkpoint) won nothing in a
+    # fresh session and LOST interleaved — same-session alternating A/B
+    # 3.64 s (this lazy form) vs 4.18 s (persisted), interleaved bench
+    # 4.45 -> 5.60 s. The five basket consumers re-derive a cheap
+    # map-side join; cache materialization barriers cost more than the
+    # recompute at any load. Kept lazy.
     basket = (
         li.select("l_orderkey", "l_partkey")
         .join(pt.select("p_partkey", "p_brand"), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it"))
-        .repartition("o")
         .distinct()
-        .persist()
     )
     b1, b2 = basket.alias("b1"), basket.alias("b2")
     fp = (
@@ -502,9 +496,7 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .where(F.col("s") >= _TRIPLE_MINSUP)
         .select("i1", "i2")
-        .persist()
     )
-    fp.count()
     # frequent-pair instances per basket, then extend with a third item
     inst = (
         F.broadcast(fp)
@@ -526,17 +518,13 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = cand.join(F.broadcast(fp23), ["i2", "i3"], "left_semi").join(
         F.broadcast(fp13), ["i1", "i3"], "left_semi"
     )
-    out = (
+    return (
         pruned.groupBy("i1", "i2", "i3")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= _TRIPLE_MINSUP)
         .orderBy(F.desc("support"), "i1", "i2", "i3")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
-    basket.unpersist()
-    fp.unpersist()
-    return out
 
 
 # --------------------------------------------------------------------------

@@ -794,12 +794,18 @@ def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_text",
         F.explode(F.col("label_views")["ner"]["labels"]).alias("sp"),
     )
+    # r9: ents roots FOUR consumer branches (marginals, the doc count,
+    # both sides of the per-doc pair self-join) and sits DOWNSTREAM of
+    # the Arrow NER mapInPandas stage — unpersisted, every branch
+    # re-ran the annotator over the corpus. Persist the
+    # gazetteer-bounded (doc, surface) relation, eagerly checkpoint the
+    # 20-row result, unpersist before return (the batch-5 pattern).
     ents = spans.select(
         "doc_id",
         F.lower(
             F.expr("substring(raw_text, sp.start + 1, sp.ending - sp.start)")
         ).alias("surface"),
-    ).distinct()
+    ).distinct().persist()
     marg = ents.groupBy("surface").agg(F.count(F.lit(1)).alias("n_s"))
     n = ents.agg(F.countDistinct("doc_id").alias("n_docs"))
     pairs = (
@@ -816,7 +822,7 @@ def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = marg.select(F.col("surface").alias("ent_a"), F.col("n_s").alias("n_a"))
     mb = marg.select(F.col("surface").alias("ent_b"), F.col("n_s").alias("n_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(ma), "ent_a")
         .join(F.broadcast(mb), "ent_b")
         .crossJoin(F.broadcast(n))
@@ -836,3 +842,6 @@ def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_nano"), "ent_a", "ent_b")
         .limit(20)
     )
+    out = out.localCheckpoint(eager=True)
+    ents.unpersist()
+    return out

@@ -94,6 +94,7 @@ _LAZY_KWARG = {
     "dedup_fuzzy_edit",
     "dedup_minhash_recall",
     "graph_triangles",
+    "dedup_method_agreement",
 }
 
 

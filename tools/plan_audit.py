@@ -1329,7 +1329,7 @@ def main() -> None:
         if name in ("graph_pagerank", "pack_sequences_hier",
                     "dedup_fuzzy_edit", "dedup_minhash_recall",
                     "graph_triangles", "graph_kcore",
-                    "graph_community_lpa"):
+                    "graph_community_lpa", "dedup_method_agreement"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
