@@ -273,7 +273,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
     """,
 )
-def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_classes(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """MinHash LSH near-dedup in CLASS form — the production default at
     high duplication (the sim_knn_classes re-plan applied to the minhash
     family, r7 verdict item 2): exact-duplicate classes (md5(text))
@@ -298,7 +300,7 @@ def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf30 (SCALE.md r7). Joins: band self-join and verify pinned
     shuffle_hash (array-carrying relations mis-sized by the planner —
     the _minhash_core trap); class-size joins rep-keyed shuffled."""
-    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir, checkpoint)
     mem = classes.select("rep", "n_mem")
     cross = (
         ver.join(
@@ -344,14 +346,27 @@ def dedup_minhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_class_core(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared class-form MinHash pipeline: exact-dup classes collapse
     first, signatures/bands/exact-Jaccard verify run over class
     representatives only. Returns ``(classes(ck, rep, n_mem),
     doc_agg(doc_id, sig…, s), ver(rep_a, rep_b, jac_permille))`` —
     consumed by dedup_minhash_classes (pair expansion) and
-    dedup_clusters_classes (component resolution)."""
+    dedup_clusters_classes (component resolution).
+
+    ``doc_agg`` feeds ~5 consumers per caller (both band self-join
+    sides through the posexplode, both verify-set lookups, the
+    shingled-class semi joins) — left lazy, each consumer re-derived
+    the scan+shingle+signature chain (the dedup_minhash_recall
+    disease). r9: localCheckpoint it eagerly; alternating same-session
+    A/B at sf0.1: dedup_minhash_tuning 4.42 -> 3.56 s,
+    dedup_clusters_classes 5.29 -> 4.03, dedup_keep_best_classes
+    3.81 -> 3.29, dedup_minhash_classes neutral (2.30 tie). Distinct-
+    content-bounded (signatures + shingle arrays of class reps), so —
+    unlike the REVERTED corpus-wide ranked-shingle persist in
+    dedup_allpairs_prefix — the blocks stay small at any duplication.
+    ``checkpoint=False`` keeps the plan fully lazy for plan audits."""
     docs = load_table(spark, sf_dir, "documents")
     classes = docs.groupBy(F.md5("text").alias("ck")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
@@ -363,6 +378,8 @@ def _minhash_class_core(
     doc_agg = _minhash_doc_agg_over(
         shingle_explode(ensure_min_partitions(reps))
     )
+    if checkpoint:
+        doc_agg = doc_agg.localCheckpoint(eager=True)
     bands = _band_explode(doc_agg)
     a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cands = (
@@ -1051,7 +1068,9 @@ _O_TUNE_BANDS = " UNION ALL ".join(_o_band_cfg(b, r) for b, r in TUNE_CONFIGS)
     WHERE COALESCE(cc.n_c, 0) + w.n_w > 0
     """,
 )
-def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_tuning(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """LSH band-tuning report: the SAME 12 minhashes regrouped as
     (2 bands x 6 rows), (4 x 3), (6 x 2), with candidate volume,
     verified-duplicate count, and precision per configuration — the
@@ -1081,7 +1100,7 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication factor. At 100 TB you run exactly this to pick b/r
     before committing the full corpus pass.
     """
-    classes, doc_agg, _ver = _minhash_class_core(spark, sf_dir)
+    classes, doc_agg, _ver = _minhash_class_core(spark, sf_dir, checkpoint)
     sets = doc_agg.select("doc_id", "s").hint("shuffle_hash")
     jac = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))) / F.size(
         F.array_union(F.col("sa.s"), F.col("sb.s"))
@@ -2948,7 +2967,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN cstat s ON s.cluster_id = p.cluster_id
     """,
 )
-def dedup_clusters_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters_classes(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Near-dup cluster resolution in CLASS form — the production
     default at high duplication (the same re-plan law as
     dedup_minhash_classes/sim_knn_classes, applied to connected
@@ -2973,7 +2994,7 @@ def dedup_clusters_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     now walks the REP graph (tiny), so the class form is strict-
     verifiable at sf10 where the pair form needed a tier-3 invariant
     check (oracle-side >90 GB)."""
-    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir, checkpoint)
     labels = _class_components(classes, doc_agg, ver)
     cstat = (
         labels.join(classes, labels.node == classes.rep)
@@ -3091,7 +3112,9 @@ def _class_components(
     FROM ranked GROUP BY cluster_id
     """,
 )
-def dedup_keep_best_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best_classes(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Quality-aware canonical selection in CLASS form — dedup_keep_best
     re-planned collapse-first: components run over class
     representatives (_class_components), the quality score is computed
@@ -3111,7 +3134,7 @@ def dedup_keep_best_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant."""
     from curatorhadoopinterface_spark.operators.textstats import _FEAT_W_SPARK
 
-    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir)
+    classes, doc_agg, ver = _minhash_class_core(spark, sf_dir, checkpoint)
     labels = _class_components(classes, doc_agg, ver)
     docs = load_table(spark, sf_dir, "documents")
     reps = docs.join(

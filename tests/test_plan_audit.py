@@ -95,6 +95,10 @@ _LAZY_KWARG = {
     "dedup_minhash_recall",
     "graph_triangles",
     "dedup_method_agreement",
+    "dedup_minhash_classes",
+    "dedup_minhash_tuning",
+    "dedup_clusters_classes",
+    "dedup_keep_best_classes",
 }
 
 

@@ -1329,7 +1329,9 @@ def main() -> None:
         if name in ("graph_pagerank", "pack_sequences_hier",
                     "dedup_fuzzy_edit", "dedup_minhash_recall",
                     "graph_triangles", "graph_kcore",
-                    "graph_community_lpa", "dedup_method_agreement"):
+                    "graph_community_lpa", "dedup_method_agreement",
+                    "dedup_minhash_classes", "dedup_minhash_tuning",
+                    "dedup_clusters_classes", "dedup_keep_best_classes"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
