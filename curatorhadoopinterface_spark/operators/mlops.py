@@ -43,7 +43,7 @@ from curatorhadoopinterface_spark.operators.similarity import (
     TOP_K,
     _with_norm,
 )
-from curatorhadoopinterface_spark.session import load_table
+from curatorhadoopinterface_spark.session import ensure_min_partitions, load_table
 
 DIM = 64
 NPROBE = 2
@@ -1193,39 +1193,60 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(means))
         .select(F.expr("zip_with(qv_arr, m_arr, (a, b) -> a - b)").alias("cv"))
     )
-    ctri = (
-        centered.select(
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(0, {_EMB_DIM - 1}),"
-                    f" i -> transform(sequence(i, {_EMB_DIM - 1}),"
-                    f" j -> struct(i + 1 as dim_i, j + 1 as dim_j,"
-                    f" cv[i] * cv[j] as prod))))"
-                )
-            ).alias("p")
-        )
-        .select("p.dim_i", "p.dim_j", "p.prod")
-        .groupBy("dim_i", "dim_j")
-        .agg(F.expr("sum(prod) div count(1)").alias("val"))
+    # r9: the full 64x64 matrix (the eigensolve needs every cell, so
+    # emb_covariance's 92-cell pruning cannot apply) used to come from
+    # a 2080-structs-per-vector explode + (dim_i, dim_j) hash agg —
+    # 4.2M generated rows at sf0.1 for 2000 vectors. Guide 4.2 instead:
+    # ONE exact int64 M^T @ M per Arrow batch inside mapInPandas
+    # (pass ONLY the cv column), one accumulated partial matrix per
+    # TASK, then a 4096-cell integer sum over <= n_tasks tiny rows.
+    # Exactness: numpy int64 matmul is exact integer arithmetic and
+    # the cross-task sum runs in Spark's checked bigint; per-task
+    # |partial[k]| <= n_rows * cmax^2, the SAME bound emb_covariance's
+    # assert_true guards globally, so no new overflow surface. Cell
+    # values verified identical to the explode form over all 4096
+    # cells at sf0.1 (and the oracle compare re-run at sf0.01/sf0.1).
+    # A/B: covariance stage 3.61 -> 1.80 s min-of-3.
+    d = _EMB_DIM
+
+    def _cov_partials(it):
+        import numpy as np
+        import pandas as pd
+
+        tot = None
+        n = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["cv"].tolist(), dtype=np.int64)
+            p = m.T @ m
+            tot = p if tot is None else tot + p
+            n += len(pdf)
+        if tot is not None:
+            yield pd.DataFrame({"s": [tot.reshape(-1).tolist()], "n": [n]})
+
+    parts = ensure_min_partitions(centered.select("cv")).mapInPandas(
+        _cov_partials, "s array<bigint>, n bigint"
+    )
+    csum = (
+        parts.select(F.posexplode("s").alias("k", "v"), "n")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.sum("n").alias("nv"))
+        .select("k", F.expr("sv div nv").alias("val"))
     )
     # collapse the matrix to ONE row-major array row: the whole
     # eigensolve then runs as chained array expressions on a 1-row
     # relation — ZERO exchanges for the iteration (an earlier draft
     # iterated as 8 join+agg rounds of 64-row tables: correct, but
     # ~3 s of stage-scheduling latency per round; the statistic is
-    # dims-bounded, so it belongs in one task)
-    cfull = ctri.unionAll(
-        ctri.where(F.col("dim_i") != F.col("dim_j")).select(
-            F.col("dim_j").alias("dim_i"),
-            F.col("dim_i").alias("dim_j"),
-            "val",
-        )
-    )
-    d = _EMB_DIM
-    state = cfull.groupBy().agg(
+    # dims-bounded, so it belongs in one task). k is 0-based row-major
+    # (i-1)*d + (j-1), so the sorted collect_list positions line up
+    # with the c[(i - 1) * d + j - 1] lookups below exactly as the old
+    # 1-based dim_i * d + dim_j keys did.
+    state = csum.groupBy().agg(
         F.expr(
-            f"transform(array_sort(collect_list("
-            f"struct(dim_i * {d} + dim_j as k, val))), s -> s.val)"
+            "transform(array_sort(collect_list("
+            "struct(k, val))), s -> s.val)"
         ).alias("c")
     ).select(
         "c",

@@ -393,16 +393,33 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lo_rank", F.expr("(n + 19) div 20"))
         .withColumn("hi_rank", F.expr("(19 * n + 19) div 20"))
     )
-    thresholds = ranks.groupBy("flag").agg(
-        F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("cents"))).alias("lo_val"),
-        F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("cents"))).alias("hi_val"),
-    )
-    joined = ranks.join(F.broadcast(thresholds), "flag").withColumn(
-        "inc",
-        F.expr(
-            "greatest(0, least(cum, hi_rank)"
-            " - greatest(cum - cnt + 1, lo_rank) + 1)"
-        ),
+    # r9: thresholds as WINDOW aggregates over the flag partition the
+    # ranks already occupy, not a groupBy + broadcast join back — the
+    # old two-branch shape re-executed the hist+window subtree once per
+    # consumer (the multi-consumer disease) and added a join; the
+    # min-over-partition window computes the identical per-flag value
+    # on the same exchange. A/B sf0.1: 2.32 -> 1.94 s min-of-4, values
+    # identical.
+    joined = (
+        ranks.withColumn(
+            "lo_val",
+            F.min(
+                F.when(F.col("cum") >= F.col("lo_rank"), F.col("cents"))
+            ).over(wn),
+        )
+        .withColumn(
+            "hi_val",
+            F.min(
+                F.when(F.col("cum") >= F.col("hi_rank"), F.col("cents"))
+            ).over(wn),
+        )
+        .withColumn(
+            "inc",
+            F.expr(
+                "greatest(0, least(cum, hi_rank)"
+                " - greatest(cum - cnt + 1, lo_rank) + 1)"
+            ),
+        )
     )
     return (
         joined.groupBy("flag")
@@ -803,7 +820,9 @@ _NOVEL_K = 5  # words per shingle
     FROM per_doc GROUP BY source ORDER BY source
     """,
 )
-def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_ngram_novelty(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """N-GRAM NOVELTY scoring: per source, the share of distinct
     5-word shingles whose FIRST occurrence (min doc_id = ingest order)
     lands in that source's documents — the first-occurrence
@@ -838,6 +857,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sset"),
     )
+    # r9: sh feeds TWO exchange consumers (the shingle-keyed firsts agg
+    # and the per-doc totals join) and each exchange re-ran the
+    # CPU-dense transform+array_distinct map stage. Persist the per-doc
+    # shingle sets for the duration of the query (alternating A/B at
+    # sf0.1: 4.65 -> 3.06 s min-of-4), eagerly checkpoint the 3-row
+    # report, unpersist before return. checkpoint=False keeps the plan
+    # fully lazy for plan audits.
+    if checkpoint:
+        sh = sh.persist()
     exploded = sh.select("doc_id", F.explode("sset").alias("shingle"))
     firsts = exploded.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
@@ -850,7 +878,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_sh", F.coalesce("n_novel", F.lit(0)).alias("n_novel")
         )
     )
-    return (
+    out = (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -860,6 +888,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -99,6 +99,7 @@ _LAZY_KWARG = {
     "dedup_minhash_tuning",
     "dedup_clusters_classes",
     "dedup_keep_best_classes",
+    "text_ngram_novelty",
 }
 
 

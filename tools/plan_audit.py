@@ -950,8 +950,9 @@ AUDITS: dict[str, dict] = {
                            "forbid": [r"CartesianProduct",
                                       r"SortMergeJoin"]},
     # winsorize: corpus -> (flag, cents) value histogram partial-agg;
-    # windows + 3-row threshold broadcast over the domain-sized relation
-    "winsorize_stats": {"partial": True, "broadcast": True,
+    # thresholds are window aggregates on the same flag exchange (r9 —
+    # the old groupBy + broadcast join back is gone)
+    "winsorize_stats": {"partial": True,
                         "prune": ["l_comment", "l_quantity", "l_discount"],
                         "forbid": [r"CartesianProduct", r"SortMergeJoin"]},
     # KS: both sample counts in ONE partial-agged histogram pass (no
@@ -1331,7 +1332,8 @@ def main() -> None:
                     "graph_triangles", "graph_kcore",
                     "graph_community_lpa", "dedup_method_agreement",
                     "dedup_minhash_classes", "dedup_minhash_tuning",
-                    "dedup_clusters_classes", "dedup_keep_best_classes"):
+                    "dedup_clusters_classes", "dedup_keep_best_classes",
+                    "text_ngram_novelty"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
