@@ -676,8 +676,11 @@ def query_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    tf0 = _tf_cols_spark(d)
-    stats = tf0.agg(
+    # r9: the corpus stats only need (count, sum dl) — aggregating the
+    # _tf_cols_spark relation computed six per-term tf columns per doc
+    # just to throw them away; dl's identical size(split(text)) feeds
+    # the same integers without that pass.
+    stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     idf = F.log(
