@@ -2392,7 +2392,9 @@ _LP_DEG_CAP = 200  # wedge-center degree cap (hub guard; AA weight ~0 there)
     LIMIT 20
     """,
 )
-def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_link_prediction(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Link prediction on the co-purchase graph: for part pairs NOT yet
     connected (no edge with support >= {min_sup}), score the likelihood
     of a future edge by their common neighbors — Adamic-Adar
@@ -2440,13 +2442,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("together"))
         .where(F.col("together") >= _LP_MIN_SUP)
         .select("p1", "p2")
-        .persist()
     )
+    # checkpoint=False returns the fully lazy plan for plan audits.
+    if checkpoint:
+        cop = cop.persist()
     adj = cop.select(
         F.col("p1").alias("node"), F.col("p2").alias("nbr")
     ).unionAll(cop.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d")).persist()
-    deg.count()
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    if checkpoint:
+        deg = deg.persist()
+        deg.count()
     # deg-1 centers can't form a wedge, and ln(1) = 0 would divide by
     # zero under ANSI mode (surfaced at sf10 — sf0.01's graph is dense
     # enough that every node has deg >= 2): filter BEFORE the weight
@@ -2463,8 +2469,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(1e9 / ln(d)) as bigint)").alias("aa_nano"),
         )
         .repartition("node")
-        .persist()
     )
+    if checkpoint:
+        ctr = ctr.persist()
     wedge = (
         ctr.alias("a")
         .join(
@@ -2500,10 +2507,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_sum_nano"), F.desc("common"), "u", "v")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
-    cop.unpersist()
-    deg.unpersist()
-    ctr.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        cop.unpersist()
+        deg.unpersist()
+        ctr.unpersist()
     return out
 
 
@@ -2817,12 +2825,15 @@ def graph_kcore(
         # a conditional count are the same aggregate), instead of two
         # independent aggregate branches that each re-derived deg from
         # the edge checkpoint — one fewer deg recompute + exchange per
-        # peel round, identical integers.
+        # peel round, identical integers. n_kept MUST be a conditional
+        # COUNT, not sum(when): once the core empties (sf0.1 peels to
+        # nothing by round 3), sum over the empty deg relation is NULL
+        # while the r8 count form — and the oracle — read 0.
         census = (
             deg.agg(
                 F.count(F.lit(1)).alias("n_all"),
-                F.sum(
-                    F.when(F.col("d") >= _KCORE_K, 1).otherwise(0)
+                F.count(
+                    F.when(F.col("d") >= _KCORE_K, F.lit(1))
                 ).alias("n_kept"),
             )
             .crossJoin(
@@ -3116,17 +3127,21 @@ def graph_community_lpa(
             new_labels = new_labels.localCheckpoint(eager=False)
         # r9: changed-count and community-count fused into ONE pass over
         # the (new, previous) label join — a filtered count is a
-        # conditional sum, and the node-keyed join is 1:1 so the
+        # conditional count, and the node-keyed join is 1:1 so the
         # distinct-label census is unchanged. One aggregate branch per
         # round instead of two (each re-read the round checkpoint).
+        # count(when), not sum(when): over an EMPTY graph (an edge set
+        # with no together>=2 pair at tiny SFs) the label join is empty
+        # and sum would read NULL where the oracle's scalar COUNT
+        # subquery reads 0 (the graph_kcore empty-core lesson).
         rounds.append(
             new_labels.alias("j")
             .join(labels.alias("p"), "node")
             .agg(
-                F.sum(
+                F.count(
                     F.when(
-                        F.col("j.label") != F.col("p.label"), 1
-                    ).otherwise(0)
+                        F.col("j.label") != F.col("p.label"), F.lit(1)
+                    )
                 ).alias("n_changed"),
                 F.countDistinct("j.label").alias("n_comms"),
             )

@@ -768,7 +768,9 @@ def annotate_crossdoc_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def annotate_entity_pmi(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Annotation -> analytics COMPOSITION (the reference's job-chaining
     A11 exercised end-to-end): run the NER annotator (the real Arrow
     mapInPandas stage, BIO spans merged), extract each span's SURFACE
@@ -805,7 +807,10 @@ def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(
             F.expr("substring(raw_text, sp.start + 1, sp.ending - sp.start)")
         ).alias("surface"),
-    ).distinct().persist()
+    ).distinct()
+    # checkpoint=False returns the fully lazy plan for plan audits.
+    if checkpoint:
+        ents = ents.persist()
     marg = ents.groupBy("surface").agg(F.count(F.lit(1)).alias("n_s"))
     n = ents.agg(F.countDistinct("doc_id").alias("n_docs"))
     pairs = (
@@ -842,6 +847,7 @@ def annotate_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_nano"), "ent_a", "ent_b")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
-    ents.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        ents.unpersist()
     return out

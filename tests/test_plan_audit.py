@@ -100,6 +100,8 @@ _LAZY_KWARG = {
     "dedup_clusters_classes",
     "dedup_keep_best_classes",
     "text_ngram_novelty",
+    "graph_link_prediction",
+    "annotate_entity_pmi",
 }
 
 

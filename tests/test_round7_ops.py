@@ -261,3 +261,26 @@ def test_theilsen_median_is_an_occurring_slope(spark):
     assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
     assert r.first_day < r.last_day
     assert isinstance(r.median_slope_milli, int)
+
+
+def test_kcore_and_lpa_census_read_zero_after_graph_empties(spark, tmp_path):
+    """Once peeling (or the together>=2 edge filter) leaves NO nodes,
+    every census integer must read 0 — never NULL. Regression for the
+    r9 single-pass census: sum(when(...)) over an empty relation is
+    NULL where the oracle's COUNT reads 0 (seen at sf0.1, kcore
+    rounds 3-5)."""
+    from curatorhadoopinterface_spark.operators.analytics import (
+        graph_community_lpa,
+        graph_kcore,
+    )
+
+    # one part per order -> no co-purchase pair at all -> empty graph
+    spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    for r in graph_kcore(spark, str(tmp_path)).collect():
+        assert r.n_kept == 0 and r.n_edges == 0 and r.n_peeled == 0
+
+    for r in graph_community_lpa(spark, str(tmp_path)).collect():
+        assert r.n_changed == 0 and r.n_comms == 0

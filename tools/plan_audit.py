@@ -357,8 +357,12 @@ AUDITS: dict[str, dict] = {
                           "prune": ["event_type", "value", "props", "ts"]},
     # round 4
     # caller-split ws records: span arrays build in narrow higher-order
-    # aggregates — ZERO exchanges end to end
-    "wsprovide_sentences": {"max_exchange": 0,
+    # aggregates — zero KEYED exchanges end to end; the single
+    # round-robin Exchange is the r9 ensure_min_partitions core spread
+    # (no-op at scale, fires only on provably-tiny scans)
+    "wsprovide_sentences": {"max_exchange": 1,
+                            "require": [r"RoundRobinPartitioning"],
+                            "forbid": [r"hashpartitioning"],
                             "prune": ["lang", "source", "n_chars"]},
     # z-write: the returned plan is the census READ-BACK (the bounds
     # broadcast + range write already executed inside the builder) —
@@ -897,10 +901,14 @@ AUDITS: dict[str, dict] = {
     # nested-loop over the TINY query sample, intended); census output
     "emb_matryoshka_recall": {"partial": True, "no_bnlj": False},
     # PNG encode->decode roundtrip: pruned single-column scan into one
-    # Arrow python stage, zero exchanges
+    # Arrow python stage; no keyed exchange — the one round-robin
+    # Exchange is the r9 ensure_min_partitions core spread
     "mm_decode_png": {"partial": False, "prune": ["text", "lang", "source"],
-                      "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
-                      "require": [r"MapInPandas"]},
+                      "max_exchange": 1,
+                      "forbid": [r"CartesianProduct", r"Join",
+                                 r"hashpartitioning"],
+                      "require": [r"MapInPandas",
+                                  r"RoundRobinPartitioning"]},
     # approx twin (the benched production form): same one-scan shape
     # but HLL ndv -> Expand must NOT appear in the plan
     "diag_column_stats_approx": {"partial": True,
@@ -1011,14 +1019,21 @@ AUDITS: dict[str, dict] = {
                                     "o_orderstatus"],
                           "forbid": [r"CartesianProduct", r"Join"]},
     # GIF encode->LZW-decode roundtrip: pruned single-column scan into
-    # one Arrow python stage, zero exchanges (the mm_decode_png shape)
+    # one Arrow python stage, no keyed exchange (the mm_decode_png
+    # shape, incl. the r9 round-robin core spread)
     "mm_decode_gif": {"partial": False, "prune": ["text", "lang", "source"],
-                      "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
-                      "require": [r"MapInPandas"]},
+                      "max_exchange": 1,
+                      "forbid": [r"CartesianProduct", r"Join",
+                                 r"hashpartitioning"],
+                      "require": [r"MapInPandas",
+                                  r"RoundRobinPartitioning"]},
     # JPEG encode->baseline-decode roundtrip: same linear shape
     "mm_decode_jpeg": {"partial": False, "prune": ["text", "lang", "source"],
-                       "forbid": [r"CartesianProduct", r"Join", r"Exchange"],
-                       "require": [r"MapInPandas"]},
+                       "max_exchange": 1,
+                       "forbid": [r"CartesianProduct", r"Join",
+                                  r"hashpartitioning"],
+                       "require": [r"MapInPandas",
+                                   r"RoundRobinPartitioning"]},
     # depth-2 tree: pass 1 histogram + 1-row root broadcast onto pass
     # 2's (side, discount) histogram; per-side windows over the domain
     "ml_tree_split2": {"partial": True, "no_bnlj": False,
@@ -1147,12 +1162,17 @@ AUDITS["qa_blocklist_leet"] = {
 # encode+parse in one Arrow stage over the pruned doc_id column
 AUDITS["mm_exif_audit"] = {
     "prune": ["text", "lang", "source", "n_chars"],
-    "forbid": [r"Exchange", r"Join"],
+    "max_exchange": 1,
+    "forbid": [r"hashpartitioning", r"Join"],
+    "require": [r"RoundRobinPartitioning"],
 }
 # build+probe in one Arrow stage over the pruned doc_id column
+# (both: the one round-robin Exchange is the r9 core spread)
 AUDITS["mm_mp4_probe"] = {
     "prune": ["text", "lang", "source", "n_chars"],
-    "forbid": [r"Exchange", r"Join"],
+    "max_exchange": 1,
+    "forbid": [r"hashpartitioning", r"Join"],
+    "require": [r"RoundRobinPartitioning"],
 }
 # token explode collapses to the vocab-bounded count relation; noise
 # and threshold are per-group scalars; TakeOrdered release
@@ -1333,7 +1353,8 @@ def main() -> None:
                     "graph_community_lpa", "dedup_method_agreement",
                     "dedup_minhash_classes", "dedup_minhash_tuning",
                     "dedup_clusters_classes", "dedup_keep_best_classes",
-                    "text_ngram_novelty"):
+                    "text_ngram_novelty", "graph_link_prediction",
+                    "annotate_entity_pmi"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
