@@ -1111,6 +1111,47 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """(p1, p2, together) census of distinct part pairs per order —
+    the pair generator shared by the co-purchase graph family.
+
+    r9 re-plan (guide 2.4 "remove shuffles outright"): one
+    groupBy(order) collect_set exchange — the DISTINCT (o, p) step is
+    folded into the set aggregate — followed by a MAP-SIDE combination
+    explode over the sorted part array, then the (p1, p2) count
+    exchange. The previous form paid the distinct's own exchange, a
+    second join-input exchange and the sort-merge sort of the basket
+    self-join (a.o = b.o AND a.p < b.p). Value-identical by
+    construction: the array holds each order's distinct parts sorted
+    ascending, and index pairs i < j enumerate exactly the strict
+    p1 < p2 combinations the self-join produced — all SEVEN consumer
+    queries strict oracle-green at sf0.01 AND sf0.1 on this form.
+    Alternating A/B at sf0.1 (two passes each side, min-of-3):
+    triangles 3.71 -> 2.64 s, copurchase_topk 3.48 -> 1.60,
+    association_rules 2.94 -> 1.70, degree_distribution 2.22 -> 1.70,
+    link_prediction 3.59 -> 3.06, kcore 3.52 -> 3.16, LPA 3.58 ->
+    2.93; census shuffle read 26 -> 18 MB. Skew note: a hot order is
+    ONE array row here — the per-basket pair blowup (|basket| choose
+    2) is unchanged and still the documented scale guard."""
+    return (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+
+
 @query(
     "graph_triangles",
     oracle="""
@@ -1173,15 +1214,7 @@ def graph_triangles(
     for ids >= 1e9), and the identical CASE replays in the oracle.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    basket = l.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("together"))
-    )
+    pairs = _copurchase_pairs(l)
     edges = pairs.filter(F.col("together") >= 2).select("p1", "p2")
     return triangle_stats(edges, checkpoint=checkpoint)
 
@@ -1348,15 +1381,7 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     deg = basket.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    pairs = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("together"))
-    )
+    pairs = _copurchase_pairs(li)
     d1 = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
     return (
@@ -1430,16 +1455,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n = basket.agg(F.countDistinct("o").alias("n_orders"))
     supp = basket.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    pairs = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("together"))
-        .filter(F.col("together") >= 2)
-    )
+    pairs = _copurchase_pairs(li).filter(F.col("together") >= 2)
     s1 = supp.select(F.col("p").alias("p1"), F.col("s").alias("s1"))
     s2 = supp.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
     return (
@@ -2070,14 +2086,8 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange over edge endpoints; the histogram output is
     O(log(max_degree)) rows."""
     l = load_table(spark, sf_dir, "lineitem")
-    basket = l.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("together"))
+        _copurchase_pairs(l)
         .filter(F.col("together") >= 2)
         .select("p1", "p2")
     )
@@ -2416,30 +2426,20 @@ def graph_link_prediction(
     exchanges; existing edges leave via one anti join; top-20 is a
     TakeOrdered, no global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
     # r9: cop is the root of FOUR consumer branches (adj -> deg, adj ->
     # ctr, the existing-edge anti join, and through deg the du/dv
-    # lookups); unpersisted, Catalyst re-executed the full basket
-    # self-join + aggregate for each branch — the plan's dominant cost
-    # (isolated qtime 11.0 s / 101 MB shuffle read, mostly repeated
-    # pair-census exchanges). Persist the two small shared relations
-    # (cop: filtered co-purchase pairs, deg: one row per part) and
-    # materialize ONCE before the branches fan out (deg.count()
-    # populates both caches; without it, concurrently-built broadcast
-    # sides race to compute the unpopulated cache). The result is
-    # eagerly localCheckpoint-ed so both caches unpersist before return
-    # (the graph_pagerank discipline — no blocks leak into the shared
-    # session).
+    # lookups); unpersisted, Catalyst re-executed the full pair census
+    # for each branch — the plan's dominant cost (isolated qtime
+    # 11.0 s / 101 MB shuffle read, mostly repeated pair-census
+    # exchanges). Persist the two small shared relations (cop: filtered
+    # co-purchase pairs, deg: one row per part) and materialize ONCE
+    # before the branches fan out (deg.count() populates both caches;
+    # without it, concurrently-built broadcast sides race to compute
+    # the unpopulated cache). The result is eagerly localCheckpoint-ed
+    # so both caches unpersist before return (the graph_pagerank
+    # discipline — no blocks leak into the shared session).
     cop = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("together"))
+        _copurchase_pairs(li)
         .where(F.col("together") >= _LP_MIN_SUP)
         .select("p1", "p2")
     )
@@ -2779,18 +2779,9 @@ def graph_kcore(
     At 100 TB the first round dominates (it touches the full edge
     set); later rounds cost |core| alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
     edges = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
+        _copurchase_pairs(li)
+        .where(F.col("together") >= 2)
         .select("p1", "p2")
     )
     if checkpoint:
@@ -3057,18 +3048,9 @@ def graph_community_lpa(
     (node, label) count exchange and a per-node rank. Per-round cost
     is |edges| regardless of round number; rounds are a constant."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
     edges = (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
+        _copurchase_pairs(li)
+        .where(F.col("together") >= 2)
         .select("p1", "p2")
     )
     if checkpoint:
