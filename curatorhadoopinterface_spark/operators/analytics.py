@@ -2431,13 +2431,11 @@ def graph_link_prediction(
     # lookups); unpersisted, Catalyst re-executed the full pair census
     # for each branch — the plan's dominant cost (isolated qtime
     # 11.0 s / 101 MB shuffle read, mostly repeated pair-census
-    # exchanges). Persist the two small shared relations (cop: filtered
-    # co-purchase pairs, deg: one row per part) and materialize ONCE
-    # before the branches fan out (deg.count() populates both caches;
-    # without it, concurrently-built broadcast sides race to compute
-    # the unpopulated cache). The result is eagerly localCheckpoint-ed
-    # so both caches unpersist before return (the graph_pagerank
-    # discipline — no blocks leak into the shared session).
+    # exchanges). Persist the small shared relations and materialize
+    # ONCE before the branches fan out. The result is eagerly
+    # localCheckpoint-ed so the caches unpersist before return (the
+    # graph_pagerank discipline — no blocks leak into the shared
+    # session).
     cop = (
         _copurchase_pairs(li)
         .where(F.col("together") >= _LP_MIN_SUP)
@@ -2446,43 +2444,60 @@ def graph_link_prediction(
     # checkpoint=False returns the fully lazy plan for plan audits.
     if checkpoint:
         cop = cop.persist()
-    adj = cop.select(
-        F.col("p1").alias("node"), F.col("p2").alias("nbr")
-    ).unionAll(cop.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # r9 second pass (the _copurchase_pairs discipline applied to the
+    # WEDGE enumeration): the Adamic-Adar weight depends only on the
+    # CENTER's degree, so a wedge is just an unordered pair of the
+    # center's (distinct, sorted) neighbor array — ONE adjacency-list
+    # aggregate (both orientations via an inline explode, the LPA
+    # shape) plus a map-side combination explode replaces the ctr
+    # repartition+persist AND the ctr x ctr self-join (two exchange
+    # sides + join sort); the degree relation falls out of the same
+    # aggregate as size(nbrs), so the separate deg groupBy+persist
+    # goes too. Per-center blowup is C(deg, 2), still bounded by the
+    # degree cap exactly as the self-join was.
+    nb = (
+        cop.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("p1").alias("node"), F.col("p2").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col("p2").alias("node"), F.col("p1").alias("nbr")
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.sort_array(F.collect_set("e.nbr")).alias("nbrs"))
+    )
     if checkpoint:
-        deg = deg.persist()
-        deg.count()
+        nb = nb.persist()
+        nb.count()
+    deg = nb.select("node", F.size("nbrs").alias("d"))
     # deg-1 centers can't form a wedge, and ln(1) = 0 would divide by
     # zero under ANSI mode (surfaced at sf10 — sf0.01's graph is dense
     # enough that every node has deg >= 2): filter BEFORE the weight
-    # r9: ctr feeds BOTH sides of the wedge self-join on node; persist
-    # it hash-partitioned by node so the self-join's two exchanges of
-    # the same relation disappear (both InMemoryTableScan children
-    # already satisfy HashPartitioning(node)).
-    ctr = (
-        adj.join(deg, "node")
-        .where((F.col("d") <= _LP_DEG_CAP) & (F.col("d") >= 2))
-        .select(
-            "node",
-            "nbr",
-            F.expr("cast(floor(1e9 / ln(d)) as bigint)").alias("aa_nano"),
-        )
-        .repartition("node")
-    )
-    if checkpoint:
-        ctr = ctr.persist()
     wedge = (
-        ctr.alias("a")
-        .join(
-            ctr.alias("b"),
-            (F.col("b.node") == F.col("a.node"))
-            & (F.col("a.nbr") < F.col("b.nbr")),
+        nb.where(
+            (F.size("nbrs") <= _LP_DEG_CAP) & (F.size("nbrs") >= 2)
         )
-        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .select(
+            F.expr(
+                "cast(floor(1e9 / ln(size(nbrs))) as bigint)"
+            ).alias("aa_nano"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(nbrs, (x, i) -> "
+                    "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("w"),
+        )
+        .groupBy(F.col("w.u").alias("u"), F.col("w.v").alias("v"))
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.sum(F.col("a.aa_nano")).alias("aa_sum_nano"),
+            F.sum("aa_nano").alias("aa_sum_nano"),
         )
     )
     cand = wedge.join(
@@ -2510,8 +2525,7 @@ def graph_link_prediction(
     if checkpoint:
         out = out.localCheckpoint(eager=True)
         cop.unpersist()
-        deg.unpersist()
-        ctr.unpersist()
+        nb.unpersist()
     return out
 
 

@@ -2495,16 +2495,25 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry arrays and stay pinned shuffle_hash (the _minhash_core
     trap); the report is 1-row aggregates crossed broadcast. Linear in
     distinct content at any duplication factor."""
-    # r9 measured-and-REVERTED: a restructure that fused the df agg
-    # into a count window and persisted the ranked shingle relation for
-    # its two consumers won ISOLATED (15.5 -> 8.1 s qtime in a fresh
+    # r9 measured-and-REVERTED: persisting the ranked shingle relation
+    # for its consumers won ISOLATED (15.5 -> 8.1 s qtime in a fresh
     # session) but LOST interleaved, which is how the driver measures:
-    # same-session alternating A/B gave 5.64 s (this form) vs 7.88 s
-    # (persisted form), and the interleaved bench showed 5.74 -> 9.71 s
+    # same-session alternating A/B gave 5.64 s (lazy) vs 7.88 s
+    # (persisted), and the interleaved bench showed 5.74 -> 9.71 s
     # — caching the corpus-wide ranked relation (~300 MB of shingle
     # rows) competes with the window/join execution memory of a
     # long-lived session. The lazy form recomputes the shingle subtree
-    # per consumer and still wins; kept.
+    # per consumer and still wins; kept lazy.
+    # r9 second pass (no persist this time): (a) df comes from a count
+    # window over the SAME shingle exchange instead of a groupBy +
+    # join-back — the join-back re-derived the whole scan+shingle
+    # subtree for the dft side (the plan showed FOUR shingle pipelines
+    # under the candidate join alone) and paid a SortMergeJoin sort;
+    # (b) the candidate census (n_rep_candidates) is FUSED into the
+    # verify aggregate as an unconditional count — the separate
+    # cand.agg() branch re-executed the entire prefix self-join
+    # pipeline a second time (23 parquet scans total before, zero
+    # ReusedExchange anywhere).
     docs = load_table(spark, sf_dir, "documents")
     classes = docs.groupBy(F.md5("text").alias("ck")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
@@ -2514,9 +2523,13 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).select("doc_id", "text")
     sh = shingle_explode(ensure_min_partitions(reps))
-    dft = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # shingles are DISTINCT per doc (shingle_explode contract), so the
+    # per-shingle row count IS the document frequency — same integers
+    # as the groupBy form, one exchange instead of three subtrees.
     ranked = (
-        sh.join(dft, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -2565,11 +2578,17 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_a", "rep_b", F.expr("i1000 div u").alias("jac_permille"))
     )
     # class sizes join rep-keyed and stay shuffled: |classes| scales
-    # with distinct content, never broadcast-size by assumption
+    # with distinct content, never broadcast-size by assumption.
+    # r9: the n_mem lookups now join EVERY candidate row (not just the
+    # qualifying ones) so the report can aggregate the candidate census
+    # and the qualifying-pair stats in ONE pass over ONE execution of
+    # the verify pipeline — candidates are prefix-filter-bounded, so
+    # the extra joined rows are the same order as before; the old
+    # cand.agg() branch cost a full second run of the prefix self-join.
     mem = classes.select("rep", "n_mem")
-    qual = (
-        ver.where(F.col("jac_permille") >= _AP_T_PERMILLE)
-        .join(
+    qual = F.col("jac_permille") >= _AP_T_PERMILLE
+    verm = (
+        ver.join(
             mem.select(
                 F.col("rep").alias("rep_a"), F.col("n_mem").alias("n_a")
             ).hint("shuffle_hash"),
@@ -2582,23 +2601,26 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_b",
         )
     )
-    agg = qual.agg(
-        F.count(F.lit(1)).alias("n_rep_pairs"),
-        F.coalesce(F.sum(F.expr("n_a * n_b")), F.lit(0)).alias(
-            "n_doc_pairs_cross"
+    agg = verm.agg(
+        F.count(F.lit(1)).alias("n_rep_candidates"),
+        F.count(F.when(qual, F.lit(1))).alias("n_rep_pairs"),
+        F.coalesce(
+            F.sum(F.when(qual, F.expr("n_a * n_b"))), F.lit(0)
+        ).alias("n_doc_pairs_cross"),
+        F.coalesce(F.max(F.when(qual, F.col("jac_permille"))), F.lit(0)).alias(
+            "max_jac_permille"
         ),
-        F.coalesce(F.max("jac_permille"), F.lit(0)).alias("max_jac_permille"),
-        F.coalesce(F.sum("jac_permille"), F.lit(0)).alias("sum_jac_permille"),
+        F.coalesce(F.sum(F.when(qual, F.col("jac_permille"))), F.lit(0)).alias(
+            "sum_jac_permille"
+        ),
     )
     wth = classes.agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.expr("sum((n_mem * (n_mem - 1)) div 2)").alias("n_doc_pairs_within"),
         F.sum("n_mem").alias("n_docs"),
     )
-    cc = cand.agg(F.count(F.lit(1)).alias("n_rep_candidates"))
     return (
-        wth.crossJoin(F.broadcast(cc))
-        .crossJoin(F.broadcast(agg))
+        wth.crossJoin(F.broadcast(agg))
         .select(
             "n_docs",
             "n_classes",

@@ -483,40 +483,63 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.45 -> 5.60 s. The five basket consumers re-derive a cheap
     # map-side join; cache materialization barriers cost more than the
     # recompute at any load. Kept lazy.
-    basket = (
+    # r9 second pass (the _copurchase_pairs discipline, extended to
+    # triples): ONE groupBy(o) sorted-distinct-item aggregate replaces
+    # every basket self-join — pairs are the i < j index combinations
+    # of the array, candidate triples the i < j < k combinations, both
+    # map-side explodes; the old plan paid the b1 x b2 pair self-join
+    # PLUS a 3-join frequent-pair-instance chain (fp ⋈ x1 ⋈ x2 ⋈ b3)
+    # before the prune. The Apriori prune itself is unchanged: all
+    # remaining sub-pairs must be frequent, enforced by broadcast
+    # semi-joins BEFORE the support exchange. Value-identical by the
+    # batch-13 proof (sorted distinct array index combos are exactly
+    # the strict it-ascending combinations the self-joins produced);
+    # a basket's triple blowup is |basket| choose 3 over the BRAND
+    # domain (<= 25 distinct), bounded per order.
+    ord_items = (
         li.select("l_orderkey", "l_partkey")
         .join(pt.select("p_partkey", "p_brand"), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("it")).alias("its"))
     )
-    b1, b2 = basket.alias("b1"), basket.alias("b2")
     fp = (
-        b1.join(b2, (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.it") < F.col("b2.it")))
-        .groupBy(F.col("b1.it").alias("i1"), F.col("b2.it").alias("i2"))
+        ord_items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) -> "
+                    "transform(slice(its, i + 2, size(its) - i - 1), "
+                    "y -> struct(x AS i1, y AS i2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.i1").alias("i1"), F.col("pr.i2").alias("i2"))
         .agg(F.count(F.lit(1)).alias("s"))
         .where(F.col("s") >= _TRIPLE_MINSUP)
         .select("i1", "i2")
     )
-    # frequent-pair instances per basket, then extend with a third item
-    inst = (
-        F.broadcast(fp)
-        .join(basket.alias("x1"), F.col("x1.it") == F.col("i1"))
-        .join(
-            basket.alias("x2"),
-            (F.col("x2.o") == F.col("x1.o")) & (F.col("x2.it") == F.col("i2")),
-        )
-        .select("i1", "i2", F.col("x1.o").alias("o"))
-    )
-    cand = inst.alias("ii").join(
-        basket.alias("b3"),
-        (F.col("b3.o") == F.col("ii.o")) & (F.col("b3.it") > F.col("ii.i2")),
-    ).select("ii.i1", "ii.i2", F.col("b3.it").alias("i3"), "ii.o")
-    # Apriori prune: both remaining sub-pairs must be frequent (map-side
-    # broadcast semi-joins — candidates die before the support exchange)
+    cand = ord_items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) -> "
+                "flatten(transform(slice(its, i + 2, size(its) - i - 1), "
+                "(y, j) -> transform("
+                "slice(its, i + j + 3, size(its) - i - j - 2), "
+                "z -> struct(x AS i1, y AS i2, z AS i3))))))"
+            )
+        ).alias("tr")
+    ).select("tr.i1", "tr.i2", "tr.i3")
+    # Apriori prune: ALL sub-pairs must be frequent (map-side broadcast
+    # semi-joins — candidates die before the support exchange). The
+    # (i1, i2) membership was the generation rule in the join form; it
+    # is an explicit prune here since the explode generates every
+    # in-basket triple.
     fp23 = fp.select(F.col("i1").alias("i2"), F.col("i2").alias("i3"))
     fp13 = fp.select(F.col("i1").alias("i1"), F.col("i2").alias("i3"))
-    pruned = cand.join(F.broadcast(fp23), ["i2", "i3"], "left_semi").join(
-        F.broadcast(fp13), ["i1", "i3"], "left_semi"
+    pruned = (
+        cand.join(F.broadcast(fp), ["i1", "i2"], "left_semi")
+        .join(F.broadcast(fp23), ["i2", "i3"], "left_semi")
+        .join(F.broadcast(fp13), ["i1", "i3"], "left_semi")
     )
     return (
         pruned.groupBy("i1", "i2", "i3")
