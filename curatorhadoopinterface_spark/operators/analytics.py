@@ -877,6 +877,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # r9 measured-and-REVERTED: checkpointing edges + each frontier
+    # (the kcore unroll discipline) to collapse the 21-scan recursive
+    # hop lineage measured 1.53 s lazy vs 2.96 s checkpointed
+    # (alternating A/B, min-of-3 x3 passes) — the duplicate subtrees
+    # here are SMALL (node-id lists, one distinct edge build) and the
+    # DAG scheduler runs them concurrently on idle cores, while
+    # checkpoints serialize the four hops into a barrier chain (the
+    # batch-14 lesson holding at a fifth operator). Kept lazy.
     part = load_table(spark, sf_dir, "part")
     h0_p = (
         edges.select("p")

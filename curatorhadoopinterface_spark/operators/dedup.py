@@ -2129,34 +2129,48 @@ def dedup_minhash_recall(
         .distinct()
     )
     sh = doc_agg.select("doc_id", F.explode("s").alias("shingle"))
-    # document frequency + one-row-per-shingle marker in ONE window over
-    # the shingle exchange — the very exchange the posting self-join
-    # needs, so both cap filter and join sides share a single shuffle
-    # (a separate df groupBy + semi join would add two more)
-    w = Window.partitionBy("shingle")
-    posted = sh.select(
-        "doc_id",
-        "shingle",
-        F.count(F.lit(1)).over(w).alias("df"),
-        F.row_number()
-        .over(w.orderBy("doc_id"))
-        .alias("rn"),
+    # r9 second pass: the posting lists aggregate into ONE
+    # groupBy(shingle) relation (df + the doc list) instead of the
+    # two-window chain — the windows' per-consumer partition SORT ran
+    # four times (n_hot, cap filter, both posting-join sides), and the
+    # (sample x corpus) posting self-join shuffled both sides again.
+    # Ground-truth pairs now come from a MAP-SIDE combination explode
+    # over each cold posting list (sample member x other members) —
+    # the same (q, c, shingle) multiset the equi join produced, with
+    # zero join exchanges. The doc list is slice()-truncated at the df
+    # cap so a HOT shingle never materializes its full posting array
+    # downstream; truncated lists are only ever read where df <= cap
+    # (cold rows keep every element), so the nondeterministic
+    # collect_list order never feeds output.
+    post = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.expr(
+            f"slice(collect_list(doc_id), 1, {RECALL_DF_CAP})"
+        ).alias("ds"),
     )
-    n_hot = posted.agg(
+    n_hot = post.agg(
         F.count(
-            F.when((F.col("df") > RECALL_DF_CAP) & (F.col("rn") == 1), 1)
+            F.when(F.col("df") > RECALL_DF_CAP, 1)
         ).alias("n_hot_shingles")
     )
-    cold = posted.filter(F.col("df") <= RECALL_DF_CAP)
-    sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cold = post.where(F.col("df") <= RECALL_DF_CAP)
+    sizes = (
+        cold.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        cold.select(F.col("doc_id").alias("q_id"), "shingle")
-        .filter(F.col("q_id") % RECALL_SAMPLE_MOD == 0)
-        .join(
-            cold.select(F.col("doc_id").alias("c_id"), "shingle"), "shingle"
+        cold.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform("
+                    f"filter(ds, q -> q % {RECALL_SAMPLE_MOD} = 0), "
+                    f"q -> transform(filter(ds, c -> c != q), "
+                    f"c -> struct(q AS q_id, c AS c_id))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("c_id") != F.col("q_id"))
-        .groupBy("q_id", "c_id")
+        .groupBy(F.col("p.q_id").alias("q_id"), F.col("p.c_id").alias("c_id"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     truth = (
@@ -2276,7 +2290,9 @@ def dedup_minhash_recall(
     FROM within_stats w CROSS JOIN cross_stats x
     """,
 )
-def dedup_containment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment_classes(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Content-CLASS form of dedup_containment_census: exact-duplicate
     classes (md5 of text) collapse first, LSH + containment verify runs
     ONCE per class representative, and pair counts come from class
@@ -2302,26 +2318,17 @@ def dedup_containment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     member counts join rep-keyed (never broadcast — classes scale with
     the corpus); the report is 1-row scalar aggregates crossed
     broadcast (graph_triangles pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
-    classes = docs.groupBy(F.md5("text").alias("ck")).agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
-    )
-    reps = docs.join(
-        classes.select(F.col("rep").alias("doc_id")), "doc_id"
-    ).select("doc_id", "text")
-    sh = shingle_explode(ensure_min_partitions(reps)).withColumn(
-        "v", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
-    )
-    rep_agg = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("v") + F.lit(MINHASH_B[i]))
-                % MINHASH_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-        F.collect_list("shingle").alias("s"),
-    )
+    # r9: the signature aggregate (rep_agg) fed FIVE consumers (both
+    # band self-join sides, both verify-set lookups, within_stats) and
+    # was an inline copy of _minhash_class_core's doc_agg — each
+    # consumer re-derived the scan+shingle+signature chain. Reuse the
+    # shared core (whose doc_agg is eagerly checkpointed, batch-10
+    # discipline; its lazy `ver` branch is unused here and costs
+    # nothing), and checkpoint the narrow classes relation for its
+    # three remaining consumers (mem x2, within_stats).
+    classes, rep_agg, _ver = _minhash_class_core(spark, sf_dir, checkpoint)
+    if checkpoint:
+        classes = classes.localCheckpoint(eager=True)
     bands = _band_explode(rep_agg)
     a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     ccands = (

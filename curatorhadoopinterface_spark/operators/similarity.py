@@ -682,6 +682,12 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard recall-estimation protocol)."""
     base = _with_norm(load_table(spark, sf_dir, "embeddings"))
     exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # r9 measured-and-REVERTED: eagerly checkpointing exact (it feeds
+    # one hits join per rung + the qids spine = 4 executions of the
+    # sim_topk pipeline) measured 1.42 s lazy vs 1.60 s checkpointed
+    # min (alternating A/B, 3 passes) — the query side is a broadcast
+    # 10-row sample, so the duplicate corpus passes run concurrently
+    # and the checkpoint barrier costs more (batch-14 lesson again).
     qids = exact.select("query_id").distinct()
     out = None
     for p in _MRL_PREFIXES:
@@ -798,7 +804,9 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.n_vectors, c.n_classes, c.within_pairs, m.n_rep_mutual
     """,
 )
-def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_classes(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """kNN graph, PRODUCTION DEFAULT — reach for this one first; the
     pair-shaped sim_knn_graph (above) is the diagnostic for corpora its
     dup_factor_permille column already certifies as deduplicated.
@@ -836,6 +844,14 @@ def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = emb.groupBy(F.expr(_CLS_KEY_SPARK).alias("ck")).agg(
         F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
     )
+    # r9: classes roots FOUR consumer branches (reps, the two n_mem
+    # lookups, cstat) — uncheckpointed, each re-ran the emb scan +
+    # class-key exchange (the batch-10 _minhash_class_core finding in
+    # vector space). Distinct-content-bounded and narrow, so safe to
+    # materialize once. checkpoint=False keeps the lazy plan for
+    # audits.
+    if checkpoint:
+        classes = classes.localCheckpoint(eager=True)
     reps = emb.join(
         classes.select(F.col("rep").alias("vec_id")).hint("shuffle_hash"),
         "vec_id",
@@ -865,20 +881,32 @@ def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mem = classes.select("rep", "n_mem")
-    em = edges.join(
-        mem.select(F.col("rep").alias("src"), F.col("n_mem").alias("n_a")).hint(
-            "shuffle_hash"
-        ),
-        "src",
-    ).join(
-        mem.select(F.col("rep").alias("dst"), F.col("n_mem").alias("n_b")).hint(
-            "shuffle_hash"
-        ),
-        "dst",
+    # r9: the mutual-edge census used to self-join edges against its
+    # own reversal — TWO more executions of the whole kNN pipeline
+    # (scored join + top-k window). A directed edge is mutual exactly
+    # when its canonical unordered pair occurs twice in the edge list
+    # (each (src, dst) appears at most once: one bucket per vector, one
+    # rank row per neighbor), so a count window over the canonical pair
+    # key flags mutuality on the SAME edge relation and the census
+    # fuses into the per-edge aggregate.
+    wp = Window.partitionBy(
+        F.least(F.col("src"), F.col("dst")),
+        F.greatest(F.col("src"), F.col("dst")),
     )
-    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    mut = edges.join(rev, ["src", "dst"]).agg(
-        F.count(F.lit(1)).alias("n_rep_mutual")
+    em = (
+        edges.withColumn("mcnt", F.count(F.lit(1)).over(wp))
+        .join(
+            mem.select(
+                F.col("rep").alias("src"), F.col("n_mem").alias("n_a")
+            ).hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("dst"), F.col("n_mem").alias("n_b")
+            ).hint("shuffle_hash"),
+            "dst",
+        )
     )
     tot = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     cstat = classes.agg(
@@ -889,10 +917,10 @@ def sim_knn_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         em.agg(
             F.countDistinct("src").alias("n_rep_nodes"),
             F.count(F.lit(1)).alias("n_rep_edges"),
+            F.count(F.when(F.col("mcnt") == 2, 1)).alias("n_rep_mutual"),
             F.expr("sum(n_a * n_b)").alias("expanded_cross_pairs"),
             F.expr("sum(cos_micro) div count(1)").alias("mean_cosine_micro"),
         )
-        .crossJoin(F.broadcast(mut))
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(cstat))
         .select(

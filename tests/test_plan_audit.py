@@ -102,6 +102,8 @@ _LAZY_KWARG = {
     "text_ngram_novelty",
     "graph_link_prediction",
     "annotate_entity_pmi",
+    "sim_knn_classes",
+    "dedup_containment_classes",
 }
 
 

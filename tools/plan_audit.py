@@ -1354,7 +1354,8 @@ def main() -> None:
                     "dedup_minhash_classes", "dedup_minhash_tuning",
                     "dedup_clusters_classes", "dedup_keep_best_classes",
                     "text_ngram_novelty", "graph_link_prediction",
-                    "annotate_entity_pmi"):
+                    "annotate_entity_pmi", "sim_knn_classes",
+                    "dedup_containment_classes"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
