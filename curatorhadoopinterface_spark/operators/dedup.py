@@ -2479,7 +2479,9 @@ _AP_T_PERMILLE = 500  # Jaccard threshold 0.5
     FROM wth w CROSS JOIN cc CROSS JOIN agg a
     """,
 )
-def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_allpairs_prefix(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """EXACT similarity self-join via ALLPAIRS PREFIX FILTERING
     (Bayardo et al.) at Jaccard >= 0.5 — the deterministic complement
     to dedup_minhash's probabilistic LSH: zero false negatives BY
@@ -2525,6 +2527,15 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = docs.groupBy(F.md5("text").alias("ck")).agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_mem")
     )
+    # r9: classes sits under EVERY lazy re-execution of the shingle
+    # subtree (both prefix sides + both set lookups) plus mem x2 and
+    # wth — ~7 scan+md5-aggregate runs. Narrow and distinct-content-
+    # bounded (the batch-16 keep shape, NOT the rejected corpus-wide
+    # ranked-shingle persist): eager checkpoint measured 5.41/5.50/5.49
+    # lazy vs 5.06/5.09/5.35 checkpointed (alternating, min-of-3 x3).
+    # checkpoint=False keeps the lazy plan for audits.
+    if checkpoint:
+        classes = classes.localCheckpoint(eager=True)
     reps = docs.join(
         classes.select(F.col("rep").alias("doc_id")).hint("shuffle_hash"),
         "doc_id",

@@ -104,6 +104,7 @@ _LAZY_KWARG = {
     "annotate_entity_pmi",
     "sim_knn_classes",
     "dedup_containment_classes",
+    "dedup_allpairs_prefix",
 }
 
 

@@ -1355,7 +1355,8 @@ def main() -> None:
                     "dedup_clusters_classes", "dedup_keep_best_classes",
                     "text_ngram_novelty", "graph_link_prediction",
                     "annotate_entity_pmi", "sim_knn_classes",
-                    "dedup_containment_classes"):
+                    "dedup_containment_classes",
+                    "dedup_allpairs_prefix"):
             # audit the full plan, not the post-checkpoint scan stub
             df = qs[name](spark, sf_dir, checkpoint=False)
         else:
