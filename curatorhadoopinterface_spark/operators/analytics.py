@@ -2462,7 +2462,16 @@ def graph_link_prediction(
     # sides + join sort); the degree relation falls out of the same
     # aggregate as size(nbrs), so the separate deg groupBy+persist
     # goes too. Per-center blowup is C(deg, 2), still bounded by the
-    # degree cap exactly as the self-join was.
+    # degree cap exactly as the self-join was. Caveat (r9 advice): the
+    # cap bounds the WEDGE EXPLODE only — the collect_set below still
+    # builds a hub's full neighbor array in its aggregation buffer
+    # before the size() filter drops it (the old deg-join form filtered
+    # row-wise before any array existed). Exact degrees du/dv of hub
+    # CANDIDATE endpoints feed the Jaccard output, so hub arrays can't
+    # simply be truncated here; the buffer is bounded by the distinct
+    # co-purchased-part domain (~|parts|), not by corpus volume — fine
+    # at any sf of this schema, but a graph with unbounded hub degree
+    # would need a two-level (node, salt) pre-aggregation first.
     nb = (
         cop.select(
             F.explode(

@@ -2092,19 +2092,23 @@ def dedup_minhash_recall(
     (4 bands x 3 rows gives P(candidate) = 1-(1-J^3)^4, ~93% at J=0.7,
     ~50% at J=0.5; this query reports what the corpus actually gets).
 
-    Scale shape: ground truth is an EQUI join on the shingle key
-    (inverted-index posting lists; J >= 0.5 > 0 forces >= 1 shared
-    shingle, so no sample x corpus cross verify), with two bounds that
-    make it safe at 100 TB: (1) posting lists longer than RECALL_DF_CAP
-    are DROPPED from the truth index — the join fans out at most
-    cap-per-posting, and the cap plus dropped-shingle count are
-    reported in the output row so the recall's scope is explicit;
-    (2) intersection sizes come from counting shared postings
-    (groupBy), never from shuffling the shingle ARRAYS — Jaccard is
-    n_inter / (|q| + |c| - n_inter) over the capped shingle space,
-    exact integers in both engines. The LSH side reuses the exact
-    _minhash_core candidates. Counts crossed as 1-row aggregates;
-    recall is exact integer per-mille.
+    Scale shape: ground truth is an inverted-index POSTING-LIST
+    enumeration (J >= 0.5 > 0 forces >= 1 shared shingle, so no
+    sample x corpus cross verify): one shingle-keyed exchange carries
+    (doc_id, shingle) rows; a count window over it computes each
+    shingle's document frequency, rows of shingles hotter than
+    RECALL_DF_CAP are DROPPED before any array exists (so no
+    aggregation buffer ever holds more than cap doc_ids — the cap
+    bounds memory, not just downstream rows), and the surviving cold
+    posting lists aggregate on the SAME partitioning (no second
+    exchange). Ground-truth (q, c) pairs then explode map-side as
+    sample-member x other-members combinations over each cold list —
+    at most cap-per-posting fan-out, the standard bounded-posting
+    trade, honest because the cap and the dropped-shingle count ship
+    in the output row. Jaccard is n_inter / (|q| + |c| - n_inter)
+    over the capped shingle space, exact integers in both engines.
+    The LSH side reuses the exact _minhash_core candidates. Counts
+    crossed as 1-row aggregates; recall is exact integer per-mille.
 
     The signature aggregate feeds SIX consumers (LSH self-join sides,
     posting self-join sides, sizes, hot census); left lazy, Catalyst
@@ -2129,35 +2133,34 @@ def dedup_minhash_recall(
         .distinct()
     )
     sh = doc_agg.select("doc_id", F.explode("s").alias("shingle"))
-    # r9 second pass: the posting lists aggregate into ONE
-    # groupBy(shingle) relation (df + the doc list) instead of the
-    # two-window chain — the windows' per-consumer partition SORT ran
-    # four times (n_hot, cap filter, both posting-join sides), and the
-    # (sample x corpus) posting self-join shuffled both sides again.
-    # Ground-truth pairs now come from a MAP-SIDE combination explode
-    # over each cold posting list (sample member x other members) —
-    # the same (q, c, shingle) multiset the equi join produced, with
-    # zero join exchanges. The doc list is slice()-truncated at the df
-    # cap so a HOT shingle never materializes its full posting array
-    # downstream; truncated lists are only ever read where df <= cap
-    # (cold rows keep every element), so the nondeterministic
-    # collect_list order never feeds output.
-    post = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.expr(
-            f"slice(collect_list(doc_id), 1, {RECALL_DF_CAP})"
-        ).alias("ds"),
-    )
-    n_hot = post.agg(
-        F.count(
-            F.when(F.col("df") > RECALL_DF_CAP, 1)
+    # r9 second pass: ground-truth pairs come from a MAP-SIDE
+    # combination explode over each cold posting list (sample member x
+    # other members) — the same (q, c, shingle) multiset the old
+    # (sample x corpus) posting equi-join produced, with zero join
+    # exchanges. r10 (r9-advice medium item): the posting df and the
+    # hot-shingle cap are now a COUNT WINDOW over the shingle exchange,
+    # applied BEFORE any array aggregate — the previous
+    # slice(collect_list(...), 1, cap) form truncated rows only AFTER
+    # the full posting list had been built in the aggregation buffer,
+    # so a corpus-hot shingle (df in the millions at large sf) would
+    # materialize its entire posting array in one buffer before the
+    # slice dropped it. Here hot rows never reach the collect: the
+    # buffer holds at most RECALL_DF_CAP doc_ids per key by
+    # construction. The groupBy(shingle) below reuses the window's
+    # hash partitioning (no second exchange), and cold lists keep
+    # every element, so the nondeterministic collect order still never
+    # feeds output.
+    wsh = Window.partitionBy("shingle")
+    shd = sh.withColumn("df", F.count(F.lit(1)).over(wsh))
+    n_hot = shd.agg(
+        F.count_distinct(
+            F.when(F.col("df") > RECALL_DF_CAP, F.col("shingle"))
         ).alias("n_hot_shingles")
     )
-    cold = post.where(F.col("df") <= RECALL_DF_CAP)
-    sizes = (
-        cold.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    coldrows = shd.where(F.col("df") <= RECALL_DF_CAP)
+    sizes = coldrows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cold = coldrows.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ds")
     )
     inter = (
         cold.select(
@@ -2605,6 +2608,12 @@ def dedup_allpairs_prefix(
     # cand.agg() branch cost a full second run of the prefix self-join.
     mem = classes.select("rep", "n_mem")
     qual = F.col("jac_permille") >= _AP_T_PERMILLE
+    # INVARIANT (r9 advice): n_rep_candidates is counted from verm, not
+    # cand — value-identical ONLY because every candidate rep_a/rep_b is
+    # guaranteed present in sets and classes (1:1 inner joins; cand reps
+    # come from the same prefix relation that feeds sets, and classes
+    # holds every rep). Filtering sets or mem would silently deflate
+    # the candidate census; keep those joins unfiltered.
     verm = (
         ver.join(
             mem.select(

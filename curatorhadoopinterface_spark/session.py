@@ -16,6 +16,7 @@ same logical plans survive a 1000-executor deployment:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -108,6 +109,23 @@ def get_spark(app_name: str = "curatorhadoopinterface-spark", cpus: int | None =
     return builder.getOrCreate()
 
 
+# Session-scoped PLAN-HANDLE cache for load_table (r10, guide §1.2 "the
+# boundary is the cost" applied to the driver): every spark.read.parquet
+# call pays file-status resolution + parquet FOOTER schema inference +
+# several py4j round trips — measured 150-230 ms per call at sf0.1, and
+# a 213-query x 3-pass bench makes ~950 such calls of the SAME ten
+# immutable fixture tables (~30-40% of suite wall time). The cache
+# memoizes the lazy DataFrame HANDLE (an unexecuted logical plan), NOT
+# any data or result: every action on it still scans parquet from disk.
+# Keyed per SparkSession (weakly — a stopped session's entries drop with
+# the session object; a DataFrame is unusable outside its session) and
+# guarded by the parquet file's (mtime_ns, size), so a rewritten fixture
+# (stress regeneration, scratch stores) re-reads and re-infers.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table (SURVEY.md section 2C row ``scan_parquet``).
 
@@ -123,7 +141,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set at runtime too so the driver's own (vanilla) session works
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # nonexistent yet / unstat-able: let Spark raise below
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if key is not None and key in per_session:
+        return per_session[key]
+    df = spark.read.parquet(path)
     import pyspark.sql.functions as F
 
     for field in df.schema.fields:
@@ -134,6 +161,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # reads as NTZ; cast to session-TZ (UTC) timestamp so event
             # time works everywhere (watermarks require TIMESTAMP)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        per_session[key] = df
     return df
 
 
